@@ -1,0 +1,11 @@
+"""Query surface — importing this package populates the registry.
+
+Modules:
+- ``scd2_q``      — the CDC/SCD2 pipeline queries (reference parity)
+- ``relational``  — scans/filters/joins/aggs/windows/sorts/set ops
+- ``datapipe``    — dedup / similarity / text-analysis (north star)
+"""
+
+import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
+import change_data_capture_poc_spark.queries.relational  # noqa: F401
+import change_data_capture_poc_spark.queries.datapipe  # noqa: F401

@@ -1,0 +1,499 @@
+"""North-star data-pipeline operators (BASELINE.json): deduplication,
+similarity search, and text analysis over ``documents`` / ``embeddings``.
+
+These are the operators a 100 TB training-data pipeline needs. Design
+rules applied throughout:
+
+- **Portable hashing**: near-dup signatures use md5 (identical hex in
+  Spark and DuckDB) so every probabilistic operator still has an exact
+  oracle. Engine-internal variants (simhash) use ``xxhash64`` (JVM-side,
+  faster) and get pytest determinism checks instead of SQL oracles.
+- **No cross joins at scale**: candidate generation is always a
+  bucket/band equi-join (LSH bands, IVF partitions); the brute-force
+  cosine query broadcasts a tiny query set, never fact×fact.
+- **Rounding**: float scores are rounded on both sides; ranking happens
+  on the rounded value with a unique-key tiebreak so top-k cutoffs are
+  deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-hash groupBy: one shuffle on the "
+        "128-bit fingerprint, min-id representative per group.",
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    doc="Exact dedup keeping the surviving rows (lowest doc_id per "
+        "identical text) — window formulation, same single shuffle.",
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_NGRAM_WORDS = "string_split(text, ' ')"
+_NGRAM_SQL = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+        FROM (SELECT doc_id, {_NGRAM_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+"""
+
+
+def _spark_grams(d: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-gram array (engine side of _NGRAM_SQL)."""
+    w = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    return (
+        d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", grams.alias("grams"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS ({_NGRAM_SQL}),
+    toks AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_id_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    """,
+    doc="Near-dup detection: word-3-gram Jaccard over an inverted-index "
+        "equi-join (shuffle on gram, never doc×doc). 3-grams keep the "
+        "posting lists short, so the join output stays near-linear.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    toks = g.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.2)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_K = 12
+_BANDS = 4  # 4 bands × 3 rows
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n".join(
+        "list_aggregate(list_transform(grams, s -> md5('%d|' || s)), 'min') AS m%d"
+        % (i, i)
+        for i in range(_MINHASH_K)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH g AS ({_NGRAM_SQL}),
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM g),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN m0 || '|' || m1 || '|' || m2
+                   WHEN 1 THEN m3 || '|' || m4 || '|' || m5
+                   WHEN 2 THEN m6 || '|' || m7 || '|' || m8
+                   ELSE m9 || '|' || m10 || '|' || m11
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    )
+    SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+    FROM bands x
+    JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id
+    """,
+    doc="MinHash+LSH candidate pairs: 12 portable (md5-keyed) min-hashes "
+        "over word-3-grams, 4 bands × 3 rows, band-bucket equi-join. "
+        "The band join is the scale path: shuffle on band_key only.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    mh = [
+        F.array_min(
+            F.transform(F.col("grams"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary")))
+        ).alias(f"m{i}")
+        for i in range(_MINHASH_K)
+    ]
+    sig = g.select("doc_id", *mh)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"m{b * 3 + j}") for j in range(3)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------
+
+_N_QUERIES = 8
+_TOP_K = 5
+
+
+def _cosine_expr(a, b):
+    """Sequential-order double-precision cosine — bit-compatible with
+    DuckDB's list_dot_product/list-aggregate path after rounding."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+@register(
+    "ann_cosine_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM e, q WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) <= {_TOP_K}
+    """,
+    doc="Brute-force cosine top-k: tiny query set broadcast against the "
+        "corpus — one scan, no corpus shuffle; the baseline ANN.",
+)
+def ann_cosine_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _TOP_K
+    ).drop("rn")
+
+
+@register(
+    "ann_cosine_ivf_partition",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) <= {_TOP_K}
+    """,
+    doc="IVF-style ANN: probe only the query's own partition (label = "
+        "cluster assignment) via an equi-join on the partition key — "
+        "the 100 TB scale path: candidates shrink by the cluster count "
+        "and the join shuffles on label, never cross-joins the corpus.",
+)
+def ann_cosine_ivf_partition(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _TOP_K
+    ).drop("rn")
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+               FROM documents)
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           len(w) AS n_tokens,
+           ROUND(length(text) * 1.0 / len(w), 6) AS avg_token_len,
+           ROUND(len(list_filter(w, x -> list_contains({_SW_SQL}, x)))
+                 * 1.0 / len(w), 6) AS stopword_ratio,
+           ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) AS ttr,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+    FROM t WHERE len(w) > 0
+    """,
+    doc="Quality scoring: char/token counts, average token length, "
+        "stopword ratio, type-token ratio, BPE-ish token estimate "
+        "(chars/4) — all JVM-side expressions, no UDFs.",
+)
+def text_quality_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_tok = F.size(w)
+    sw = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    return (
+        d.where(F.size(F.split(F.col("text"), " ")) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            n_tok.alias("n_tokens"),
+            F.round(F.length("text") * 1.0 / n_tok, 6).alias("avg_token_len"),
+            F.round(sw * 1.0 / n_tok, 6).alias("stopword_ratio"),
+            F.round(F.size(F.array_distinct(w)) * 1.0 / n_tok, 6).alias("ttr"),
+            F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_bpe_est"),
+        )
+    )
+
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is", "it"),
+    "es": ("el", "los", "las", "y", "un", "una", "es"),
+    "fr": ("le", "les", "et", "une", "est", "dans", "pour"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(w, x -> list_contains({lst}, x)))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 {_marker_sql('de')} AS s_de,
+                 {_marker_sql('en')} AS s_en,
+                 {_marker_sql('es')} AS s_es,
+                 {_marker_sql('fr')} AS s_fr
+          FROM t)
+    SELECT doc_id, s_de, s_en, s_es, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+    doc="Language-ID heuristic: per-language stopword-marker scores with "
+        "a deterministic argmax (fixed priority tiebreak). On real text "
+        "the marker lists separate languages; here the corpus is "
+        "synthetic so the operator's determinism is what's verified.",
+)
+def text_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    def marker_count(markers):
+        # closure factory: a default-arg lambda would be seen by F.filter
+        # as the 2-arg (value, index) form
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    s = d.select(
+        "doc_id",
+        scores["de"].alias("s_de"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+    )
+    return s.select(
+        "*",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8], ' '))
+               AS prefix_fp,
+           sha256(lower(trim(text))) AS content_sha256
+    FROM documents
+    """,
+    doc="Document fingerprinting: normalized full-content and 8-word "
+        "prefix hashes (md5 + sha256 — identical hex across engines).",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    prefix = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        F.md5(prefix.cast("binary")).alias("prefix_fp"),
+        F.sha2(norm.cast("binary"), 256).alias("content_sha256"),
+    )
+
+
+# --------------------------------------------------------------------
+# Multimodal column plumbing (binary payloads + typed metadata)
+# --------------------------------------------------------------------
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) % 1024 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS fake_height
+    FROM documents
+    """,
+    doc="Multimodal plumbing: text re-encoded as an opaque binary "
+        "payload column with typed metadata (byte length, checksum, "
+        "deterministic fake decode dims). Real image/audio decode is a "
+        "mapInPandas stage over exactly this schema — see "
+        "operators/multimodal.py for the batch-shaped UDF plumbing.",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    nbytes = F.octet_length(blob)
+    return d.select(
+        "doc_id",
+        nbytes.alias("n_bytes"),
+        F.md5(blob).alias("payload_md5"),
+        (nbytes % 1024).cast("int").alias("fake_width"),
+        ((nbytes * 7) % 768).cast("int").alias("fake_height"),
+    )

@@ -1,0 +1,148 @@
+"""CDC / SCD2 queries — the reference's analytical core, over the
+driver's ``events`` table (so every query has a DuckDB oracle twin).
+
+The ``events`` table plays the role of the CDC change log: ``user_id``
+is the key (the reference's ``payload.*.id``), ``event_id`` the total
+order (the reference's ``source.lsn``), ``ts`` the event time
+(``ts_ms``), ``props`` the raw-JSON payload. The transforms below are
+shape-identical to ``duckdb/analytics/transform_scd2.py:19-61``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.cdc.scd2 import SCD2_SENTINEL
+
+
+@register(
+    "scd2_user_state",
+    oracle=f"""
+    SELECT user_id,
+           event_id AS log_seq_num,
+           event_type AS operation_type,
+           value,
+           ROW_NUMBER() OVER w AS version_number,
+           ts AS row_valid_start_timestamp,
+           COALESCE(LEAD(ts) OVER w, TIMESTAMP '{SCD2_SENTINEL}')
+               AS row_valid_expiration_timestamp
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="Flagship: full SCD2 recompute (W1 row_number + W2 lead + P3 "
+        "coalesce-to-sentinel), shape of transform_scd2.py:41-60.",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("log_seq_num")
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("log_seq_num"),
+            F.col("event_type").alias("operation_type"),
+            "value",
+            "ts",
+        )
+        .withColumn("version_number", F.row_number().over(w))
+        .withColumn(
+            "row_valid_expiration_timestamp",
+            F.coalesce(
+                F.lead("ts").over(w), F.lit(SCD2_SENTINEL).cast("timestamp")
+            ),
+        )
+        .withColumnRenamed("ts", "row_valid_start_timestamp")
+    )
+
+
+@register(
+    "cdc_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE event_type
+               WHEN 'signup' THEN 'CREATE'
+               WHEN 'click' THEN 'UPDATE'
+               WHEN 'purchase' THEN 'UPDATE'
+               WHEN 'error' THEN 'DELETE'
+               ELSE 'SNAPSHOT'
+           END AS operation_type,
+           COALESCE(value, -1.0) AS value_filled
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="P1/P2/P3/P4/P6: JSON path extraction + CAST + CASE + COALESCE "
+        "+ IS NOT NULL filter (transform_scd2.py:23-39 shape).",
+)
+def cdc_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        events.where(k.isNotNull())
+        .select(
+            "event_id",
+            k.cast("int").alias("k"),
+            F.when(F.col("event_type") == "signup", "CREATE")
+            .when(F.col("event_type").isin("click", "purchase"), "UPDATE")
+            .when(F.col("event_type") == "error", "DELETE")
+            .otherwise("SNAPSHOT")
+            .alias("operation_type"),
+            F.coalesce(F.col("value"), F.lit(-1.0)).alias("value_filled"),
+        )
+    )
+
+
+@register(
+    "cdc_epoch_millis_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+           make_timestamp(CAST(epoch_ms(ts) AS BIGINT) * 1000) AS source_timestamp
+    FROM events
+    """,
+    doc="P5: epoch-millis → timestamp with millisecond fidelity. DuckDB "
+        "to_timestamp(ms/1000) is float division (keeps millis); Spark "
+        "equivalent is timestamp_millis (SURVEY.md §7 timestamp trap).",
+)
+def cdc_epoch_millis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis("ts")
+    return events.select(
+        "event_id",
+        ts_ms.alias("ts_ms"),
+        F.timestamp_millis(ts_ms).alias("source_timestamp"),
+    )
+
+
+@register(
+    "scd2_current_rows",
+    oracle=f"""
+    WITH versions AS (
+        SELECT user_id, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           value AS current_value,
+           ts AS row_valid_start_timestamp
+    FROM versions WHERE nxt IS NULL
+    """,
+    doc="Current-image extraction: the is_current=TRUE slice of the "
+        "SCD2 table (init_duckdb.sh:34 semantics via window).",
+)
+def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        events.withColumn("nxt", F.lead("ts").over(w))
+        .where(F.col("nxt").isNull())
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("row_valid_start_timestamp"),
+        )
+    )

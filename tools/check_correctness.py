@@ -1,0 +1,118 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and an order-insensitive value comparison (exact for non-floats, 1e-9
+relative tolerance for floats — the driver's hash is stricter, so any
+tolerance hit here is flagged as a WARN to investigate).
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+from change_data_capture_poc_spark.registry import all_queries
+from change_data_capture_poc_spark.session import get_spark
+from change_data_capture_poc_spark.sources.tables import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(spark_rows, duck_rows, cols):
+    if len(spark_rows) != len(duck_rows):
+        return f"row count {len(spark_rows)} vs {len(duck_rows)}"
+    key = lambda r: tuple((str(type(x)), str(x)) for x in r)  # noqa: E731
+    s = sorted([tuple(norm_cell(v) for v in r) for r in spark_rows], key=key)
+    d = sorted([tuple(norm_cell(v) for v in r) for r in duck_rows], key=key)
+    exact_mismatch = 0
+    for a, b in zip(s, d):
+        if a == b:
+            continue
+        if len(a) != len(b):
+            return f"arity mismatch {a} vs {b}"
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                    exact_mismatch += 1
+                    continue
+            return f"value mismatch: spark={a} duck={b}"
+    if exact_mismatch:
+        return f"WARN float-tolerance hits: {exact_mismatch}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = all_queries()
+    failures = 0
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            duck_cols = [c[0].lower() for c in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if spark_cols != duck_cols:
+            # driver sorts columns by name; order doesn't matter, names do
+            if sorted(spark_cols) != sorted(duck_cols):
+                print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
+                failures += 1
+                continue
+            ix = [duck_cols.index(c) for c in spark_cols]
+            duck_rows = [tuple(r[i] for i in ix) for r in duck_rows]
+        msg = compare(spark_rows, duck_rows, spark_cols)
+        took = time.time() - t0
+        if msg is None:
+            print(f"PASS {name} ({len(spark_rows)} rows, {took:.1f}s)")
+        elif msg.startswith("WARN"):
+            print(f"PASS {name} ({len(spark_rows)} rows, {took:.1f}s) [{msg}]")
+        else:
+            print(f"FAIL {name}: {msg}")
+            failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
