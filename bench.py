@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a cheap full-evaluation action
+(``count`` on the final plan would let Catalyst prune work, so we use
+``write.format("noop")`` which evaluates every column of every row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from change_data_capture_poc_spark.registry import all_queries
+from change_data_capture_poc_spark.session import get_spark
+
+HEADLINE = (
+    "scd2_user_state",          # flagship CDC/SCD2 window pipeline
+    "cdc_json_extract",         # JSON envelope extraction path
+    "pricing_summary",          # TPC-H Q1 shape scan+agg
+    "local_supplier_volume",    # TPC-H Q5 shape 6-way join
+    "join_left_outer",          # outer join + agg
+    "window_running_sum",       # running window
+    "order_limit_topk",         # global top-k
+    "dedup_exact_groups",       # hash dedup
+    "dedup_minhash_lsh",        # minhash LSH banding
+    "dedup_ngram_jaccard",      # inverted-index jaccard
+    "ann_cosine_bruteforce",    # brute-force cosine
+    "ann_cosine_ivf_partition", # partitioned ANN
+    "text_quality_stats",       # text analytics
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    # Warm the JVM + file listing once, outside the timed region.
+    qs["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

