@@ -1,0 +1,71 @@
+"""As-of (backward) join — an operator Spark lacks natively.
+
+Implemented as a union + keyed window (`last_value ... ignore nulls`)
+rather than a range cross-join: both inputs are tagged and unioned,
+sorted per key by (event time, side), and each left row picks up the
+most recent right-side value at or before its timestamp. One shuffle on
+the key, no join fan-out — the formulation that survives 100 TB
+(a naive `left.ts >= right.ts` theta join is quadratic per key).
+
+Tie rule: a right row at exactly the left row's timestamp IS visible
+(backward as-of with >=), matching DuckDB's ``ASOF JOIN ... ON l.ts >=
+r.ts`` semantics used by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (nulls if none).
+
+    ``right_values`` are the right-side columns to carry. Left columns
+    are preserved as-is.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            tagged_l.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+    # Right rows sort before left rows at equal timestamps so an
+    # exactly-simultaneous right value is visible (>= semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    filled = unioned.select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rv_{c}").alias(c) for c in right_values],
+    )

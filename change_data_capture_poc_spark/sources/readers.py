@@ -1,0 +1,55 @@
+"""Event-log readers (SURVEY.md §2.1 S4-S6).
+
+The reference consumes its S3 event log three ways; each has a Spark
+equivalent here:
+
+- S4 ``read_ndjson_objects`` (raw strings, runtime extraction)
+  → ``read_ndjson_raw`` + ``parse_envelope_json``
+- S5 ``read_json_auto`` (schema inference)
+  → ``read_json_inferred``
+- S6 ``read_parquet`` → plain ``spark.read.parquet``
+
+Explicit-schema reads are the default (deterministic at 100 TB);
+inference mirrors the reference's ``init_duckdb.sh:23-25`` path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from change_data_capture_poc_spark.cdc.envelope import (
+    envelope_schema,
+    parse_envelope_json,
+)
+
+
+def read_ndjson_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-string fidelity scan (one row per JSON line), the analogue of
+    ``read_ndjson_objects`` (transform_scd2.py:38). Globs and gzip are
+    handled by the text source transparently."""
+    return spark.read.text(path)
+
+
+def read_envelope_log(
+    spark: SparkSession, path: str, row_fields: list[T.StructField]
+) -> DataFrame:
+    """NDJSON envelope log → typed envelope rows (single from_json
+    parse with the explicit schema)."""
+    return parse_envelope_json(read_ndjson_raw(spark, path), row_fields)
+
+
+def read_envelope_log_direct(
+    spark: SparkSession, path: str, row_fields: list[T.StructField]
+) -> DataFrame:
+    """Same result via the JSON source with an explicit schema — lets
+    the source skip whole files on corrupt-record policies and prune
+    columns at parse time."""
+    return spark.read.schema(envelope_schema(row_fields)).json(path)
+
+
+def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-inference read mirroring ``read_json_auto``
+    (init_duckdb.sh:25). Inference scans the data once — fine for
+    exploration, not for the 100 TB path."""
+    return spark.read.json(path)

@@ -1,0 +1,59 @@
+"""Event-log and table sinks (SURVEY.md §2.1 S3, S7-S9).
+
+- ``write_partitioned_json``: the S3-sink analogue — Hive-style
+  ``year=/month=/day=`` partition dirs derived from the envelope
+  event time, gzipped JSON objects (connectors/s3-sink.json:15-27,
+  UTC daily partitioner). The reference flushes every 3 records
+  producing pathological tiny files (SURVEY.md §7); here file count
+  follows Spark partitioning, and ``compact_to_parquet`` is the
+  recommended immediate next hop for anything at scale.
+- ``materialize_table``: CREATE OR REPLACE TABLE ... AS semantics
+  (transform_scd2.py:20) as an overwrite parquet/table write.
+- ``create_view``: CREATE VIEW over a scan (scd2_example.sql:10-14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_date_partitions(df: DataFrame, ts_ms_col: str = "payload.ts_ms") -> DataFrame:
+    """Derive UTC year/month/day partition columns from epoch millis
+    (the S3 sink's DailyPartitioner, path.format 'year'=YYYY/...)."""
+    ts = F.timestamp_millis(F.col(ts_ms_col))
+    return (
+        df.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+    )
+
+
+def write_partitioned_json(
+    df: DataFrame, path: str, ts_ms_col: str = "payload.ts_ms", mode: str = "append"
+) -> None:
+    """Land envelope rows as gzipped JSON under year=/month=/day=."""
+    (
+        with_date_partitions(df, ts_ms_col)
+        .write.mode(mode)
+        .partitionBy("year", "month", "day")
+        .option("compression", "gzip")
+        .json(path)
+    )
+
+
+def compact_to_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Tiny-file remedy: rewrite the JSON log columnar (zstd parquet)
+    so nested column pruning actually skips IO (SURVEY.md §4)."""
+    df.write.mode(mode).parquet(path)
+
+
+def materialize_table(df: DataFrame, path: str) -> None:
+    """CREATE OR REPLACE TABLE ... AS SELECT (full replace, the
+    reference's primary sink, transform_scd2.py:20)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def create_view(df: DataFrame, name: str) -> None:
+    """Logical view over any scan (S8)."""
+    df.createOrReplaceTempView(name)

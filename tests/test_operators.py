@@ -1,0 +1,134 @@
+"""Unit tests for the custom operators (asof join, sessionize,
+simhash, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.operators import (
+    asof_join,
+    attach_media_meta,
+    decode_media_batch,
+    hamming64,
+    sessionize,
+    simhash64,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),
+            ("A", _ts("2024-01-01 10:05:00"), 2),
+            ("A", _ts("2024-01-01 09:00:00"), 3),  # before any quote
+            ("B", _ts("2024-01-01 10:00:00"), 4),
+        ],
+        "sym string, t timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:00"), 10.0),
+            ("A", _ts("2024-01-01 10:05:00"), 11.0),  # tie: visible (>=)
+            ("B", _ts("2024-01-01 09:00:00"), 20.0),
+        ],
+        "sym string, qt timestamp, px double",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="qt",
+                    right_values=["px"])
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got == {1: 10.0, 2: 11.0, 3: None, 4: 20.0}
+
+
+def test_asof_join_vs_naive_theta(spark):
+    """Cross-check the window formulation against the quadratic
+    theta-join definition: 50 left x 20 right over 5 keys."""
+    left = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("t"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 137).alias("rt"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    fast = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                     right_values=["v"])
+    naive = (
+        left.join(right, (left.k == right.k) & (right.rt <= left.t), "left")
+        .groupBy("lid")
+        .agg(F.max_by("v", "rt").alias("v"))
+    )
+    f = {r.lid: r.v for r in fast.collect()}
+    n = {r.lid: r.v for r in naive.collect()}
+    assert f == n
+
+
+def test_sessionize_gap_split(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (1, _ts("2024-01-01 10:10:00")),   # gap 600 ≤ 1800 → same
+            (1, _ts("2024-01-01 11:00:00")),   # gap 3000 > 1800 → new
+            (2, _ts("2024-01-01 10:00:00")),
+        ],
+        "uid bigint, t timestamp",
+    )
+    out = sessionize(df, key="uid", ts="t", gap_seconds=1800)
+    got = {(r.uid, r.t): r.session_id for r in out.collect()}
+    assert got[(1, _ts("2024-01-01 10:00:00"))] == 1
+    assert got[(1, _ts("2024-01-01 10:10:00"))] == 1
+    assert got[(1, _ts("2024-01-01 11:00:00"))] == 2
+    assert got[(2, _ts("2024-01-01 10:00:00"))] == 1
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup
+            (3, "completely different words entirely unrelated text"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id", simhash64(F.split("text", " ")).alias("h")
+    )
+    h = {r.doc_id: r.h for r in out.collect()}
+    assert h[1] == h[4]  # deterministic
+    d = df.sparkSession.createDataFrame(
+        [(h[1], h[2]), (h[1], h[3])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0].d, d[1].d
+    assert near < far
+    assert near <= 16
+
+
+def test_multimodal_meta_and_decode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG-fake-payload")), (2, bytearray(b"xx"))],
+        "media_id int, payload binary",
+    )
+    meta = attach_media_meta(df, "payload", "image")
+    m = {r.media_id: r.media_meta for r in meta.collect()}
+    assert m[1].n_bytes == 17 and m[1].media_type == "image"
+    assert m[1].checksum is not None
+
+    decoded = decode_media_batch(df, "payload")
+    assert decoded.schema["width"].dataType.typeName() == "integer"
+    rows = {r.media_id: r for r in decoded.collect()}
+    # Deterministic fake decode: dims derived from byte length.
+    assert rows[1].width == 17 and rows[2].width == 2
+    assert rows[2].n_frames == 3
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media_batch(df, "payload", real_decode=True)

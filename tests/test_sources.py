@@ -1,0 +1,69 @@
+"""Event-log IO round-trip tests (SURVEY.md §2.1 S3-S6).
+
+The reference's landing path: envelope rows → gzipped JSON under
+year=/month=/day= → read back → decode. The round-trip must preserve
+every event and the partition layout must match the S3 sink's
+DailyPartitioner (connectors/s3-sink.json:20-21)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from change_data_capture_poc_spark.cdc.envelope import (
+    PRODUCT_FIELDS,
+    decode_envelope,
+)
+from change_data_capture_poc_spark.cdc.generator import CdcGenerator
+from change_data_capture_poc_spark.sources.readers import (
+    read_envelope_log,
+    read_envelope_log_direct,
+    read_json_inferred,
+    read_ndjson_raw,
+)
+from change_data_capture_poc_spark.sources.writers import (
+    compact_to_parquet,
+    write_partitioned_json,
+)
+
+
+def test_partitioned_json_roundtrip(spark, tmp_path):
+    gen = CdcGenerator(seed=11)
+    df = gen.products_df(spark, num_records=100)
+    n = df.count()
+    path = str(tmp_path / "log")
+    write_partitioned_json(df, path, mode="overwrite")
+
+    # Hive layout: year=YYYY/month=MM/day=dd, gzipped files.
+    parts = glob.glob(os.path.join(path, "year=*", "month=*", "day=*"))
+    assert parts, "expected Hive date partition dirs"
+    gz = glob.glob(os.path.join(parts[0], "*.json.gz"))
+    assert gz, "expected gzipped json files"
+
+    back = read_envelope_log(spark, path + "/*/*/*/*.json.gz", PRODUCT_FIELDS)
+    assert back.count() == n
+    direct = read_envelope_log_direct(spark, path, PRODUCT_FIELDS)
+    assert direct.count() == n
+
+    # Decoded relations agree regardless of read path.
+    a = {tuple(r) for r in decode_envelope(back).collect()}
+    b = {tuple(r) for r in decode_envelope(direct).collect()}
+    assert a == b
+
+    # Inference path (read_json_auto analogue) sees the same row count.
+    assert read_json_inferred(spark, path).count() == n
+    # Raw-string fidelity path (read_ndjson_objects analogue).
+    assert read_ndjson_raw(spark, path + "/*/*/*/*.json.gz").count() == n
+
+
+def test_compact_to_parquet(spark, tmp_path):
+    gen = CdcGenerator(seed=11)
+    df = gen.products_df(spark, num_records=50)
+    n = df.count()  # inserts plus the generator's random updates/deletes
+    out = str(tmp_path / "compact")
+    compact_to_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert {tuple(r) for r in decode_envelope(back).collect()} == {
+        tuple(r) for r in decode_envelope(df).collect()
+    }
