@@ -1,0 +1,248 @@
+"""Queries backing the custom operators (operators/, streaming/):
+as-of join, sessionization (batch + session_window), simhash near-dup,
+embedding-cosine near-dup, regex token counting.
+
+Each query is the oracle-checkable face of an engine operator; the
+operator modules hold the reusable implementation and its scale notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.operators import asof_join, sessionize
+from change_data_capture_poc_spark.operators.simhash import hamming64, simhash64
+from change_data_capture_poc_spark.queries.datapipe import _cosine_expr
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.streaming.sessions import session_window_agg
+
+_GAP_S = 1800
+
+
+@register(
+    "asof_join_order_events",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS o_custkey, ts, MAX(value) AS v
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           ev.v AS last_event_value
+    FROM orders o ASOF LEFT JOIN ev
+      ON o.o_custkey = ev.o_custkey AND ev.ts <= o.o_orderdate
+    """,
+    doc="As-of (backward) join: each order picks up the most recent "
+        "event value at or before its order date for the same customer. "
+        "Window formulation (union + last_value ignore-nulls), one "
+        "shuffle on the key — not the quadratic theta join "
+        "(operators/asof.py). Right side deduped per (key, ts) for "
+        "determinism.",
+)
+def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    return asof_join(
+        orders, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        right_values=["v"],
+    ).withColumnRenamed("v", "last_event_value")
+
+
+@register(
+    "sessionize_user_events",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS es
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(es) OVER w IS NULL
+                         OR es - LAG(es) OVER w > {_GAP_S}
+                    THEN 1 ELSE 0 END AS ns
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM m
+    """,
+    doc="Gap-based sessionization (lag → marker → running sum), one "
+        "shuffle on the key (operators/sessionize.py). Gap compares "
+        "second-truncated epochs on both engines.",
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=_GAP_S,
+        order_tiebreak="event_id",
+    )
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="session_window aggregation — the streaming-native session "
+        "operator (streaming/sessions.py), run in batch mode so the "
+        "oracle can replay it as lag/cumsum SQL. Note session_window "
+        "splits on gap >= threshold (window end is exclusive).",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = session_window_agg(ev, key="user_id", ts="ts", gap="30 minutes")
+    return out.withColumn("value_sum", F.round("value_sum", 6))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB twin; pytest covers semantics
+    doc="SimHash near-dup candidates: 64-bit fingerprint (xxhash64 "
+        "token hashes, columnar bit-vote — operators/simhash.py), "
+        "banded into 4x16-bit keys; only band-colliding pairs are "
+        "compared (hamming <= 8). The band join shuffles on (band, "
+        "key) — candidate pairs, never the full cross product.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", simhash64(F.split("text", " ")).alias("h"))
+    bands = fp.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by the cluster label "
+        "(IVF-style): candidate pairs only within a block, so the join "
+        "shuffles on label instead of cross-joining the corpus — the "
+        "100 TB shape of embedding dedup.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(_cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.30)
+    )
+
+
+_TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count_regex",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '{_TOK_RE}') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))
+               AS n_alpha,
+           len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+               AS n_digit,
+           len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))
+               AS n_punct
+    FROM t
+    """,
+    doc="BPE-ish regex tokenizer: word/number/punctuation token counts "
+        "via regexp_extract_all — JVM-side regex, no Python in the hot "
+        "path (north-star token counting).",
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), F.lit(0))
+
+    def count_matching(pattern):
+        return F.size(F.filter(toks, lambda x: x.rlike(pattern)))
+
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        count_matching("^[A-Za-z]+$").alias("n_alpha"),
+        count_matching("^[0-9]+$").alias("n_digit"),
+        F.size(F.filter(toks, lambda x: ~x.rlike("^[A-Za-z0-9]"))).alias(
+            "n_punct"
+        ),
+    )

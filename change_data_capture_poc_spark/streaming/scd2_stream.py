@@ -1,0 +1,105 @@
+"""Incremental streaming SCD2 — ``foreachBatch`` merge that converges
+to the batch recompute (SURVEY.md §5 item 4, §2.8 T6).
+
+The reference has two formulations: full recompute over the whole log
+(transform_scd2.py, exact for any lateness) and an incremental upsert
+(init_duckdb.sh). This module gives the streaming shape of the first —
+the one that stays exact:
+
+per micro-batch:
+  1. append the batch's decoded events to a columnar compacted log,
+     hash-bucketed by key (``bucket = pmod(hash(id), n)``) so step 2
+     prunes IO;
+  2. recompute SCD2 for ONLY the buckets containing touched keys and
+     overwrite just those partitions (dynamic partition overwrite).
+
+Why not ``applyInPandasWithState``: per-key SCD2 state is unbounded
+(every key lives forever — SURVEY.md §7 "streaming state at scale");
+keeping state in the table and re-deriving touched buckets keeps
+executor memory flat at 100 TB. With Delta/Iceberg, step 2 becomes a
+MERGE with the same join/pruning structure.
+
+Cost model at scale: a micro-batch touching K keys re-sorts only the
+buckets holding those keys — O(K/n · total) IO, not O(total). Bucket
+count ``n_buckets`` trades write amplification (small n) against file
+count (large n); at 100 TB use thousands of buckets + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from change_data_capture_poc_spark.cdc.envelope import decode_envelope
+from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+
+
+class IncrementalScd2:
+    """State lives in two parquet tables, not in memory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_path: str,
+        scd2_path: str,
+        attr_fields: list[str] | None = None,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.log_path = log_path
+        self.scd2_path = scd2_path
+        self.attr_fields = attr_fields
+        self.n_buckets = n_buckets
+        # Partition-overwrite only the touched buckets (Spark's
+        # replacement for UPDATE-in-place, SURVEY.md D2).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.hash("id"), F.lit(self.n_buckets))
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        events = decode_envelope(batch_df)
+        self._bucket(events).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(self.log_path)
+
+        touched = [
+            r.bucket
+            for r in self._bucket(events).select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        log = self.spark.read.parquet(self.log_path).where(
+            F.col("bucket").isin(touched)
+        )
+        out = scd2_recompute(log.drop("bucket"), self.attr_fields)
+        self._bucket(out).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(self.scd2_path)
+
+    def result(self) -> DataFrame:
+        return self.spark.read.parquet(self.scd2_path).drop("bucket")
+
+
+def run_incremental_scd2(
+    spark: SparkSession,
+    stream: DataFrame,
+    log_path: str,
+    scd2_path: str,
+    checkpoint: str,
+    attr_fields: list[str] | None = None,
+    n_buckets: int = 16,
+) -> tuple[StreamingQuery, IncrementalScd2]:
+    """Wire an envelope stream into the incremental SCD2 materializer."""
+    inc = IncrementalScd2(spark, log_path, scd2_path, attr_fields, n_buckets)
+    q = (
+        stream.writeStream.foreachBatch(inc.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, inc

@@ -1,0 +1,115 @@
+"""Structured Streaming tests (SURVEY.md §2.8, §5 item 4).
+
+- ingest: envelope file stream → partitioned gzip JSON sink, exactly
+  the landed rows (T1, checkpointed).
+- incremental SCD2: multi-batch foreachBatch materialization converges
+  to the single-shot batch recompute (streaming ↔ batch equivalence).
+- session_window on static data matches the lag/cumsum sessionize
+  operator.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.cdc.envelope import (
+    PRODUCT_FIELDS,
+    decode_envelope,
+)
+from change_data_capture_poc_spark.cdc.generator import CdcGenerator
+from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+from change_data_capture_poc_spark.operators import sessionize
+from change_data_capture_poc_spark.streaming import (
+    run_incremental_scd2,
+    session_window_agg,
+    stream_envelope_log,
+    stream_to_partitioned_json,
+)
+
+
+def _write_chunks(spark, df, path, n_chunks):
+    """Split an envelope frame into n json files (micro-batch fodder)."""
+    rows = df.toJSON().collect()
+    os.makedirs(path, exist_ok=True)
+    size = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        with open(os.path.join(path, f"chunk-{c:03d}.json"), "w") as f:
+            f.write("\n".join(rows[c * size:(c + 1) * size]))
+    return len(rows)
+
+
+def test_stream_ingest_partitioned_sink(spark, tmp_path):
+    gen = CdcGenerator(seed=3)
+    df = gen.products_df(spark, num_records=80)
+    src = str(tmp_path / "src")
+    n = _write_chunks(spark, df, src, n_chunks=4)
+
+    stream = stream_envelope_log(spark, src, PRODUCT_FIELDS)
+    assert stream.isStreaming
+    q = stream_to_partitioned_json(
+        stream, str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    parts = glob.glob(str(tmp_path / "landed" / "year=*" / "month=*" / "day=*"))
+    assert parts
+    back = spark.read.json(str(tmp_path / "landed"))
+    assert back.count() == n
+
+
+def test_incremental_scd2_converges_to_batch(spark, tmp_path):
+    gen = CdcGenerator(seed=5)
+    df = gen.products_df(spark, num_records=120)
+    src = str(tmp_path / "src")
+    _write_chunks(spark, df, src, n_chunks=5)
+
+    # Stream one file per micro-batch through the incremental merge.
+    stream = stream_envelope_log(spark, src, PRODUCT_FIELDS,
+                                 max_files_per_trigger=1)
+    q, inc = run_incremental_scd2(
+        spark,
+        stream,
+        log_path=str(tmp_path / "log"),
+        scd2_path=str(tmp_path / "scd2"),
+        checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    batch = scd2_recompute(decode_envelope(df))
+    got = {tuple(r) for r in inc.result().collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_matches_sessionize(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    for uid in (1, 2):
+        offs = [0, 300, 700, 4000, 4200, 9000]  # two gaps > 1800 s
+        rows += [
+            (uid, base + datetime.timedelta(seconds=o + uid), float(o))
+            for o in offs
+        ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+
+    sw = session_window_agg(df, key="user_id", ts="ts", gap="30 minutes")
+    # sessionize + groupBy gives the same partitioning of events.
+    sz = (
+        sessionize(df, key="user_id", ts="ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("value_sum"),
+             F.min("ts").alias("session_start"))
+    )
+    a = {(r.user_id, r.session_start, r.n_events, r.value_sum)
+         for r in sw.collect()}
+    b = {(r.user_id, r.session_start, r.n_events, r.value_sum)
+         for r in sz.collect()}
+    assert a == b
+    assert len(a) == 6  # 3 sessions per user
