@@ -88,8 +88,18 @@ _NGRAM_SQL = f"""
 
 
 def _spark_grams(d: DataFrame) -> DataFrame:
-    """doc_id + distinct word-4-gram array (engine side of _NGRAM_SQL)."""
-    w = F.split(F.col("text"), " ")
+    """doc_id + distinct word-4-gram array (engine side of _NGRAM_SQL).
+
+    The token array is materialized in its own projection first: an
+    inlined ``split()`` inside the gram lambda is re-evaluated for every
+    ``element_at`` of every gram (4 x |grams| splits per document —
+    measured 10x slower at sf0.1). A projection boundary makes it a
+    compute-once column.
+    """
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= _NGRAM_N
+    )
+    w = F.col("w")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - _NGRAM_N),
@@ -102,10 +112,7 @@ def _spark_grams(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        d.where(F.size(F.split(F.col("text"), " ")) >= _NGRAM_N)
-        .select("doc_id", grams.alias("grams"))
-    )
+    return toks.select("doc_id", grams.alias("grams"))
 
 
 _JACCARD_T = 0.8
@@ -427,12 +434,16 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 )
 def text_quality_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    # Materialize the token array once (see _spark_grams: an inlined
+    # split() re-evaluates per consuming expression).
+    t = d.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("w")
+    ).where(F.size("w") > 0)
+    w = F.col("w")
     n_tok = F.size(w)
     sw = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
     return (
-        d.where(F.size(F.split(F.col("text"), " ")) > 0)
-        .select(
+        t.select(
             "doc_id",
             "lang",
             F.length("text").alias("n_chars"),
@@ -482,14 +493,15 @@ def _marker_sql(lang: str) -> str:
 )
 def text_lang_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     def marker_count(markers):
         # closure factory: a default-arg lambda would be seen by F.filter
         # as the 2-arg (value, index) form
         return F.size(F.filter(w, lambda x: x.isin(*markers)))
 
     scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
-    s = d.select(
+    s = t.select(
         "doc_id",
         scores["de"].alias("s_de"),
         scores["en"].alias("s_en"),
