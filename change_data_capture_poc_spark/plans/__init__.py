@@ -1,0 +1,8 @@
+from change_data_capture_poc_spark.plans.inspect import (  # noqa: F401
+    broadcast_count,
+    formatted_plan,
+    plan_ops,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)

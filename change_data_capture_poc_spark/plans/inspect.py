@@ -1,0 +1,63 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale guarantees are plan *shapes*, not vibes: filters
+reach the parquet scan, projections prune the read schema, small dims
+broadcast, and an operator's shuffle count is what its algebra requires
+— no more. These helpers turn `.explain("formatted")` into assertable
+facts so tests can pin the shapes down (see tests/test_plans.py).
+
+Counts are taken from the initial physical plan (pre-AQE): AQE may
+later coalesce or convert exchanges at runtime, but the static plan is
+the upper bound the operator author is accountable for.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The text of `.explain("formatted")` (without printing it)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def plan_ops(df: DataFrame) -> list[str]:
+    """Operator names in plan order, e.g. ['Scan parquet', 'Filter', ...]."""
+    ops = []
+    for line in formatted_plan(df).splitlines():
+        m = re.match(r"^\(\d+\)\s+(.+?)(\s*\[codegen id : \d+\])?\s*$", line)
+        if m:
+            ops.append(m.group(1).strip())
+    return ops
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (BroadcastExchange excluded —
+    broadcasts move a small side, not the data)."""
+    return sum(1 for op in plan_ops(df) if op == "Exchange")
+
+
+def broadcast_count(df: DataFrame) -> int:
+    return sum(1 for op in plan_ops(df) if op == "BroadcastExchange")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists for each scan, in plan order."""
+    return [
+        line.split(":", 1)[1].strip()
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("PushedFilters")
+    ]
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings for each scan, in plan order."""
+    return [
+        line.split(":", 1)[1].strip()
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("ReadSchema")
+    ]

@@ -1,0 +1,83 @@
+"""Plan-shape regression tests — the 100 TB scale contract.
+
+Each assertion pins a physical-plan property that must survive scale:
+filters pushed into the parquet scan, read schemas pruned to consumed
+columns, dimension joins broadcast (fact table never shuffles for the
+join), and shuffle counts equal to what the operator's algebra
+requires. A regression here is a 100x slowdown at scale that a
+row-count test would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from change_data_capture_poc_spark.plans import (
+    broadcast_count,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from change_data_capture_poc_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_q5_shape_all_dims_broadcast(spark, sf_dir, queries):
+    """6-way star join: every dimension side broadcasts; the only
+    shuffle is the final aggregation exchange."""
+    df = queries["local_supplier_volume"].fn(spark, sf_dir)
+    assert broadcast_count(df) == 5
+    assert shuffle_count(df) == 1
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir, queries):
+    df = queries["pricing_summary"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("LessThanOrEqual(l_shipdate" in f for f in pf)
+    rs = read_schemas(df)[0]
+    assert "l_comment" not in rs  # projection pruned to consumed columns
+    assert rs.count(":") == 7  # exactly the 7 consumed columns
+    assert shuffle_count(df) == 1  # partial agg map-side, one exchange
+
+
+def test_scan_filter_project_pushdown(spark, sf_dir, queries):
+    df = queries["scan_filter_project"].fn(spark, sf_dir)
+    pf = pushed_filters(df)[0]
+    assert "LessThan(l_shipdate" in pf
+    assert "GreaterThan(l_quantity,30.0)" in pf
+    assert shuffle_count(df) == 0  # pure scan-filter-project pipeline
+
+
+def test_scd2_single_shuffle(spark, sf_dir, queries):
+    """The SCD2 window pipeline shuffles exactly once (partitionBy key)
+    — per-key version chains never cross executors twice."""
+    df = queries["scd2_user_state"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_asof_join_shuffle_budget(spark, sf_dir, queries):
+    """As-of join: one shuffle for the right-side (key, ts) dedup and
+    one for the union window — never a quadratic theta join (which
+    would show as a nested-loop / cartesian in the plan)."""
+    from change_data_capture_poc_spark.plans import plan_ops
+
+    df = queries["asof_join_order_events"].fn(spark, sf_dir)
+    ops = plan_ops(df)
+    assert not any("NestedLoop" in o or "Cartesian" in o for o in ops)
+    assert shuffle_count(df) <= 3
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir, queries):
+    df = queries["dedup_exact_groups"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir, queries):
+    """The query set broadcasts; the corpus is never shuffled for the
+    join (only the global top-k window exchanges)."""
+    df = queries["ann_cosine_bruteforce"].fn(spark, sf_dir)
+    assert broadcast_count(df) >= 1
