@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from change_data_capture_poc_spark.functions.text import ngram_shingles
+from change_data_capture_poc_spark.functions.vectors import (
+    cosine_similarity as _cosine_expr,
+)
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 
@@ -99,20 +103,9 @@ def _spark_grams(d: DataFrame) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= _NGRAM_N
     )
-    w = F.col("w")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - _NGRAM_N),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-                F.element_at(w, i + 4),
-            ),
-        )
+    return toks.select(
+        "doc_id", ngram_shingles(F.col("w"), _NGRAM_N).alias("grams")
     )
-    return toks.select("doc_id", grams.alias("grams"))
 
 
 _JACCARD_T = 0.8
@@ -306,15 +299,6 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 _N_QUERIES = 8
 _TOP_K = 5
-
-
-def _cosine_expr(a, b):
-    """Sequential-order double-precision cosine — bit-compatible with
-    DuckDB's list_dot_product/list-aggregate path after rounding."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
 
 
 @register(
