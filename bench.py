@@ -30,9 +30,14 @@ HEADLINE = (
     "dedup_exact_groups",       # hash dedup
     "dedup_minhash_lsh",        # minhash LSH banding
     "dedup_ngram_jaccard",      # inverted-index jaccard
+    "dedup_embedding_cosine",   # label-blocked embedding near-dup
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
+    "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN
     "text_quality_stats",       # text analytics
+    "text_token_count_regex",   # regex tokenizer
+    "asof_join_order_events",   # as-of join
+    "session_window_stats",     # session windows
 )
 
 

@@ -1,0 +1,82 @@
+"""Arrow-vectorized vector math — the Pandas-UDF scale path for
+similarity search.
+
+The built-in ``F.aggregate`` cosine (functions/vectors.py) is exact and
+codegen'd, but folds element-by-element per row. For high-dimensional
+embeddings the winning formulation is a numpy matmul per Arrow batch
+against a broadcast query matrix: one BLAS call scores a whole batch
+(rows x dims) x (dims x queries).
+
+Shape: ``mapInPandas`` with bounded batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) — executor memory
+stays flat; the query matrix is a closure broadcast (small by
+construction: ANN query sets are tiny relative to the corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Top-k cosine neighbors per query id, scored batch-at-a-time.
+
+    ``queries``: [(q_id, vector), ...] — small, collected driver-side
+    (the corpus never leaves the executors). Returns
+    (q_id, neighbor_id, cosine) — per-partition top-k via numpy
+    argpartition, exact global top-k after the final per-q_id window
+    (the caller applies it; partial top-k keeps the shuffle tiny).
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy())  # rows x dims
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = (mat / norms) @ q_norm.T  # rows x queries
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cids = ids[mask]
+                # Round BEFORE the cut and keep ties with the kth value:
+                # the caller's final ranking is on the rounded score, so
+                # the partial top-k must never drop a rounded-tied
+                # candidate (determinism across engines).
+                r = np.round(sims[:, qi][mask], 6)
+                if len(cids) > k:
+                    kth = -np.partition(-r, k - 1)[k - 1]
+                    keep = r >= kth
+                    cids, r = cids[keep], r[keep]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.full(len(cids), q_ids[qi]),
+                        "neighbor_id": cids,
+                        "cosine": r,
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)

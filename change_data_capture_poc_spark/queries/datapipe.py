@@ -389,6 +389,50 @@ def ann_cosine_ivf_partition(spark, sf_dir):
     ).drop("rn")
 
 
+@register(
+    "ann_cosine_pandas_matmul",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM e, q WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) <= {_TOP_K}
+    """,
+    doc="Same top-k cosine semantics as ann_cosine_bruteforce via the "
+        "Arrow scale path: one numpy matmul scores each batch against "
+        "the broadcast query matrix (functions/vectors_pandas.py); "
+        "partial top-k per batch (rounded, tie-preserving) keeps the "
+        "shuffle at k rows per query per batch — the formulation for "
+        "high-dim embeddings where per-element folds lose to BLAS.",
+)
+def ann_cosine_pandas_matmul(spark, sf_dir):
+    from change_data_capture_poc_spark.functions.vectors_pandas import (
+        cosine_topk_pandas,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = e.where(F.col("vec_id") < _N_QUERIES).collect()
+    queries = [(r.vec_id, r.v) for r in qrows]
+    scored = cosine_topk_pandas(e, queries, _TOP_K)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------

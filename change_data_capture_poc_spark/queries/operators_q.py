@@ -246,3 +246,87 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct"
         ),
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.user_id, c.c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 4) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Skew-resilient join: the fact side carries a salt "
+        "(pmod(hash(event_id), S)), the dim side is exploded S ways, and "
+        "the join key becomes (key, salt) — a hot key's rows spread over "
+        "S reducers instead of one. Semantically identical to the plain "
+        "join (the oracle); the technique AQE's skew-join handling "
+        "automates, expressed manually for engine completeness.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(_SALT_N))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))))
+    )
+    return (
+        ev.hint("shuffle_hash")
+        .join(
+            cust,
+            (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch internals differ across engines by design
+    doc="Approximate aggregation surface: HyperLogLog++ distinct counts "
+        "(approx_count_distinct, rsd 1%) and t-digest quantiles "
+        "(approx_percentile) per event_type — the sketches that replace "
+        "exact distinct/percentile at 100 TB. Cross-engine sketch "
+        "estimates legitimately differ, so the driver records the "
+        "rows-only check; estimate-vs-exact error bounds are asserted "
+        "in tests/test_operators_misc.py.",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
+            "value_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cdc_envelope_scd2_e2e",
+    oracle=None,  # input is engine-generated (seeded), not a driver table
+    doc="The reference pipeline end-to-end inside the engine: seeded "
+        "CDC generator (G1) -> Debezium-style envelopes -> decode "
+        "(P1-P7) -> windowed SCD2 recompute (W1-W2, transform_scd2.py "
+        "semantics) with delete tombstones and the 9999-01-01 open-row "
+        "sentinel. Deterministic by seed; golden-checked in "
+        "tests/test_scd2.py.",
+)
+def cdc_envelope_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.cdc.envelope import decode_envelope
+    from change_data_capture_poc_spark.cdc.generator import CdcGenerator
+    from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+
+    gen = CdcGenerator(seed=42)
+    envelopes = gen.products_df(spark, num_records=500, snapshot_rows=50)
+    return scd2_recompute(decode_envelope(envelopes))

@@ -59,11 +59,15 @@ def get_spark(
     # (spark-submit on a cluster provides its own).
     if not SparkSession.getActiveSession():
         b = b.master(master)
-        if driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
-            b = b.config(
-                "spark.driver.memory",
-                driver_memory or os.environ["SPARK_GRAFT_DRIVER_MEM"],
-            )
+        # local[N] puts the entire "cluster" in the driver JVM; Spark's
+        # 1g default heap GC-thrashes with 32 task threads. 16g is ~1/8
+        # of the target box and bounds per-thread working memory at
+        # 512m — override via SPARK_GRAFT_DRIVER_MEM or the argument.
+        b = b.config(
+            "spark.driver.memory",
+            driver_memory
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if s3_options:
         # Analogue of the reference's httpfs setup (transform_scd2.py:7-16):
         # endpoint/access/secret/path-style against MinIO or any S3.
