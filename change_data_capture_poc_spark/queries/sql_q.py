@@ -1,0 +1,167 @@
+"""Spark SQL surface — queries authored as SQL strings over registered
+views (the reference's BI read path: Superset issuing ad-hoc SQL against
+the SCD2 table, README.md:335-345; views per scd2_example.sql:10-14).
+
+Same engine, same Catalyst plans as the DataFrame API — these exist to
+prove the SQL entry point end-to-end and to cover classic warehouse
+query shapes (TPC-H Q3/Q10/Q18 analogues restricted to the driver
+schema's columns). The oracle SQL is near-identical by construction;
+divergences are only dialect-level (casts, date functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3 shape (shipping priority): segment filter pushed to "
+        "the customer scan, both joins broadcast (dims after filter), "
+        "single agg shuffle, global top-20 via TakeOrdered.",
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "sql_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue by customer/nation): "
+        "fact filtered on returnflag at the scan, dims broadcast.",
+)
+def sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "sql_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q18 shape (large-quantity orders): pre-aggregated "
+        "HAVING subquery joined back to orders/customer — the agg "
+        "shuffle happens on the already-reduced key set.",
+)
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.total_qty
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 25
+        """
+    )
+
+
+@register(
+    "sql_avg_acctbal_subquery",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_above,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal_above
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_nationkey
+    """,
+    doc="Scalar subquery (TPC-H Q22 flavor): uncorrelated scalar "
+        "average computed once and reused as a filter bound.",
+)
+def sql_avg_acctbal_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_above,
+               ROUND(AVG(c_acctbal), 4) AS avg_bal_above
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        GROUP BY c_nationkey
+        """
+    )

@@ -53,3 +53,41 @@ def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
     (init_duckdb.sh:25). Inference scans the data once — fine for
     exploration, not for the 100 TB path."""
     return spark.read.json(path)
+
+
+def read_jdbc_snapshot(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Initial-snapshot read of an OLTP table over JDBC (S1's
+    ``snapshot.mode=initial`` phase, connectors/postgres-source.json:17).
+
+    With ``partition_column`` (the reference tables' integer primary
+    key, initdb/01_init_schema.sql:9,17) the read issues
+    ``num_partitions`` parallel range queries instead of one cursor —
+    the only way a snapshot of a large table isn't single-threaded.
+    Not exercised in this container (no database); the CDC generator's
+    op='r' batch reproduces the snapshot semantics for tests.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option(
+                "upperBound",
+                upper_bound if upper_bound is not None else 1 << 31,
+            )
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

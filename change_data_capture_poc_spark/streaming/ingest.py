@@ -64,3 +64,42 @@ def stream_to_partitioned_json(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_envelope_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    row_fields: list[T.StructField],
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka-source stream of typed envelope rows (S2).
+
+    The reference's topic layout: one topic per table, names
+    ``cdc.commerce.{products,users}`` (topic.prefix=cdc,
+    connectors/postgres-source.json:13-20), values schemaless JSON
+    (schemas.enable=false). Kafka value bytes -> string -> one
+    ``from_json`` with the explicit envelope schema — identical
+    downstream plan to the file-source path, so every SCD2/materialize
+    stage composes unchanged.
+
+    Needs the spark-sql-kafka package on the classpath; not exercised
+    in this container (no broker) — the file-source path in tests
+    drives the same downstream operators.
+    """
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.cdc.envelope import envelope_schema
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), envelope_schema(row_fields)
+        ).alias("e")
+    ).select("e.payload")
