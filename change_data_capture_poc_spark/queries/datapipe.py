@@ -623,3 +623,37 @@ def multimodal_binary_meta(spark, sf_dir):
         (nbytes % 1024).cast("int").alias("fake_width"),
         ((nbytes * 7) % 768).cast("int").alias("fake_height"),
     )
+
+
+@register(
+    "multimodal_decode_dims",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="Drives the real mapInPandas decode stage (operators/"
+        "multimodal.py) over text-as-binary payloads. The deterministic "
+        "fake decoder's dims are pure functions of payload length, so "
+        "the Arrow-batched UDF path itself is oracle-checkable — swap "
+        "in PIL/ffmpeg and only the Python body changes, not the plan.",
+)
+def multimodal_decode_dims(spark, sf_dir):
+    from change_data_capture_poc_spark.operators.multimodal import (
+        decode_media_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    decoded = decode_media_batch(d, "payload")
+    return decoded.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        "width",
+        "height",
+        "n_frames",
+    )
