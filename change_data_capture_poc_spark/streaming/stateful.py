@@ -34,32 +34,51 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, vsum, last = state.get if state.exists else (0, 0.0, None)
-    for pdf in pdfs:
-        n += len(pdf)
-        vsum += float(pdf["value"].fillna(0.0).sum())
-        mx = pdf["ts"].max()
-        last = mx if last is None or mx > last else last
-    state.update((n, vsum, last))
-    state.setTimeoutDuration(60 * 60 * 1000)  # expire idle keys after 1 h
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n": [n], "value_sum": [vsum], "last_ts": [last]}
+def _make_update(idle_timeout_ms: int | None):
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, vsum, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, vsum, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n": [n], "value_sum": [vsum],
+             "last_ts": [last]}
+        )
+
+    return _update
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user running totals over an event stream.
+
+    ``idle_timeout_ms`` expires idle keys' state (continuous production
+    streams want this — it is what bounds state). Default None =
+    NoTimeout: with ``Trigger.AvailableNow`` a registered
+    processing-time timer makes the query spin "no new data but
+    cleaning up state" micro-batches until the timer fires (measured:
+    hundreds of empty batches for a 1 h timer), so drain-style runs
+    must not set it.
+    """
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
     )
-
-
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user running totals over an event stream (or, in batch mode
-    tests, a static frame processed as one "batch" via the batch
-    ``applyInPandas`` twin — same grouping, same arithmetic)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _update,
+        _make_update(idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
