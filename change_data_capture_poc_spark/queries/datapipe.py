@@ -129,7 +129,7 @@ _JACCARD_T = 0.8
     JOIN sizes sb ON inter.doc_id_b = sb.doc_id
     WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_T}
     """,
-    doc="Exact near-dup pairs (word-3-gram Jaccard >= 0.8) via "
+    doc="Exact near-dup pairs (word-4-gram Jaccard >= 0.8) via "
         "PPJoin-style prefix filtering: grams are globally ordered "
         "rarest-first and only each doc's prefix (|g| - ceil(t|g|) + 1 "
         "grams) enters the inverted-index join, which provably keeps "
