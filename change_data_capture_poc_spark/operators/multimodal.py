@@ -98,3 +98,122 @@ def decode_media_batch(
             yield pdf
 
     return df.mapInPandas(decode, out_schema)
+
+
+def resize_media_batch(
+    df: DataFrame,
+    payload_col: str,
+    target_w: int,
+    target_h: int,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Resize stage: payload -> payload' + (width, height) set to the
+    target dims. Real implementation is PIL/ffmpeg inside the same
+    mapInPandas shape; the deterministic fake truncates/pads bytes to
+    a size proportional to the target area so downstream size-based
+    logic is exercisable.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real resize requires PIL/ffmpeg; use real_decode=False"
+        )
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    target_len = max(1, (target_w * target_h) // 64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[payload_col].map(
+                lambda b: bytes(b)[:target_len].ljust(target_len, b"\0")
+            )
+            out = pdf.drop(columns=[payload_col]).assign(
+                **{payload_col: payload},
+                width=target_w,
+                height=target_h,
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def sample_frames_batch(
+    df: DataFrame,
+    payload_col: str,
+    every_nth: int,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame with a
+    ``frame_idx`` column (row-expanding mapInPandas — the UDF analogue
+    of explode). Fake decoder derives the frame count from payload
+    length (same formula as decode_media_batch's n_frames).
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg; use real_decode=False"
+        )
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("frame_idx", T.IntegerType())]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            reps = pdf[payload_col].map(
+                lambda b: len(range(0, len(b) % 30 + 1, every_nth))
+            )
+            out = pdf.loc[pdf.index.repeat(reps)].copy()
+            out["frame_idx"] = [
+                i
+                for n in reps
+                for i in range(0, n * every_nth, every_nth)
+            ]
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return df.mapInPandas(sample, out_schema)
+
+
+def extract_features_batch(
+    df: DataFrame,
+    payload_col: str,
+    dim: int = 16,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Feature extraction: payload -> fixed-dim float vector (the
+    embedding-model stage). Fake extractor: normalized byte histogram
+    folded to ``dim`` buckets — deterministic, plumbing-identical to a
+    real vision/audio encoder emitting array<float>.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real feature extraction requires a model runtime; "
+            "use real_decode=False"
+        )
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(extract, out_schema)

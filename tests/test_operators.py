@@ -132,3 +132,35 @@ def test_multimodal_meta_and_decode(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media_batch(df, "payload", real_decode=True)
+
+
+def test_multimodal_resize_and_frames_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(40)))), (2, bytearray(b"abcdef"))],
+        "media_id int, payload binary",
+    )
+    from change_data_capture_poc_spark.operators.multimodal import (
+        extract_features_batch,
+        resize_media_batch,
+        sample_frames_batch,
+    )
+
+    resized = resize_media_batch(df, "payload", target_w=64, target_h=64)
+    r = {x.media_id: x for x in resized.collect()}
+    assert r[1].width == 64 and r[1].height == 64
+    assert len(bytes(r[1].payload)) == 64 * 64 // 64
+    assert len(bytes(r[2].payload)) == 64 * 64 // 64  # padded
+
+    frames = sample_frames_batch(df, "payload", every_nth=2)
+    f1 = [x.frame_idx for x in frames.collect() if x.media_id == 1]
+    # 40 bytes -> n_frames = 40 % 30 + 1 = 11 -> kept frames 0,2,...,10
+    assert f1 == [0, 2, 4, 6, 8, 10]
+
+    feats = extract_features_batch(df, "payload", dim=8)
+    v = {x.media_id: x.features for x in feats.collect()}
+    assert len(v[1]) == 8
+    assert abs(sum(v[1]) - 1.0) < 1e-5  # normalized histogram
+    # Deterministic: same payload -> same features.
+    v2 = {x.media_id: x.features for x in
+          extract_features_batch(df, "payload", dim=8).collect()}
+    assert v == v2
