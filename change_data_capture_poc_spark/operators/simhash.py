@@ -23,30 +23,37 @@ _POW2 = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
 def simhash64(tokens: Column) -> Column:
-    """64-bit simhash of an array<string> column, as a signed long."""
+    """64-bit simhash of an array<string> column, as a signed long.
+
+    Single-pass formulation: ONE fold over the token hashes carrying a
+    64-slot vote array, then one zip to assemble the bits. A
+    loop-over-bits formulation (transform over 0..63 with an inner
+    aggregate) re-evaluates the hash array per bit — expressions
+    referenced from inside HOF lambdas are inlined per element, a 64x
+    blowup. Bit tests go through a literal power-of-two array
+    (shift-by-column isn't expressible in the Python DSL; AND with 2^b
+    is equivalent).
+    """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     pows = F.array(*[F.lit(p).cast("long") for p in _POW2])
-    # For each bit b: count tokens with bit set minus tokens with bit
-    # clear; bit b of the result = (count > 0). Bit tests go through a
-    # literal power-of-two array (shift-by-column isn't expressible in
-    # the Python DSL; AND with 2^b is, and codegens identically).
-    bit_counts = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
+    # acc[b] += (bit b of h set ? +1 : -1), one pass over hashes.
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
         ),
     )
+    # bit b of the fingerprint = (votes[b] > 0).
+    bits = F.zip_with(
+        bit_votes,
+        pows,
+        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+    )
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.element_at(bit_counts, b + 1) > 0,
-            F.element_at(pows, b + 1),
-        ).otherwise(F.lit(0).cast("long")),
+        bits, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
 
 
@@ -60,3 +67,48 @@ def simhash_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", simhash64(F.split(F.col(text_col), " ")).alias("simhash")
     )
+
+
+def simhash_documents_pandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-vectorized simhash: token hashing stays JVM-side
+    (``xxhash64``), the 64-bit vote accumulation runs as numpy bit
+    arithmetic per Arrow batch — bit-identical to ``simhash64`` (same
+    hashes, same votes, same tie rule) at a fraction of the cost of
+    the interpreted fold. Use this form in bulk pipelines; the pure
+    expression form composes inside any single projection.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    hashed = df.select(
+        id_col,
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
+            "hx"
+        ),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, hashed.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def vote(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, hx in enumerate(pdf["hx"]):
+                h = np.asarray(hx, dtype=np.int64).astype(np.uint64)
+                bits = (h[:, None] >> shifts) & np.uint64(1)  # tokens x 64
+                votes = bits.astype(np.int32).sum(axis=0) * 2 - len(h)
+                fp = np.uint64(0)
+                fp = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    dtype=np.uint64
+                )
+                fps[i] = fp.astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+
+    return hashed.mapInPandas(vote, out_schema)

@@ -3,7 +3,11 @@
 Modules:
 - ``scd2_q``      — the CDC/SCD2 pipeline queries (reference parity)
 - ``relational``  — scans/filters/joins/aggs/windows/sorts/set ops
-- ``datapipe``    — dedup / similarity / text-analysis (north star)
+- ``datapipe``    — dedup / similarity / text / multimodal (north star)
+- ``operators_q`` — custom-operator queries (as-of, sessions, simhash,
+                    salted join, sketches, CDC e2e)
+- ``functions_q`` — scalar/window/statistical function families
+- ``sql_q``       — Spark SQL-authored warehouse query shapes
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.operators import asof_join, sessionize
-from change_data_capture_poc_spark.operators.simhash import hamming64, simhash64
+from change_data_capture_poc_spark.operators.simhash import hamming64
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.streaming.sessions import session_window_agg
@@ -122,15 +122,20 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64 has no DuckDB twin; pytest covers semantics
-    doc="SimHash near-dup candidates: 64-bit fingerprint (xxhash64 "
-        "token hashes, columnar bit-vote — operators/simhash.py), "
-        "banded into 4x16-bit keys; only band-colliding pairs are "
-        "compared (hamming <= 8). The band join shuffles on (band, "
-        "key) — candidate pairs, never the full cross product.",
+    doc="SimHash near-dup candidates: 64-bit fingerprint (JVM xxhash64 "
+        "token hashes + Arrow-batched numpy bit-vote, bit-identical to "
+        "the pure-expression simhash64 — operators/simhash.py), banded "
+        "into 4x16-bit keys; only band-colliding pairs are compared "
+        "(hamming <= 8). The band join shuffles on (band, key) — "
+        "candidate pairs, never the full cross product.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.simhash import (
+        simhash_documents_pandas,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", simhash64(F.split("text", " ")).alias("h"))
+    fp = simhash_documents_pandas(d).withColumnRenamed("simhash", "h")
     bands = fp.select(
         "doc_id",
         "h",

@@ -544,3 +544,27 @@ def set_except(spark, sf_dir):
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
         o.select(F.col("o_custkey").alias("custkey"))
     ).distinct()
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ) GROUP BY custkey
+    """,
+    doc="UNION ALL (bag union, duplicates preserved) — aggregated so "
+        "the multiplicity itself is oracle-checked.",
+)
+def set_union_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = c.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n"))

@@ -164,3 +164,23 @@ def test_multimodal_resize_and_frames_and_features(spark):
     v2 = {x.media_id: x.features for x in
           extract_features_batch(df, "payload", dim=8).collect()}
     assert v == v2
+
+
+def test_simhash_pandas_matches_expression(spark):
+    from change_data_capture_poc_spark.operators.simhash import (
+        simhash_documents,
+        simhash_documents_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a b c"),
+            (3, "x"),
+            (4, "repeated repeated repeated words words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    expr = {r.doc_id: r.simhash for r in simhash_documents(df).collect()}
+    pand = {r.doc_id: r.simhash for r in simhash_documents_pandas(df).collect()}
+    assert expr == pand

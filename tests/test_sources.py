@@ -67,3 +67,25 @@ def test_compact_to_parquet(spark, tmp_path):
     assert {tuple(r) for r in decode_envelope(back).collect()} == {
         tuple(r) for r in decode_envelope(df).collect()
     }
+
+
+def test_materialize_and_view(spark, sf_dir, tmp_path):
+    from change_data_capture_poc_spark.sources.writers import (
+        create_view,
+        materialize_table,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "mat")
+    materialize_table(df, out)  # CREATE OR REPLACE TABLE ... AS semantics
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+
+    create_view(back, "nation_view")  # CREATE VIEW over a scan (S8)
+    assert spark.sql("SELECT COUNT(*) AS n FROM nation_view").first().n == df.count()
+    spark.catalog.dropTempView("nation_view")
+
+    # Overwrite is a full replace (the reference re-runs CREATE OR
+    # REPLACE on every transform pass, transform_scd2.py:20).
+    materialize_table(df.limit(3), out)
+    assert spark.read.parquet(out).count() == 3

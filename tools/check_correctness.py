@@ -81,6 +81,10 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # Some queries persist() intermediates; don't let caches
+            # accumulate across 60 sequential queries.
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
