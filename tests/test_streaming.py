@@ -113,3 +113,60 @@ def test_session_window_matches_sessionize(spark):
          for r in sz.collect()}
     assert a == b
     assert len(a) == 6  # 3 sessions per user
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T5: watermarked tumbling-window aggregation in append mode.
+
+    Batch 1 advances event time to 12:00; with a 10-minute watermark the
+    [10:00, 10:10) window is finalized and emitted. Batch 2 delivers a
+    late event for that closed window — it must be dropped, not emitted
+    as a correction (append semantics)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write('{"user_id": 1, "sec": 36000, "value": 1.0}\n')   # 10:00
+        f.write('{"user_id": 1, "sec": 43200, "value": 2.0}\n')   # 12:00
+    stream = (
+        spark.readStream.schema("user_id long, sec long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(F.timestamp_seconds("sec").alias("ts"), "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    emitted = []
+
+    def sink(df, _bid):
+        emitted.extend(df.collect())
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    finalized = {(r.w.start.hour, r.w.start.minute): (r.n, r.s) for r in emitted}
+    assert finalized.get((10, 0)) == (1, 1.0)  # 10:00 window closed
+
+    # Batch 2: a late event inside the already-finalized 10:00 window.
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write('{"user_id": 1, "sec": 36060, "value": 100.0}\n')  # 10:01
+    emitted.clear()
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not any(
+        r.w.start.hour == 10 and r.w.start.minute == 0 for r in emitted
+    ), "late event must be dropped by the watermark"
