@@ -244,8 +244,12 @@ _MH_HX_SQL, _MH_MINS_SQL = _minhash_sql()
 def dedup_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    # Base hash per shingle (one md5), then K cheap (a*x+b) mod p
-    # permutation minima - all inside one columnar projection.
+    # Base hash per shingle (one md5), then ONE fold over the hash
+    # array carrying all K running minima (zip_with against the literal
+    # (a,b) coefficient array). K separate array_min(transform(...))
+    # columns cost 36x more at 8x scale: interpreted HOFs have no
+    # common-subexpression elimination, so per-permutation passes
+    # re-walk (and re-allocate) the array per column.
     hx = g.select(
         "doc_id",
         F.transform(
@@ -255,21 +259,33 @@ def dedup_minhash_lsh(spark, sf_dir):
             % _MH_P,
         ).alias("hx"),
     )
-    def perm_min(a, b):
-        # closure factory — a default-arg lambda would be treated as the
-        # 2-arg (value, index) transform form
-        return F.array_min(F.transform("hx", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P))
-
-    sig = hx.select(
-        "doc_id",
-        *[perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(_MH_AB)],
-    ).persist()  # reused by the band self-join
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for a, b in _MH_AB
+        ]
+    )
+    sig_arr = F.aggregate(
+        F.col("hx"),
+        F.array_repeat(F.lit(_MH_P).cast("long"), _MINHASH_K),
+        lambda acc, x: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, (c.getField("a") * x + c.getField("b")) % _MH_P
+            ),
+        ),
+    )
+    sig = hx.select("doc_id", sig_arr.alias("sig")).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("|", *[F.col(f"m{b * 3 + j}") for j in range(3)]).alias(
-                "band_key"
-            ),
+            F.concat_ws(
+                "|", *[F.element_at("sig", b * 3 + j + 1) for j in range(3)]
+            ).alias("band_key"),
         )
         for b in range(_BANDS)
     ]

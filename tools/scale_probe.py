@@ -1,0 +1,137 @@
+"""Empirical scale probe: run headline operators on N-times self-unioned
+inputs and report the runtime ratio vs 1x.
+
+A shuffle-linear operator should scale ~N on N-times data (same
+partition counts, local[32]); super-linear growth flags a quadratic
+term (join fan-out, candidate blowup) that would break at 100 TB.
+Writes SCALING.md.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir] [N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import change_data_capture_poc_spark.queries.datapipe as _m_datapipe
+import change_data_capture_poc_spark.queries.functions_q as _m_functions
+import change_data_capture_poc_spark.queries.operators_q as _m_operators
+import change_data_capture_poc_spark.queries.relational as _m_relational
+import change_data_capture_poc_spark.queries.scd2_q as _m_scd2
+import change_data_capture_poc_spark.queries.sql_q as _m_sql
+from change_data_capture_poc_spark.registry import all_queries
+from change_data_capture_poc_spark.session import get_spark
+from change_data_capture_poc_spark.sources import tables as tables_mod
+
+# Query modules bind load_table at import time (`from ... import
+# load_table`), so the probe must patch every consumer namespace.
+_CONSUMERS = (
+    _m_datapipe, _m_functions, _m_operators, _m_relational, _m_scd2,
+    _m_sql, tables_mod,
+)
+
+PROBES = (
+    "pricing_summary",
+    "scd2_user_state",
+    "local_supplier_volume",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_bruteforce",
+    "asof_join_order_events",
+    "window_running_sum",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark(app_name="scale_probe")
+    qs = all_queries()
+
+    real_load = tables_mod.load_table
+
+    def scaled_load(spark_, sf_dir_, name):
+        df: DataFrame = real_load(spark_, sf_dir_, name)
+        if name in ("region", "nation", "customer", "supplier", "part"):
+            return df  # dims keep their cardinality (broadcast sides)
+        out = df
+        for i in range(1, n):
+            # Shift keys so unioned copies don't collapse into the
+            # same groups/pairs (documents text gets a copy tag so
+            # near-dup sets stay per-copy instead of exploding N^2).
+            shifted = df
+            if name == "documents":
+                # Per-copy letter substitution: copies share NO tokens,
+                # so the near-dup structure is replicated, not
+                # multiplied (appending a tag would make all N copies
+                # mutual near-dups — a pathological corpus that
+                # measures the data, not the operator).
+                alpha = "abcdefghijklmnopqrstuvwxyz"
+                rot = alpha[i:] + alpha[:i]
+                shifted = df.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                ).withColumn("text", F.translate("text", alpha, rot))
+            elif name == "embeddings":
+                shifted = df.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+                )
+            elif name == "events":
+                shifted = df.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+                )
+            elif name == "lineitem":
+                shifted = df.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+                )
+            elif name == "orders":
+                shifted = df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+                )
+            out = out.unionByName(shifted)
+        return out
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        return time.time() - t0
+
+    def set_loader(fn):
+        for m in _CONSUMERS:
+            m.load_table = fn
+
+    rows = []
+    for name in PROBES:
+        set_loader(real_load)
+        base = min(run(name) for _ in range(2))
+        set_loader(scaled_load)
+        scaled = min(run(name) for _ in range(2))
+        set_loader(real_load)
+        ratio = scaled / base if base > 0 else float("nan")
+        rows.append((name, round(base, 2), round(scaled, 2), round(ratio, 1)))
+        print(rows[-1])
+
+    with open("SCALING.md", "w") as f:
+        f.write(
+            "# SCALING — empirical scale probe (tools/scale_probe.py)\n\n"
+            f"Headline operators on {n}x self-unioned fact tables "
+            f"(dims unchanged — they are broadcast sides), base `{sf_dir}`, "
+            "best-of-2, local[32]. A shuffle-linear operator should show "
+            f"ratio ≲ {n}; markedly super-linear growth would flag a "
+            "quadratic term (join fan-out, candidate blowup) that breaks "
+            "at 100 TB.\n\n"
+            f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
