@@ -61,8 +61,7 @@ def main() -> None:
         out = df
         for i in range(1, n):
             # Shift keys so unioned copies don't collapse into the
-            # same groups/pairs (documents text gets a copy tag so
-            # near-dup sets stay per-copy instead of exploding N^2).
+            # same groups/pairs.
             shifted = df
             if name == "documents":
                 # Per-copy letter substitution: copies share NO tokens,
@@ -109,9 +108,9 @@ def main() -> None:
     rows = []
     for name in PROBES:
         set_loader(real_load)
-        base = min(run(name) for _ in range(2))
+        base = min(run(name) for _ in range(3))
         set_loader(scaled_load)
-        scaled = min(run(name) for _ in range(2))
+        scaled = min(run(name) for _ in range(3))
         set_loader(real_load)
         ratio = scaled / base if base > 0 else float("nan")
         rows.append((name, round(base, 2), round(scaled, 2), round(ratio, 1)))
@@ -122,7 +121,8 @@ def main() -> None:
             "# SCALING — empirical scale probe (tools/scale_probe.py)\n\n"
             f"Headline operators on {n}x self-unioned fact tables "
             f"(dims unchanged — they are broadcast sides), base `{sf_dir}`, "
-            "best-of-2, local[32]. A shuffle-linear operator should show "
+            "best-of-3 (the box sees host-level CPU-steal bursts), local[32]. "
+            "A shuffle-linear operator should show "
             f"ratio ≲ {n}; markedly super-linear growth would flag a "
             "quadratic term (join fan-out, candidate blowup) that breaks "
             "at 100 TB.\n\n"
