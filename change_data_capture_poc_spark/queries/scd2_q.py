@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
-from change_data_capture_poc_spark.cdc.scd2 import SCD2_SENTINEL
+from change_data_capture_poc_spark.cdc.scd2 import MERGE_SENTINEL, SCD2_SENTINEL
 
 
 @register(
@@ -145,4 +145,62 @@ def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("current_value"),
             F.col("ts").alias("row_valid_start_timestamp"),
         )
+    )
+
+
+@register(
+    "scd2_merge_changed_versions",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(value) OVER w AS prev_value,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    changed AS (
+        SELECT user_id, event_id, ts, value FROM marked
+        WHERE rn = 1 OR value IS DISTINCT FROM prev_value
+    )
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+                    TIMESTAMP '{MERGE_SENTINEL}') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+               AS is_current
+    FROM changed
+    """,
+    doc="The incremental-merge variant's version rule "
+        "(init_duckdb.sh:39-68): an incoming image only creates a new "
+        "version when attributes actually changed (J2's NOT EXISTS "
+        "identical-current-row guard, null-safe), superseded versions "
+        "get valid_to = the change time and is_current = FALSE, the "
+        "survivor keeps the 9999-12-31 23:59:59 sentinel (the merge "
+        "path's sentinel, distinct from the recompute path's "
+        "9999-01-01 — SURVEY.md §7). Expressed as change-filter + "
+        "window, the set-based equivalent of replaying the batches.",
+)
+def scd2_merge_changed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    marked = events.select(
+        "user_id", "event_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changed = marked.where(
+        (F.col("rn") == 1)
+        | ~F.col("value").eqNullSafe(F.col("prev_value"))
+    ).select("user_id", "event_id", "ts", "value")
+    w2 = Window.partitionBy("user_id").orderBy("event_id")
+    nxt = F.lead("ts").over(w2)
+    return changed.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(MERGE_SENTINEL).cast("timestamp")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
     )
