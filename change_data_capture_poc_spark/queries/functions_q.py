@@ -341,3 +341,98 @@ def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").cast("double").alias("med"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n,
+           w[1] AS first_tok,
+           w[-1] AS last_tok,
+           array_to_string(w[1:3], '-') AS head3,
+           len(list_distinct(w)) AS n_distinct,
+           list_contains(w, 'the') AS has_the,
+           list_sort(list_distinct(w))[1] AS min_tok,
+           len(list_filter(w, x -> length(x) > 5)) AS n_long,
+           list_count(w) - len(list_distinct(w)) AS n_dupes
+    FROM t
+    """,
+    doc="Array function surface over token arrays: size, head/tail "
+        "element access, slice+join, distinct, membership, sorted-min, "
+        "lambda filter, duplicate count.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    return t.select(
+        "doc_id",
+        F.size(w).alias("n"),
+        F.element_at(w, 1).alias("first_tok"),
+        F.element_at(w, -1).alias("last_tok"),
+        F.concat_ws("-", F.slice(w, 1, 3)).alias("head3"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.element_at(F.array_sort(F.array_distinct(w)), 1).alias("min_tok"),
+        F.size(F.filter(w, lambda x: F.length(x) > 5)).alias("n_long"),
+        (F.size(w) - F.size(F.array_distinct(w))).alias("n_dupes"),
+    )
+
+
+@register(
+    "conditional_null_funcs",
+    oracle="""
+    SELECT event_id,
+           COALESCE(value, 0.0) AS v_filled,
+           NULLIF(event_type, 'error') AS type_or_null,
+           CASE WHEN value IS NULL THEN 'missing'
+                WHEN value >= 50 THEN 'high' ELSE 'low' END AS bucket,
+           value IS NULL AS is_missing,
+           IFNULL(value, -1.0) AS v_ifnull,
+           GREATEST(COALESCE(value, 0.0), 10.0) AS v_floor10
+    FROM events
+    """,
+    doc="Null-handling conditionals: coalesce, nullif, searched CASE, "
+        "IS NULL predicate, ifnull, greatest-with-null-fill.",
+)
+def conditional_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.coalesce(v, F.lit(0.0)).alias("v_filled"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.when(v.isNull(), "missing")
+        .when(v >= 50, "high")
+        .otherwise("low")
+        .alias("bucket"),
+        v.isNull().alias("is_missing"),
+        F.ifnull(v, F.lit(-1.0)).alias("v_ifnull"),
+        F.greatest(F.coalesce(v, F.lit(0.0)), F.lit(10.0)).alias("v_floor10"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(u.pos - 1 AS INT) AS pos,
+           u.tok
+    FROM t, (SELECT CAST(NULL AS BIGINT) AS _d) dummy_,
+         LATERAL (SELECT unnest(w) AS tok,
+                         generate_subscripts(w, 1) AS pos) u
+    """,
+    doc="Row-expanding posexplode (LATERAL/UNNEST): one row per token "
+        "with its position — the relational form of tokenization that "
+        "feeds inverted-index builds.",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id", F.posexplode("w").alias("pos", "tok")
+    )
