@@ -1,0 +1,28 @@
+"""Every registered query must build an analyzable plan with a stable,
+lower-case-unique schema — the cheap whole-surface regression gate
+(plan analysis only; the DuckDB oracle run is the correctness gate).
+"""
+
+from __future__ import annotations
+
+from change_data_capture_poc_spark.registry import all_queries
+
+
+def test_all_queries_build_and_have_stable_schemas(spark, sf_dir):
+    qs = all_queries()
+    assert len(qs) >= 71
+    for name, q in sorted(qs.items()):
+        df = q.fn(spark, sf_dir)
+        cols = [c.lower() for c in df.columns]
+        assert cols, name
+        assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+        # Schema must be resolvable (forces full analysis, not execution).
+        assert df.schema.fields, name
+
+
+def test_oracle_queries_are_well_formed():
+    qs = all_queries()
+    for name, q in qs.items():
+        if q.oracle is not None:
+            assert "SELECT" in q.oracle.upper(), name
+        assert q.doc, f"{name}: every query needs its design note"
