@@ -184,3 +184,41 @@ def test_simhash_pandas_matches_expression(spark):
     expr = {r.doc_id: r.simhash for r in simhash_documents(df).collect()}
     pand = {r.doc_id: r.simhash for r in simhash_documents_pandas(df).collect()}
     assert expr == pand
+
+
+def test_asof_join_multiple_value_columns(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        "k int, t timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 5.0, "x"),
+         (1, _ts("2024-01-01 09:30:00"), 7.0, "y")],
+        "k int, rt timestamp, px double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    right_values=["px", "tag"]).collect()
+    assert len(out) == 1
+    assert out[0].px == 7.0 and out[0].tag == "y"  # both from latest row
+
+
+def test_operators_empty_inputs(spark):
+    from change_data_capture_poc_spark.cdc.envelope import (
+        PRODUCT_FIELDS,
+        decode_envelope,
+        envelope_schema,
+    )
+    from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+
+    empty_env = spark.createDataFrame([], envelope_schema(PRODUCT_FIELDS))
+    assert scd2_recompute(decode_envelope(empty_env)).count() == 0
+
+    empty_ev = spark.createDataFrame([], "uid bigint, t timestamp")
+    assert sessionize(empty_ev, key="uid", ts="t", gap_seconds=60).count() == 0
+
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 1)],
+                                 "k int, t timestamp, lid int")
+    empty_right = spark.createDataFrame([], "k int, rt timestamp, v double")
+    out = asof_join(left, empty_right, on="k", left_ts="t", right_ts="rt",
+                    right_values=["v"]).collect()
+    assert len(out) == 1 and out[0].v is None
