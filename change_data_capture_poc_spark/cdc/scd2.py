@@ -85,12 +85,24 @@ def scd2_merge_batch(history: DataFrame, batch: DataFrame,
 
     ``batch``: incoming current images (id, name, price, ts).
 
-    Semantics reproduced join-for-join:
+    Join structure (the MERGE's matching phase):
     - J2 (insert):  NOT EXISTS current row with same key and identical
       attributes  → left_anti join, new rows appended as current.
     - J3 (expire):  current rows whose key is in the batch AND whose
-      attributes changed → left_semi join, valid_to set to the batch
-      timestamp, is_current false.
+      attributes changed → valid_to set to the batch timestamp,
+      is_current false.
+
+    Deliberate deviation from ``init_duckdb.sh:48-53``: the reference's
+    insert guard is inverted (it checks NOT EXISTS a current row with
+    *differing* attributes, which re-inserts unchanged keys and never
+    re-inserts changed ones — a bug in the reference's simplified demo
+    SQL). This implementation uses standard SCD2 semantics: insert only
+    when no identical current row exists, expire only rows whose
+    attributes actually changed. Attribute comparison is null-safe
+    (IS DISTINCT FROM): a NULL attribute equals NULL and differs from
+    any value, so NULL-carrying rows converge instead of being
+    re-inserted every batch. Matches the scd2_merge_changed_versions
+    oracle's eqNullSafe rule.
 
     Returns the new history (union of expired, untouched, inserted).
     On Delta/Iceberg this whole function is one MERGE statement; the
@@ -107,8 +119,8 @@ def scd2_merge_batch(history: DataFrame, batch: DataFrame,
     old = history.where(~F.col("is_current"))
 
     changed_pred = (F.col("product_id") == F.col("b_id")) & (
-        (F.col("name") != F.col("b_name"))
-        | (F.col("price") != F.col("b_price"))
+        ~F.col("name").eqNullSafe(F.col("b_name"))
+        | ~F.col("price").eqNullSafe(F.col("b_price"))
     )
 
     # J3: expire current rows superseded by a changed incoming image.
@@ -126,8 +138,8 @@ def scd2_merge_batch(history: DataFrame, batch: DataFrame,
     # already exists (NOT EXISTS, init_duckdb.sh:48-53).
     same_pred = (
         (F.col("b_id") == F.col("product_id"))
-        & (F.col("b_name") == F.col("name"))
-        & (F.col("b_price") == F.col("price"))
+        & F.col("b_name").eqNullSafe(F.col("name"))
+        & F.col("b_price").eqNullSafe(F.col("price"))
     )
     inserts = (
         b.join(cur, same_pred, "left_anti")

@@ -31,6 +31,13 @@ def asof_join(
 
     ``right_values`` are the right-side columns to carry. Left columns
     are preserved as-is.
+
+    All carried columns come from the SAME matched right row: the right
+    side travels as ONE nullable struct and ``last(ignorenulls)`` runs
+    over that struct, so a NULL field inside the latest matching right
+    row stays NULL in the output. (Per-column fills would tear values
+    across different right rows and backfill legitimate NULLs —
+    diverging from DuckDB ASOF JOIN row semantics.)
     """
     lcols = left.columns
     tagged_l = left.select(
@@ -38,16 +45,18 @@ def asof_join(
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
     )
     tagged_r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(
-            tagged_l.schema["__l"].dataType
-        ).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.struct(*right_values).alias("__r"),
+    )
+    tagged_l = tagged_l.withColumn(
+        "__r", F.lit(None).cast(tagged_r.schema["__r"].dataType)
+    )
+    tagged_r = tagged_r.withColumn(
+        "__l", F.lit(None).cast(tagged_l.schema["__l"].dataType)
     )
     # Right rows sort before left rows at equal timestamps so an
     # exactly-simultaneous right value is visible (>= semantics).
@@ -60,12 +69,9 @@ def asof_join(
     filled = unioned.select(
         "__side",
         "__l",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_values
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
     )
     return filled.where(F.col("__side") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rv_{c}").alias(c) for c in right_values],
+        *[F.col(f"__rv.{c}").alias(c) for c in right_values],
     )

@@ -62,6 +62,42 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash32_portable(tokens: Column) -> Column:
+    """32-bit simhash whose base hash is md5-derived, so DuckDB can
+    replay the exact arithmetic (same bridge as dedup_minhash_lsh's
+    portable base hash): per token, the first 8 hex chars of md5 give a
+    32-bit integer; votes and the >0 tie rule are identical to
+    ``simhash64``. Same single-fold structure — one pass over the hash
+    array carrying a 32-slot accumulator (per-bit passes re-walk the
+    array per bit; interpreted HOFs have no CSE).
+
+    The xxhash64 form stays the engine-internal fast path; this form
+    exists so the banded-LSH simhash pipeline has a hash-checkable
+    oracle.
+    """
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    bits = F.zip_with(
+        bit_votes,
+        pows,
+        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def simhash_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → (doc_id, simhash) using whitespace tokens."""
     return df.select(

@@ -172,6 +172,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT)
+                   AS hx
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(32), b ->
+                       CASE WHEN 2 * len(list_filter(hx,
+                                         h -> (h >> b) & 1 = 1)) > len(hx)
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                   'sum') AS h
+        FROM t
+    ),
+    bands AS (
+        SELECT doc_id, h, b.b AS band, (h >> (8 * b.b)) & 255 AS key
+        FROM fp, (SELECT unnest(range(4)) AS b) b
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+    FROM bands x
+    JOIN bands y ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.h, y.h)) <= 4
+    """,
+    doc="Portable simhash near-dup candidates: md5-derived 32-bit base "
+        "hash (the dedup_minhash_lsh portable-hash bridge) so DuckDB "
+        "replays the identical fingerprint arithmetic — votes, >0 tie "
+        "rule, 4x8-bit banding, hamming <= 4. Same banded candidate-"
+        "pairs-only join as dedup_simhash (which keeps xxhash64 as the "
+        "engine-internal fast path).",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.simhash import (
+        simhash32_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", simhash32_portable(F.split(F.col("text"), " ")).alias("h")
+    )
+    bands = fp.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", "b.band", "b.key")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming64(F.col("x.h"), F.col("y.h")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 4)
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -304,16 +386,27 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact distinct/percentile at 100 TB. Cross-engine sketch "
         "estimates legitimately differ, so the driver records the "
         "rows-only check; estimate-vs-exact error bounds are asserted "
-        "in tests/test_operators_misc.py.",
+        "in tests/test_operators_misc.py. Quantiles are emitted as three "
+        "scalar columns (q50/q90/q99) — an array-typed result column "
+        "breaks the harness's pandas row hash.",
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
-        F.count("*").alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("vq"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("vq", 1).alias("q50"),
+            F.element_at("vq", 2).alias("q90"),
+            F.element_at("vq", 3).alias("q99"),
+            "n",
+        )
     )
 
 
@@ -325,7 +418,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(P1-P7) -> windowed SCD2 recompute (W1-W2, transform_scd2.py "
         "semantics) with delete tombstones and the 9999-01-01 open-row "
         "sentinel. Deterministic by seed; golden-checked in "
-        "tests/test_scd2.py.",
+        "tests/test_scd2.py. Validity bounds cross the harness as "
+        "epoch-millis BIGINT (the year-9999 sentinel overflows pandas "
+        "datetime64[ns]); the engine operator itself keeps true "
+        "timestamps.",
 )
 def cdc_envelope_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.cdc.envelope import decode_envelope
@@ -334,4 +430,14 @@ def cdc_envelope_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gen = CdcGenerator(seed=42)
     envelopes = gen.products_df(spark, num_records=500, snapshot_rows=50)
-    return scd2_recompute(decode_envelope(envelopes))
+    out = scd2_recompute(decode_envelope(envelopes))
+    return (
+        out.withColumn(
+            "row_valid_start_ms", F.unix_millis("row_valid_start_timestamp")
+        )
+        .withColumn(
+            "row_valid_expiration_ms",
+            F.unix_millis("row_valid_expiration_timestamp"),
+        )
+        .drop("row_valid_start_timestamp", "row_valid_expiration_timestamp")
+    )

@@ -26,15 +26,20 @@ from change_data_capture_poc_spark.cdc.scd2 import MERGE_SENTINEL, SCD2_SENTINEL
            event_type AS operation_type,
            value,
            ROW_NUMBER() OVER w AS version_number,
-           ts AS row_valid_start_timestamp,
-           COALESCE(LEAD(ts) OVER w, TIMESTAMP '{SCD2_SENTINEL}')
-               AS row_valid_expiration_timestamp
+           CAST(epoch_ms(ts) AS BIGINT) AS row_valid_start_ms,
+           CAST(epoch_ms(COALESCE(LEAD(ts) OVER w,
+                                  TIMESTAMP '{SCD2_SENTINEL}')) AS BIGINT)
+               AS row_valid_expiration_ms
     FROM events
     WHERE user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
     doc="Flagship: full SCD2 recompute (W1 row_number + W2 lead + P3 "
-        "coalesce-to-sentinel), shape of transform_scd2.py:41-60.",
+        "coalesce-to-sentinel), shape of transform_scd2.py:41-60. "
+        "Validity bounds emitted as epoch-millis BIGINT: the 9999-01-01 "
+        "open-row sentinel (transform_scd2.py:58) overflows pandas "
+        "datetime64[ns], so timestamps cross the comparison bridge as "
+        "exact integers (semantics unchanged, both engines UTC).",
 )
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -50,12 +55,21 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("version_number", F.row_number().over(w))
         .withColumn(
-            "row_valid_expiration_timestamp",
-            F.coalesce(
-                F.lead("ts").over(w), F.lit(SCD2_SENTINEL).cast("timestamp")
+            "row_valid_expiration_ms",
+            F.unix_millis(
+                F.coalesce(
+                    F.lead("ts").over(w),
+                    F.lit(SCD2_SENTINEL).cast("timestamp"),
+                )
             ),
         )
-        .withColumnRenamed("ts", "row_valid_start_timestamp")
+        .withColumn("row_valid_start_ms", F.unix_millis("ts"))
+        .drop("ts")
+        .select(
+            "user_id", "log_seq_num", "operation_type", "value",
+            "version_number", "row_valid_start_ms",
+            "row_valid_expiration_ms",
+        )
     )
 
 
@@ -163,9 +177,10 @@ def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1 OR value IS DISTINCT FROM prev_value
     )
     SELECT user_id, event_id, value,
-           ts AS valid_from,
-           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
-                    TIMESTAMP '{MERGE_SENTINEL}') AS valid_to,
+           CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+           CAST(epoch_ms(
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+                        TIMESTAMP '{MERGE_SENTINEL}')) AS BIGINT) AS valid_to_ms,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
                AS is_current
     FROM changed
@@ -198,9 +213,9 @@ def scd2_merge_changed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.col("ts").alias("valid_from"),
-        F.coalesce(nxt, F.lit(MERGE_SENTINEL).cast("timestamp")).alias(
-            "valid_to"
-        ),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(
+            F.coalesce(nxt, F.lit(MERGE_SENTINEL).cast("timestamp"))
+        ).alias("valid_to_ms"),
         nxt.isNull().alias("is_current"),
     )

@@ -52,9 +52,6 @@ class IncrementalScd2:
         self.scd2_path = scd2_path
         self.attr_fields = attr_fields
         self.n_buckets = n_buckets
-        # Partition-overwrite only the touched buckets (Spark's
-        # replacement for UPDATE-in-place, SURVEY.md D2).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -76,10 +73,14 @@ class IncrementalScd2:
         log = self.spark.read.parquet(self.log_path).where(
             F.col("bucket").isin(touched)
         )
+        # Partition-overwrite only the touched buckets (Spark's
+        # replacement for UPDATE-in-place, SURVEY.md D2). Scoped to this
+        # write — setting it session-wide would silently change
+        # overwrite semantics for every other write in the session.
         out = scd2_recompute(log.drop("bucket"), self.attr_fields)
-        self._bucket(out).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(self.scd2_path)
+        self._bucket(out).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(self.scd2_path)
 
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.scd2_path).drop("bucket")

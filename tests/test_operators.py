@@ -202,6 +202,26 @@ def test_asof_join_multiple_value_columns(spark):
     assert out[0].px == 7.0 and out[0].tag == "y"  # both from latest row
 
 
+def test_asof_join_null_field_in_latest_right_row(spark):
+    """The latest matching right row wins AS A ROW: a NULL field in it
+    must stay NULL in the output, not be backfilled from an older right
+    row (per-column last(ignorenulls) would tear values across rows)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        "k int, t timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 5.0, "old"),
+         (1, _ts("2024-01-01 09:30:00"), None, "new")],
+        "k int, rt timestamp, px double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    right_values=["px", "tag"]).collect()
+    assert len(out) == 1
+    assert out[0].tag == "new"
+    assert out[0].px is None  # NOT 5.0 backfilled from the 09:00 row
+
+
 def test_operators_empty_inputs(spark):
     from change_data_capture_poc_spark.cdc.envelope import (
         PRODUCT_FIELDS,

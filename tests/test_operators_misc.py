@@ -32,7 +32,7 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         e = exact[et]
         assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
         if e.p50 is not None:
-            assert abs(a.value_quantiles[0] - e.p50) <= 0.1 * (abs(e.p50) + 1)
+            assert abs(a.q50 - e.p50) <= 0.1 * (abs(e.p50) + 1)
 
 
 def test_pandas_matmul_matches_builtin_ann(spark, sf_dir):

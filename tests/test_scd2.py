@@ -175,3 +175,32 @@ def test_merge_converges_with_batches(spark):
     expired = [r for r in rows if not r.is_current]
     assert len(expired) == 1 and expired[0].product_id == 1
     assert expired[0].valid_to == t + datetime.timedelta(hours=1)
+
+
+def test_merge_null_attributes_converge(spark):
+    """IS DISTINCT FROM semantics: a row with a NULL attribute must be
+    recognized as identical to itself on the next batch (no re-insert
+    accumulating duplicate current rows) and as changed when the NULL
+    flips to a value."""
+    hist_schema = ("product_id int, name string, price double, "
+                   "valid_from timestamp, valid_to timestamp, is_current boolean")
+    history = spark.createDataFrame([], hist_schema)
+    t = datetime.datetime(2024, 1, 1)
+    batches = [
+        [(1, None, 1.0, t)],
+        [(1, None, 1.0, t + datetime.timedelta(hours=1))],  # identical
+        [(1, "named", 1.0, t + datetime.timedelta(hours=2))],  # NULL→value
+    ]
+    for batch in batches:
+        bdf = spark.createDataFrame(
+            batch, "id int, name string, price double, source_timestamp timestamp"
+        )
+        history = scd2_merge_batch(history, bdf)
+        history = spark.createDataFrame(history.collect(), history.schema)
+
+    rows = history.collect()
+    cur = [r for r in rows if r.is_current]
+    assert len(cur) == 1 and cur[0].name == "named"
+    expired = [r for r in rows if not r.is_current]
+    assert len(expired) == 1 and expired[0].name is None
+    assert expired[0].valid_to == t + datetime.timedelta(hours=2)

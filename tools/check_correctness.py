@@ -35,7 +35,16 @@ def norm_cell(v):
 def compare(spark_rows, duck_rows, cols):
     if len(spark_rows) != len(duck_rows):
         return f"row count {len(spark_rows)} vs {len(duck_rows)}"
-    key = lambda r: tuple((str(type(x)), str(x)) for x in r)  # noqa: E731
+    # Floats are rounded in the SORT KEY (not in the compared values) so
+    # rows that differ only within tolerance align to the same position;
+    # raw str(x) keys can order tolerance-equal rows differently across
+    # engines and produce spurious pairwise mismatches.
+    def _sort_cell(x):
+        if isinstance(x, float):
+            return ("float", f"{x:.6g}")
+        return (str(type(x)), str(x))
+
+    key = lambda r: tuple(_sort_cell(x) for x in r)  # noqa: E731
     s = sorted([tuple(norm_cell(v) for v in r) for r in spark_rows], key=key)
     d = sorted([tuple(norm_cell(v) for v in r) for r in duck_rows], key=key)
     exact_mismatch = 0
