@@ -81,7 +81,50 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # Regression guard: diff against the newest recorded round
+    # (BENCH_r*.json). Informational — per-query ratios > 2x go to
+    # stderr and into the JSON, but the bench never fails the run
+    # (ambient-load spikes happen even with best-of-2; see the variance
+    # note in the build playbook).
+    baseline = _load_baseline()
+    if baseline and baseline.get("sf") == sf:
+        base_q = baseline.get("queries", {})
+        regressed = {
+            name: {"now": t, "baseline": base_q[name],
+                   "ratio": round(t / base_q[name], 2)}
+            for name, t in timings.items()
+            if name in base_q and base_q[name] > 0 and t > 2 * base_q[name]
+        }
+        if baseline.get("value"):
+            out["vs_baseline"] = round(out["value"] / baseline["value"], 3)
+        if regressed:
+            out["regressed"] = regressed
+            for name, r in regressed.items():
+                print(
+                    f"WARN bench regression {name}: {r['now']}s vs "
+                    f"{r['baseline']}s baseline ({r['ratio']}x)",
+                    file=sys.stderr,
+                )
     print(json.dumps(out))
+
+
+def _load_baseline() -> dict | None:
+    """Newest BENCH_r{N}.json's parsed metrics, if any."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed", rec)
+            if isinstance(parsed, dict) and parsed.get("queries"):
+                return parsed
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

@@ -15,6 +15,16 @@ Two variants, matching the reference's two formulations:
    at scale this becomes a Delta/Iceberg MERGE with the same join
    structure; the joins here are exactly the MERGE's matching phase.
 
+   Production backend note: on a cluster with delta-spark/Iceberg this
+   function maps 1:1 onto ``MERGE INTO history USING batch`` (WHEN
+   MATCHED AND changed THEN UPDATE SET valid_to/is_current, WHEN NOT
+   MATCHED THEN INSERT). This container ships neither lakehouse
+   runtime (``import delta`` fails), so the transactional backend is
+   an environment-gated deployment concern: the parquet
+   dynamic-partition-overwrite path in ``streaming/scd2_stream.py`` is
+   the tested equivalent here, converging to the same table
+   (tests/test_streaming.py::test_incremental_scd2_converges_to_batch).
+
 Scale design: the only shuffle in the recompute is the window's
 ``partitionBy(id)`` exchange — unavoidable and key-parallel (one key's
 chain never crosses executors). No driver-side state; per-key history is

@@ -139,16 +139,57 @@ _JACCARD_T = 0.8
         "100 TB (join fan-out shrinks by ~(1-t)^2).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    # The rarest-first canonical order is opt-in via session conf: with
+    # this dataset's sparse 4-gram posting lists the lexicographic sort
+    # wins (no extra shuffles); at skewed-vocabulary scale the df
+    # ordering shrinks the prefix join's hottest posting lists.
+    rarest = (
+        spark.conf.get("spark.graft.jaccard.rarestFirst", "false") == "true"
+    )
+    return ngram_jaccard_pairs(spark, sf_dir, rarest_first=rarest)
+
+
+def ngram_jaccard_pairs(spark, sf_dir, rarest_first: bool = False):
+    """PPJoin-style jaccard near-dup pairs; see dedup_ngram_jaccard.
+
+    ``rarest_first=False``: grams are canonically ordered
+    lexicographically — a pure columnar array_sort, zero extra shuffles.
+
+    ``rarest_first=True``: grams are ordered by ascending document
+    frequency (ties broken by the gram itself, so the order stays
+    total): each doc's prefix then holds its RAREST grams, which keeps
+    the inverted-index posting lists entering the candidate join as
+    short as possible — the classic PPJoin ordering for skewed
+    vocabularies. Costs two extra shuffles (df aggregation + re-group);
+    prefix filtering is exact under ANY shared total order, so both
+    modes return identical pairs (pytest-pinned).
+    """
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
 
-    # Global canonical order: lexicographic. Prefix filtering is exact
-    # under ANY shared total order; the classic rarest-first (document
-    # frequency) order needs an extra 2-shuffle df join, and with
-    # 4-gram shingles posting lists are already sparse, so the pure
-    # columnar sort wins. (At 100 TB with a skewed vocabulary, bring
-    # back the df ordering — the prefix join is the quadratic term.)
-    ordered = g.select("doc_id", F.array_sort("grams").alias("grams")).persist()
+    if rarest_first:
+        ex = g.select("doc_id", F.explode("grams").alias("gram"))
+        dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
+        ordered = (
+            ex.join(dfreq, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "gram"))).alias(
+                    "sg"
+                )
+            )
+            .select(
+                "doc_id",
+                F.transform("sg", lambda s: s.getField("gram")).alias(
+                    "grams"
+                ),
+            )
+            .persist()
+        )
+    else:
+        ordered = g.select(
+            "doc_id", F.array_sort("grams").alias("grams")
+        ).persist()
     n = F.size("grams")
     # ceil(t*n) in exact integer arithmetic (t = 4/5): float ceil can
     # land one off at exact multiples, shaving the prefix too short and

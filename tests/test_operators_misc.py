@@ -48,3 +48,25 @@ def test_pandas_matmul_matches_builtin_ann(spark, sf_dir):
         for r in qs["ann_cosine_bruteforce"].fn(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_jaccard_rarest_first_matches_lexicographic(spark, sf_dir):
+    """Prefix filtering is exact under ANY shared total order: the
+    rarest-first (document-frequency) ordering must return exactly the
+    lexicographic ordering's pairs, and its plan must carry the extra
+    df aggregation while the default plan must not."""
+    from change_data_capture_poc_spark.queries.datapipe import (
+        ngram_jaccard_pairs,
+    )
+
+    lex = ngram_jaccard_pairs(spark, sf_dir, rarest_first=False)
+    rar = ngram_jaccard_pairs(spark, sf_dir, rarest_first=True)
+    lex_pairs = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in lex.collect()}
+    rar_pairs = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in rar.collect()}
+    assert lex_pairs == rar_pairs
+    assert len(lex_pairs) > 0
+
+    # The df ordering adds a collect_list re-group; the default must not.
+    assert "collect_list" in rar._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in lex._jdf.queryExecution().optimizedPlan().toString()
+    spark.catalog.clearCache()
