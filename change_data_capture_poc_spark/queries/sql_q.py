@@ -376,3 +376,169 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s_name
         """
     )
+
+
+_Q17_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "sql_small_qty_revenue",
+    oracle=_Q17_SQL,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): correlated "
+        "scalar AVG subquery on the join key. Catalyst decorrelates it "
+        "into a per-partkey aggregate joined back to the filtered fact "
+        "— one extra agg shuffle instead of a per-row subquery; the "
+        "brand filter prunes the part side before both joins.",
+)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.total_revenue, 4) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "sql_top_supplier_revenue",
+    oracle=_Q15_SQL,
+    doc="TPC-H Q15 shape (top supplier by period revenue): CTE "
+        "aggregate reused twice — once joined to supplier, once reduced "
+        "to its scalar MAX. The date filter pushes to the lineitem "
+        "scan; the supplier join side is tiny and broadcasts.",
+)
+def sql_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
+_Q11_SQL = """
+    SELECT n.n_name, ROUND(SUM(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING SUM(c.c_acctbal) > (SELECT SUM(c_acctbal) * 0.04 FROM customer)
+    ORDER BY total_bal DESC, n_name
+"""
+
+
+@register(
+    "sql_nation_balance_share",
+    oracle=_Q11_SQL,
+    doc="TPC-H Q11 shape (important stock): HAVING against an "
+        "uncorrelated scalar subquery over the same fact — the global "
+        "sum is computed once, broadcast as a literal into the "
+        "post-aggregation filter.",
+)
+def sql_nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "nation")
+    return spark.sql(_Q11_SQL)
+
+
+_Q2_SQL = """
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT MIN(p2.p_retailprice)
+        FROM part p2
+        WHERE p2.p_type = p.p_type)
+    ORDER BY p.p_type, p.p_partkey
+"""
+
+
+@register(
+    "sql_min_cost_part_per_type",
+    oracle=_Q2_SQL,
+    doc="TPC-H Q2 shape (minimum-cost supplier, restricted to the "
+        "part table): correlated MIN subquery on the grouping "
+        "attribute, decorrelated by Catalyst into a per-type MIN "
+        "aggregate joined back on (type, price).",
+)
+def sql_min_cost_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part")
+    return spark.sql(_Q2_SQL)
+
+
+_Q22_SQL = """
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 600000)
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "sql_dormant_rich_customers",
+    oracle=_Q22_SQL,
+    doc="TPC-H Q22 shape (global sales opportunity): scalar AVG "
+        "subquery filter + NOT EXISTS anti-join against a filtered "
+        "fact, then segment rollup. The anti-join shuffles on custkey; "
+        "the scalar average broadcasts.",
+)
+def sql_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
+_Q20_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > (
+                SELECT AVG(q)
+                FROM (SELECT SUM(l_quantity) AS q
+                      FROM lineitem GROUP BY l_suppkey) t))
+      AND s.s_nationkey IN (
+            SELECT n.n_nationkey
+            FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('EUROPE', 'ASIA'))
+    ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "sql_heavy_suppliers_nested_in",
+    oracle=_Q20_SQL,
+    doc="TPC-H Q20 shape (potential part promotion): two IN "
+        "semijoins, one of whose subqueries nests a scalar subquery "
+        "inside its HAVING (above-average shipped volume). Both IN "
+        "lists are small (supplier-grain) and broadcast as semi-join "
+        "build sides.",
+)
+def sql_heavy_suppliers_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "supplier", "lineitem", "nation", "region")
+    return spark.sql(_Q20_SQL)
