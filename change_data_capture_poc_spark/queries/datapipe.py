@@ -350,6 +350,66 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_MINHASH_PAIRS_SQL = f"""
+    g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_cluster_label_propagation",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Duplicate CLUSTERS from minhash-LSH candidate pairs via "
+        "iterative min-label propagation (operators/components.py) — "
+        "the step that turns pairwise near-dup hits into one keeper "
+        "per group. Converges in diameter rounds (near-dup clusters "
+        "are shallow); one shuffle per round, labels stay distributed, "
+        "lineage truncated per round. The oracle replays the identical "
+        "graph as a recursive-CTE transitive closure (safe at oracle "
+        "scale; the engine path never materializes the closure).",
+)
+def dedup_cluster_label_propagation(spark, sf_dir):
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------

@@ -242,3 +242,42 @@ def test_operators_empty_inputs(spark):
     out = asof_join(left, empty_right, on="k", left_ts="t", right_ts="rt",
                     right_values=["v"]).collect()
     assert len(out) == 1 and out[0].v is None
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation over a 5-node chain (diameter 4 — forces
+    multiple rounds), a triangle, and an isolated pair."""
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "src bigint, dst bigint",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)}
+    want |= {(n, 10) for n in (10, 11, 12)}
+    want |= {(n, 20) for n in (20, 21)}
+    assert got == want
+
+
+def test_connected_components_round_budget(spark):
+    """A long chain must still converge within the round budget (min
+    labels hop one edge per round)."""
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src bigint, dst bigint"
+    )
+    out = connected_components(edges, max_rounds=n + 2).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == n + 1
