@@ -566,6 +566,196 @@ def ann_cosine_pandas_matmul(spark, sf_dir):
     )
 
 
+# Random-hyperplane (sign) LSH: L=8 tables of 6 fixed ±1 hyperplanes
+# each over the 64-dim embeddings, seeded once at import so BOTH
+# engines hash with the identical literal matrix. Table geometry is
+# set by the data: this corpus's true nearest neighbors sit at ~67°
+# (cos ≈ 0.39), where a bit agrees with p = 1 - θ/π ≈ 0.63, so a
+# 6-bit table collides at 0.63^6 ≈ 0.06 and eight tables give
+# 1-(1-0.06)^8 ≈ 0.39 expected recall at ~n/8 candidates (8x
+# pruning). Tighter corpora (real near-dups at <30°) push recall
+# >0.9 with the same code. A single 16+-bit table is too selective
+# here (buckets of size 1 → zero candidates). Sign test on the dot
+# rounded to 6 decimals — cross-engine float summation order must
+# not flip a near-zero sign.
+_LSH_TABLES = 8
+_LSH_TABLE_BITS = 6
+_LSH_BITS = _LSH_TABLES * _LSH_TABLE_BITS
+_LSH_DIM = 64
+
+
+def _lsh_hyperplanes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(20240801)
+    return [
+        [float(rng.choice((-1, 1))) for _ in range(_LSH_DIM)]
+        for _ in range(_LSH_BITS)
+    ]
+
+
+_LSH_H = _lsh_hyperplanes()
+
+
+def _lsh_table_bucket_sql(t: int) -> str:
+    return " + ".join(
+        "(CASE WHEN ROUND(list_dot_product(v, ["
+        + ", ".join(str(int(c)) for c in _LSH_H[t * _LSH_TABLE_BITS + j])
+        + f"]), 6) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_TABLE_BITS)
+    )
+
+
+_LSH_SIG_SQL = ", ".join(
+    f"({_lsh_table_bucket_sql(t)}) AS b{t}" for t in range(_LSH_TABLES)
+)
+_LSH_PROBES_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sig"
+    for t in range(_LSH_TABLES)
+)
+
+
+def _lsh_buckets_expr(v):
+    """Array of L per-table sign-LSH buckets — ONE fold over the vector.
+
+    Per element x_i the fold adds x_i * H[:, i] to a 32-slot
+    accumulator (zip_with against the transposed literal matrix), so
+    all 32 dot products cost a single pass. The bit weights are tiled
+    per table (1..128 repeating), so a second zip turns signs into
+    per-table bucket contributions that a slice-sum reduces per table.
+    Thirty-two separate aggregate(...) columns would re-walk the array
+    per bit — the interpreted-HOF inlining trap (build playbook).
+    """
+    h_cols = F.array(
+        *[
+            F.array(*[F.lit(_LSH_H[j][i]) for j in range(_LSH_BITS)])
+            for i in range(_LSH_DIM)
+        ]
+    )
+    contrib = F.zip_with(
+        v, h_cols, lambda x, row: F.transform(row, lambda h: x * h)
+    )
+    dots = F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0.0), _LSH_BITS),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+    )
+    tiled_pows = F.array(
+        *[
+            F.lit(1 << (j % _LSH_TABLE_BITS)).cast("int")
+            for j in range(_LSH_BITS)
+        ]
+    )
+    weighted = F.zip_with(
+        dots, tiled_pows, lambda d, p: F.when(F.round(d, 6) > 0, p).otherwise(0)
+    )
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(weighted, t * _LSH_TABLE_BITS + 1, _LSH_TABLE_BITS),
+                F.lit(0),
+                lambda a, b: a + b,
+            )
+            for t in range(_LSH_TABLES)
+        ]
+    )
+
+
+@register(
+    "ann_cosine_lsh_hyperplane",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, {_LSH_SIG_SQL} FROM e),
+    probes AS ({_LSH_PROBES_SQL}),
+    qp AS (SELECT vec_id AS q_id, tbl, bucket FROM probes
+           WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT qp.q_id, p.vec_id AS neighbor_id
+        FROM probes p
+        JOIN qp ON p.tbl = qp.tbl AND p.bucket = qp.bucket
+               AND p.vec_id != qp.q_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.neighbor_id,
+               ROUND(list_dot_product(n.v, q.v) /
+                     (sqrt(list_dot_product(n.v, n.v)) *
+                      sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+        FROM cand c
+        JOIN e n ON n.vec_id = c.neighbor_id
+        JOIN e q ON q.vec_id = c.q_id
+    )
+    SELECT q_id, neighbor_id, cosine FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) <= {_TOP_K}
+    """,
+    doc="Sign-LSH ANN (random hyperplanes, 8 tables x 6 bits): every "
+        "vector hashes to one bucket per table (signs of dots against "
+        "a fixed literal ±1 matrix); a query's candidates are the "
+        "union of its buckets across tables, deduped, then scored "
+        "exactly — the third ANN strategy next to IVF partitioning "
+        "and brute force. The candidate join shuffles on (table, "
+        "bucket) only; all 48 dots cost one fold per vector "
+        "(transposed-matrix accumulator). Approximate by design — "
+        "recall vs brute force is pytest-asserted; the oracle replays "
+        "the identical LSH semantics. Table geometry math in the "
+        "module comment above.",
+)
+def ann_cosine_lsh_hyperplane(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = e.select(
+        "vec_id", "v", _lsh_buckets_expr(F.col("v")).alias("buckets")
+    )
+    probes = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.element_at("buckets", t + 1).alias("bucket"),
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.tbl", "p.bucket")
+    qp = probes.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    )
+    cand = (
+        probes.join(
+            F.broadcast(qp),
+            (probes.tbl == qp.tbl)
+            & (probes.bucket == qp.bucket)
+            & (probes.vec_id != qp.q_id),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(e, cand.neighbor_id == e.vec_id)
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------
@@ -773,4 +963,81 @@ def multimodal_decode_dims(spark, sf_dir):
         "width",
         "height",
         "n_frames",
+    )
+
+
+# --------------------------------------------------------------------
+# Training-data sampling & corpus statistics
+# --------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+    """,
+    doc="Deterministic stratified sampling — the language-rebalancing "
+        "step of a training-data pipeline (downsample the dominant "
+        "language, keep the rest): keep a row iff md5(doc_id) mod 100 "
+        "falls under its stratum's rate. Pure filter, no shuffle, no "
+        "RNG — reproducible across runs, engines, and partitionings "
+        "(rand()-based sampling is none of those). Rates: en 20%, "
+        "other languages 60%.",
+)
+def sample_stratified_hash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return d.where(h < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT lang,
+           CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 600 THEN 13
+                ELSE CAST(FLOOR(n_chars / 50.0) AS INT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+    doc="Per-language document-length histogram (width_bucket, 12 bins "
+        "over 0-600 chars) — the length-distribution diagnostic every "
+        "corpus QA pass runs before truncation/packing decisions. One "
+        "agg shuffle on (lang, bucket). DuckDB has no width_bucket, so "
+        "the oracle spells out the same bin arithmetic (underflow "
+        "bucket 0, overflow bucket n+1).",
+)
+def doc_length_histogram(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.width_bucket("n_chars", F.lit(0), F.lit(600), F.lit(12))
+            .cast("int")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )

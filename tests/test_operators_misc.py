@@ -70,3 +70,22 @@ def test_jaccard_rarest_first_matches_lexicographic(spark, sf_dir):
     assert "collect_list" in rar._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" not in lex._jdf.queryExecution().optimizedPlan().toString()
     spark.catalog.clearCache()
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-table sign-LSH must recover a reasonable fraction of the
+    exact top-k. This corpus's neighbors sit at ~67 degrees, where the
+    8x6-bit geometry predicts ~0.39 recall (see the _LSH_TABLES
+    comment); assert a safety margin below that."""
+    qs = all_queries()
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in qs["ann_cosine_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in qs["ann_cosine_lsh_hyperplane"].fn(spark, sf_dir).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} too low"
