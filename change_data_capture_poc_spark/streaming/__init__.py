@@ -9,3 +9,9 @@ from change_data_capture_poc_spark.streaming.scd2_stream import (  # noqa: F401
 from change_data_capture_poc_spark.streaming.sessions import (  # noqa: F401
     session_window_agg,
 )
+from change_data_capture_poc_spark.streaming.dedup import (  # noqa: F401
+    dedup_stream,
+)
+from change_data_capture_poc_spark.streaming.joins import (  # noqa: F401
+    interval_join_streams,
+)

@@ -170,3 +170,129 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert not any(
         r.w.start.hour == 10 and r.w.start.minute == 0 for r in emitted
     ), "late event must be dropped by the watermark"
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Re-delivered keys in LATER micro-batches must be dropped: write
+    the same ids into two chunk files, force one file per trigger, and
+    expect exactly one row per id (unbounded-state variant)."""
+    import json as _json
+
+    from change_data_capture_poc_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    rows_a = [{"k": i, "ts": f"2024-01-01 10:00:{i:02d}", "v": i}
+              for i in range(6)]
+    rows_b = [{"k": i, "ts": f"2024-01-01 10:01:{i:02d}", "v": i + 100}
+              for i in range(3, 9)]  # 3,4,5 re-delivered
+    for name, rows in (("a", rows_a), ("b", rows_b)):
+        with open(os.path.join(src, f"{name}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("k int, ts string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = dedup_stream(stream, ["k"])
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "dout"))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "dout"))
+    assert got.count() == 9  # ids 0..8 exactly once
+    assert got.select("k").distinct().count() == 9
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """The bounded-state variant builds and runs: watermarked dedup
+    drops in-window re-deliveries (single drain batch)."""
+    import json as _json
+
+    from change_data_capture_poc_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    rows = [{"k": 1, "ts": "2024-01-01 10:00:00"},
+            {"k": 1, "ts": "2024-01-01 10:00:05"},   # in-window dup
+            {"k": 2, "ts": "2024-01-01 10:00:10"}]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("k int, ts string")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_stream(stream, ["k"], event_time_col="ts",
+                       watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "wout"))
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "wout"))
+    assert got.select("k").distinct().count() == 2
+    assert got.count() == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Orders stream x events stream: each order matches only events
+    within [order_ts - 0s, order_ts + 30s] for the same key."""
+    import json as _json
+
+    from change_data_capture_poc_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    for p in (lsrc, rsrc):
+        os.makedirs(p)
+    orders = [{"o_key": 1, "o_ts": "2024-01-01 10:00:00", "o_id": 11},
+              {"o_key": 2, "o_ts": "2024-01-01 10:05:00", "o_id": 22}]
+    events = [
+        {"e_key": 1, "e_ts": "2024-01-01 10:00:10", "e_id": 1},   # match o11
+        {"e_key": 1, "e_ts": "2024-01-01 10:02:00", "e_id": 2},   # too late
+        {"e_key": 2, "e_ts": "2024-01-01 10:05:20", "e_id": 3},   # match o22
+        {"e_key": 3, "e_ts": "2024-01-01 10:00:10", "e_id": 4},   # no key
+    ]
+    with open(os.path.join(lsrc, "a.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in orders))
+    with open(os.path.join(rsrc, "a.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in events))
+
+    lstream = (
+        spark.readStream.schema("o_key int, o_ts string, o_id int")
+        .json(lsrc)
+        .withColumn("o_ts", F.col("o_ts").cast("timestamp"))
+    )
+    rstream = (
+        spark.readStream.schema("e_key int, e_ts string, e_id int")
+        .json(rsrc)
+        .withColumn("e_ts", F.col("e_ts").cast("timestamp"))
+    )
+    joined = interval_join_streams(
+        lstream, rstream,
+        left_key="o_key", right_key="e_key",
+        left_ts="o_ts", right_ts="e_ts",
+        lower_seconds=0, upper_seconds=30,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "jout"))
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.o_id, r.e_id)
+           for r in spark.read.parquet(str(tmp_path / "jout")).collect()}
+    assert got == {(11, 1), (22, 3)}
