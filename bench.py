@@ -40,6 +40,10 @@ HEADLINE = (
     "session_window_stats",     # session windows
     "sql_shipping_priority",    # TPC-H Q3 shape via Spark SQL
     "sql_large_orders",         # TPC-H Q18 shape via Spark SQL
+    "dedup_simhash_portable",   # banded simhash near-dup (md5 oracle)
+    "dedup_cluster_label_propagation",  # iterative components
+    "ann_cosine_lsh_hyperplane",        # multi-table sign-LSH ANN
+    "sql_small_qty_revenue",    # TPC-H Q17 correlated scalar subquery
 )
 
 
@@ -96,8 +100,15 @@ def main() -> None:
             for name, t in timings.items()
             if name in base_q and base_q[name] > 0 and t > 2 * base_q[name]
         }
-        if baseline.get("value"):
-            out["vs_baseline"] = round(out["value"] / baseline["value"], 3)
+        # Compare totals over the INTERSECTION of query names only —
+        # the headline set grows across rounds and a larger set must
+        # not read as a regression.
+        common = [n for n in timings if n in base_q]
+        base_total = sum(base_q[n] for n in common)
+        if base_total > 0:
+            out["vs_baseline"] = round(
+                sum(timings[n] for n in common) / base_total, 3
+            )
         if regressed:
             out["regressed"] = regressed
             for name, r in regressed.items():

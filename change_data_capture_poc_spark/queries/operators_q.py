@@ -207,17 +207,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replays the identical fingerprint arithmetic — votes, >0 tie "
         "rule, 4x8-bit banding, hamming <= 4. Same banded candidate-"
         "pairs-only join as dedup_simhash (which keeps xxhash64 as the "
-        "engine-internal fast path).",
+        "engine-internal fast path). Fingerprints via the Arrow vote "
+        "path (simhash32_portable_pandas — bit-identical to the "
+        "expression form, pytest-pinned).",
 )
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.operators.simhash import (
-        simhash32_portable,
+        simhash32_portable_pandas,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", simhash32_portable(F.split(F.col("text"), " ")).alias("h")
-    )
+    fp = simhash32_portable_pandas(d).withColumnRenamed("simhash", "h")
     bands = fp.select(
         "doc_id",
         "h",

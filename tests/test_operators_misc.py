@@ -89,3 +89,50 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall {recall:.2f} too low"
+
+
+def test_simhash32_portable_pandas_matches_expression(spark):
+    from pyspark.sql import functions as SF
+
+    from change_data_capture_poc_spark.operators.simhash import (
+        simhash32_portable,
+        simhash32_portable_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a b c d e"), (3, "x"),
+         (4, "the quick brown fox")],
+        "doc_id bigint, text string",
+    )
+    expr = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", simhash32_portable(SF.split("text", " ")).alias("h")
+        ).collect()
+    }
+    pand = {
+        r.doc_id: r.simhash
+        for r in simhash32_portable_pandas(df).collect()
+    }
+    assert expr == pand
+    assert expr[1] == expr[4]
+
+
+def test_lsh_buckets_pandas_matches_expression(spark, sf_dir):
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _lsh_buckets_expr,
+        _lsh_buckets_pandas,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).limit(200)
+    expr = {
+        r.vec_id: r.buckets
+        for r in e.select(
+            "vec_id", _lsh_buckets_expr(F.col("v")).alias("buckets")
+        ).collect()
+    }
+    pand = {r.vec_id: r.buckets for r in _lsh_buckets_pandas(e).collect()}
+    assert expr == pand
