@@ -1086,3 +1086,74 @@ def doc_length_histogram(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "pack_concat_chunks",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(FLOOR((cum - n_chars) / 2048.0) AS BIGINT) AS seq_id,
+           CAST((cum - n_chars) % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    doc="Sequence packing, concatenate-then-chunk form (how pretraining "
+        "corpora are actually packed): documents are concatenated per "
+        "language in doc_id order and cut into 2048-char sequences; "
+        "each doc reports the sequence id and offset where it starts. "
+        "One window shuffle on lang; integer-exact, fully "
+        "deterministic — no bin-packing heuristic state.",
+)
+def pack_concat_chunks(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+        (start % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
+    "corpus_source_mix",
+    oracle="""
+    SELECT lang, source,
+           SUM(n_chars) AS chars,
+           COUNT(*) AS docs,
+           ROUND(SUM(n_chars) * 1.0 /
+                 SUM(SUM(n_chars)) OVER (PARTITION BY lang), 6) AS share
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Per-(language, source) corpus mix with each source's share of "
+        "its language's characters — the mixture diagnostic behind "
+        "sampling-weight decisions. Window OVER an aggregate (share of "
+        "group within supergroup): one agg shuffle + one window "
+        "exchange on lang.",
+)
+def corpus_source_mix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("chars"), F.count("*").alias("docs")
+    )
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "source",
+        "chars",
+        "docs",
+        F.round(F.col("chars") * 1.0 / F.sum("chars").over(w), 6).alias(
+            "share"
+        ),
+    )

@@ -43,6 +43,11 @@ PROBES = (
     "ann_cosine_bruteforce",
     "asof_join_order_events",
     "window_running_sum",
+    "dedup_simhash_portable",
+    "dedup_cluster_label_propagation",
+    "ann_cosine_lsh_hyperplane",
+    "dedup_embedding_cosine",
+    "sql_small_qty_revenue",
 )
 
 
