@@ -1157,3 +1157,257 @@ def corpus_source_mix(spark, sf_dir):
             "share"
         ),
     )
+
+
+_QF_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(w) AS n_words,
+               list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                   AS sum_wlen,
+               len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                   AS n_alpha,
+               len(list_intersect(w, {_QF_STOP_SQL})) > 0 AS has_stop
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_chars < 50 THEN 'too_short'
+                WHEN n_chars > 10000 THEN 'too_long'
+                WHEN sum_wlen < 2 * n_words THEN 'short_words'
+                WHEN sum_wlen > 12 * n_words THEN 'long_words'
+                WHEN 5 * n_alpha < 3 * n_words THEN 'low_alpha'
+                WHEN NOT has_stop THEN 'no_stopword'
+           END AS drop_reason,
+           CASE WHEN n_chars < 50 THEN false
+                WHEN n_chars > 10000 THEN false
+                WHEN sum_wlen < 2 * n_words THEN false
+                WHEN sum_wlen > 12 * n_words THEN false
+                WHEN 5 * n_alpha < 3 * n_words THEN false
+                WHEN NOT has_stop THEN false
+                ELSE true
+           END AS keep
+    FROM m
+    """,
+    doc="Gopher-style quality filter: length bounds, mean-word-length "
+        "band (2-12), alpha-token fraction >= 0.6, stopword presence — "
+        "each doc gets keep/drop plus the FIRST failed rule (the "
+        "audit trail a corpus-cleaning run needs). All thresholds "
+        "compared in integer-exact cross-multiplied form (no float "
+        "ratios to disagree across engines); token array materialized "
+        "once behind a projection boundary.",
+)
+def text_quality_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    m = t.select(
+        "doc_id",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("sum_wlen"),
+        F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))).alias(
+            "n_alpha"
+        ),
+        F.arrays_overlap(
+            w, F.array(*[F.lit(s) for s in _STOPWORDS])
+        ).alias("has_stop"),
+    )
+    reason = (
+        F.when(F.col("n_chars") < 50, "too_short")
+        .when(F.col("n_chars") > 10000, "too_long")
+        .when(F.col("sum_wlen") < 2 * F.col("n_words"), "short_words")
+        .when(F.col("sum_wlen") > 12 * F.col("n_words"), "long_words")
+        .when(5 * F.col("n_alpha") < 3 * F.col("n_words"), "low_alpha")
+        .when(~F.col("has_stop"), "no_stopword")
+    )
+    return m.select(
+        "doc_id", reason.alias("drop_reason"), reason.isNull().alias("keep")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(w) - 1),
+                                     i -> w[i+1] || ' ' || w[i+2])) AS gram
+        FROM t WHERE len(w) >= 2
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_fraction
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Within-document repetition stats (the Gopher repetition "
+        "rules' raw signals): word-2-gram totals, distinct count, the "
+        "most-repeated gram's count, duplicate-gram fraction. "
+        "Non-distinct bigrams by construction (repetition IS the "
+        "signal); two key-local aggregations, one shuffle on doc_id.",
+)
+def text_repetition_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_gram_count"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("c"), 6).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t_s
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_c
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t_s
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_p
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+    doc="Ordered conversion funnel signup -> click -> purchase: each "
+        "stage counts users whose first stage-event strictly follows "
+        "their previous stage's first event. Three keyed aggregations "
+        "joined on user_id (co-partitioned, AQE-coalesced) — the "
+        "sequential dependency is inherent to funnel semantics.",
+)
+def events_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_s"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        s.agg(F.count("*").cast("long").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_after")))
+        .crossJoin(
+            p.agg(F.count("*").cast("long").alias("n_purchase_after"))
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(MIN(ts) AS DATE)) // 7 AS cohort_wk
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cohort_wk,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(e.ts AS DATE)) // 7 AS active_wk
+        FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_wk AS INT) AS cohort_wk,
+           CAST(active_wk - cohort_wk AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a
+    GROUP BY cohort_wk, active_wk
+    """,
+    doc="Weekly retention cohorts: users bucketed by first-seen week "
+        "(integer day-arithmetic from a fixed origin — no engine "
+        "week-truncation semantics to disagree on), counted once per "
+        "(cohort, week offset) they were active. Two aggs + one "
+        "co-partitioned join on user_id.",
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    origin = F.lit("2024-01-01").cast("date")
+    f = ev.groupBy("user_id").agg(
+        F.floor(F.datediff(F.min("ts").cast("date"), origin) / 7)
+        .cast("int")
+        .alias("cohort_wk")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            F.floor(F.datediff(F.col("ts").cast("date"), origin) / 7)
+            .cast("int")
+            .alias("active_wk"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_wk", "active_wk").agg(
+        F.count("*").cast("long").alias("n_users")
+    ).select(
+        "cohort_wk",
+        (F.col("active_wk") - F.col("cohort_wk")).cast("int").alias(
+            "week_offset"
+        ),
+        "n_users",
+    )
