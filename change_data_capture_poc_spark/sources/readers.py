@@ -91,3 +91,32 @@ def read_jdbc_snapshot(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan. Prefer an explicit ``schema`` at scale: inference
+    triggers an extra full pass over the files AND types drift between
+    runs as data changes — production scans should be deterministic.
+    Header + delimiter options cover the common dialect axes; gzip and
+    globs are transparent like every file source."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (predicate pushdown + column pruning reach the reader)."""
+    return spark.read.orc(path)

@@ -80,3 +80,22 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV sink (gzip) — the interchange format; lossy for nested/
+    binary columns, use parquet/ORC for engine-internal tables."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("compression", "gzip")
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zstd) — columnar alternative sink with the same
+    pushdown contract as parquet."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)

@@ -89,3 +89,42 @@ def test_materialize_and_view(spark, sf_dir, tmp_path):
     # REPLACE on every transform pass, transform_scd2.py:20).
     materialize_table(df.limit(3), out)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_csv_roundtrip_typed(spark, sf_dir, tmp_path):
+    from change_data_capture_poc_spark.sources.readers import read_csv_typed
+    from change_data_capture_poc_spark.sources.writers import write_csv
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = str(tmp_path / "csv")
+    write_csv(src, p)
+    back = read_csv_typed(
+        spark, p,
+        schema="c_custkey bigint, c_name string, c_nationkey int, "
+               "c_acctbal double, c_mktsegment string",
+    )
+    assert back.count() == src.count()
+    assert [f.name for f in back.schema.fields] == src.columns
+    a = {r.c_custkey: r.c_acctbal for r in src.collect()}
+    b = {r.c_custkey: r.c_acctbal for r in back.collect()}
+    assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.sources.readers import read_orc
+    from change_data_capture_poc_spark.sources.writers import write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = str(tmp_path / "orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.count() == src.count()
+    filtered = back.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    exact = src.where(F.col("o_orderstatus") == "F").count()
+    assert filtered.count() == exact
