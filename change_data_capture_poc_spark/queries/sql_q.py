@@ -542,3 +542,113 @@ _Q20_SQL = """
 def sql_heavy_suppliers_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "supplier", "lineitem", "nation", "region")
     return spark.sql(_Q20_SQL)
+
+
+_Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "sql_forecast_revenue",
+    oracle=_Q6_SQL,
+    doc="TPC-H Q6 shape (forecast revenue change): the canonical "
+        "scan-heavy filter + single aggregate. All three predicates "
+        "push to the parquet reader; zero joins, one partial+final "
+        "agg — the query whose cost IS the scan at 100 TB.",
+)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q9_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year
+"""
+
+
+@register(
+    "sql_nation_profit",
+    oracle=_Q9_SQL,
+    doc="TPC-H Q9 shape (product-type profit, restricted to the "
+        "driver's tables): fact joined through two broadcast dims, "
+        "grouped by (nation, year). The year extraction happens "
+        "post-join on the fact column; one agg shuffle.",
+)
+def sql_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q9_SQL)
+
+
+_Q13_SQL = """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "sql_order_count_distribution",
+    oracle=_Q13_SQL,
+    doc="TPC-H Q13 shape (customer distribution): LEFT join with a "
+        "join-condition filter (not a WHERE — zero-order customers "
+        "must survive), then a second aggregation OVER the first's "
+        "result (distribution of counts). Two agg shuffles by "
+        "construction.",
+)
+def sql_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+_Q8_SQL = """
+    WITH volumes AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               n.n_name AS supp_nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY o_year, supp_nation
+    )
+    SELECT o_year, supp_nation,
+           ROUND(volume / SUM(volume) OVER (PARTITION BY o_year), 6)
+               AS market_share
+    FROM volumes
+    ORDER BY o_year, supp_nation
+"""
+
+
+@register(
+    "sql_market_share",
+    oracle=_Q8_SQL,
+    doc="TPC-H Q8 shape (national market share): per-(year, nation) "
+        "volume divided by the year's total via a window OVER the "
+        "aggregate — share-of-supergroup, one agg shuffle + one "
+        "window exchange on year.",
+)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    return spark.sql(_Q8_SQL)
