@@ -93,3 +93,52 @@ def connected_components(
 
     e.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after a fixed number of power iterations over the
+    undirected graph of ``edges``: r(v) = (1-d) + d * Σ r(u)/deg(u)
+    over v's neighbors. Deterministic (fixed iteration count, no
+    convergence tolerance), so a SQL oracle can unroll the same
+    iterations as chained CTEs.
+
+    Scale shape: per iteration ONE shuffle (contribution groupBy on
+    the destination); degrees computed once and joined in (the join
+    key equals the groupBy key, so AQE keeps it co-partitioned);
+    ``localCheckpoint`` per iteration truncates lineage. Every node in
+    a pair graph has degree >= 1 — no dangling-node mass term.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        F.col("a").alias("node"), F.lit(1.0).alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["a"] == ranks["node"])
+            .join(deg, "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = contribs.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias(
+                "rank"
+            ),
+        ).localCheckpoint()
+
+    e.unpersist()
+    return ranks

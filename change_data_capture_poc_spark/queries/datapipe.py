@@ -1442,3 +1442,164 @@ def events_retention_cohorts(spark, sf_dir):
         ),
         "n_users",
     )
+
+
+_PR_ITERS = 3
+_PR_CTES = ",\n    ".join(
+    f"pr{i} AS (SELECT e.b AS node, 0.15 + 0.85 * SUM(p.r / deg.d) AS r"
+    f" FROM pr{i-1} p JOIN edges e ON p.node = e.a"
+    f" JOIN deg ON deg.a = p.node GROUP BY e.b)"
+    for i in range(1, _PR_ITERS + 1)
+)
+
+
+@register(
+    "graph_pagerank_minhash",
+    oracle=f"""
+    WITH
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    deg AS (SELECT a, COUNT(*) AS d FROM edges GROUP BY a),
+    pr0 AS (SELECT a AS node, 1.0 AS r FROM deg),
+    {_PR_CTES}
+    SELECT node AS doc_id, ROUND(r, 6) AS pr
+    FROM pr{_PR_ITERS}
+    """,
+    doc="PageRank ({} fixed power iterations, damping 0.85) over the "
+        "minhash near-dup graph — centrality within duplicate "
+        "neighborhoods (which doc is the hub of a template family). "
+        "Fixed iteration count keeps it deterministic, so the oracle "
+        "unrolls the SAME iterations as chained CTEs (no recursive "
+        "aggregation needed). Engine side: one contribution shuffle "
+        "per iteration, degrees joined on the groupBy key, lineage "
+        "truncated per iteration (operators/components.py).".format(
+            _PR_ITERS
+        ),
+)
+def graph_pagerank_minhash(spark, sf_dir):
+    from change_data_capture_poc_spark.operators.components import pagerank
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pr = pagerank(
+        pairs, src="doc_id_a", dst="doc_id_b", iterations=_PR_ITERS
+    )
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("pr")
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Global top-20 token frequencies: explode + count + TakeOrdered "
+        "(partial top-k per partition, no full sort). The exact "
+        "formulation; at 100 TB swap in a count-min/approx_top_k "
+        "sketch per partition with the same output contract.",
+)
+def text_top_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "text_vocab_stats",
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax_count,
+           ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS type_token_ratio
+    FROM c
+    """,
+    doc="Corpus vocabulary statistics: vocabulary size, total tokens, "
+        "hapax legomena (frequency-1 types), type-token ratio — the "
+        "Zipf-curve health check before tokenizer training. One token "
+        "shuffle, then a scalar reduce.",
+)
+def text_vocab_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return c.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum((F.col("n") == 1).cast("long")).alias("hapax_count"),
+        F.round(F.count("*") * 1.0 / F.sum("n"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+           GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, tok,
+           ROUND(tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (tok), n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY ROUND(tf * ln(n.n * 1.0 / df.df), 6) DESC, tok) <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms: term frequency and document "
+        "frequency are two aggregations over one exploded token "
+        "relation; idf joins back on the token (the df side is "
+        "vocabulary-sized — broadcastable). Ranking happens on the "
+        "ROUNDED score with the token as tiebreak, so the top-3 "
+        "cutoff is deterministic across engines (module rounding "
+        "rule).",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

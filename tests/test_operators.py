@@ -281,3 +281,20 @@ def test_connected_components_round_budget(spark):
     out = connected_components(edges, max_rounds=n + 2).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_pagerank_star_graph(spark):
+    """On a star (hub connected to k leaves), the hub's rank must
+    exceed every leaf's, and all leaves tie by symmetry."""
+    from change_data_capture_poc_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    r = {row.node: row.rank for row in pagerank(edges, iterations=4).collect()}
+    leaves = {r[i] for i in range(1, 6)}
+    assert len(leaves) == 1  # symmetric
+    assert r[0] > max(leaves)
+    # Hand-checked fixed point direction: hub collects 5 * leaf/1 each
+    # iteration, leaves collect hub/5.
+    assert r[0] > 1.0 > min(leaves)
