@@ -99,3 +99,29 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (zstd) — columnar alternative sink with the same
     pushdown contract as parquet."""
     df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: rows are range-partitioned on
+    ``range_col`` (one contiguous value range per output file) and
+    sorted within each file.
+
+    This is what makes selective range scans cheap at 100 TB: parquet
+    footers carry per-file and per-row-group min/max for the sort
+    column, so a ``WHERE range_col BETWEEN ...`` scan prunes whole
+    files/row groups instead of reading and filtering — the poor
+    man's Z-order for a single dominant predicate column. One range
+    shuffle (sampling-based bounds) at write time buys it.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -128,3 +128,41 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan
     exact = src.where(F.col("o_orderstatus") == "F").count()
     assert filtered.count() == exact
+
+
+def test_sorted_layout_enables_file_pruning(spark, sf_dir, tmp_path):
+    """write_sorted_layout must produce files whose ts ranges are
+    disjoint (parquet footer min/max), which is exactly what lets a
+    range predicate skip files at scan time."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from change_data_capture_poc_spark.sources.writers import (
+        write_sorted_layout,
+    )
+
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    p = str(tmp_path / "sorted")
+    write_sorted_layout(src, p, range_col="event_id", n_files=4)
+
+    ranges = []
+    for fp in sorted(_glob.glob(f"{p}/part-*.parquet")):
+        md = pq.ParquetFile(fp).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # event_id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint file ranges -> file-level pruning
+
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
