@@ -44,6 +44,9 @@ HEADLINE = (
     "dedup_cluster_label_propagation",  # iterative components
     "ann_cosine_lsh_hyperplane",        # multi-table sign-LSH ANN
     "sql_small_qty_revenue",    # TPC-H Q17 correlated scalar subquery
+    "graph_pagerank_minhash",   # iterative power method over dup graph
+    "text_tfidf_top_terms",     # tf-idf with broadcast idf join
+    "events_funnel",            # single-fold ordered funnel
 )
 
 
