@@ -1,15 +1,18 @@
-"""As-of (backward) join — an operator Spark lacks natively.
+"""As-of join (backward/forward, optional tolerance) — an operator
+Spark lacks natively.
 
-Implemented as a union + keyed window (`last_value ... ignore nulls`)
+Implemented as a union + keyed window (`last/first ... ignore nulls`)
 rather than a range cross-join: both inputs are tagged and unioned,
 sorted per key by (event time, side), and each left row picks up the
-most recent right-side value at or before its timestamp. One shuffle on
-the key, no join fan-out — the formulation that survives 100 TB
-(a naive `left.ts >= right.ts` theta join is quadratic per key).
+nearest right-side row at or before (backward) / at or after (forward)
+its timestamp. One shuffle on the key, no join fan-out — the
+formulation that survives 100 TB (a naive ``left.ts >= right.ts``
+theta join is quadratic per key).
 
 Tie rule: a right row at exactly the left row's timestamp IS visible
-(backward as-of with >=), matching DuckDB's ``ASOF JOIN ... ON l.ts >=
-r.ts`` semantics used by the oracle.
+in both directions (>= / <= semantics), matching DuckDB's ``ASOF
+JOIN`` (backward; DuckDB has no forward mode — forward oracles use an
+explicit min-over-candidates formulation).
 """
 
 from __future__ import annotations
@@ -25,32 +28,48 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the latest right row with
-    ``right_ts <= left_ts`` for the same ``on`` key (nulls if none).
+    """Left as-of join: every left row + the nearest right row with
+    ``right_ts <= left_ts`` (backward) or ``right_ts >= left_ts``
+    (forward) for the same ``on`` key (nulls if none).
 
-    ``right_values`` are the right-side columns to carry. Left columns
-    are preserved as-is.
+    ``right_values`` are the right-side columns to carry; left columns
+    are preserved as-is. ``tolerance_seconds`` voids a match whose
+    timestamp distance exceeds the tolerance (pandas ``merge_asof``
+    semantics).
 
-    All carried columns come from the SAME matched right row: the right
-    side travels as ONE nullable struct and ``last(ignorenulls)`` runs
-    over that struct, so a NULL field inside the latest matching right
-    row stays NULL in the output. (Per-column fills would tear values
-    across different right rows and backfill legitimate NULLs —
-    diverging from DuckDB ASOF JOIN row semantics.)
+    All carried columns come from the SAME matched right row: the
+    right side travels as ONE nullable struct and ``last/first``
+    (ignorenulls) runs over that struct, so a NULL field inside the
+    matched right row stays NULL in the output. (Per-column fills
+    would tear values across different right rows and backfill
+    legitimate NULLs.)
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
     lcols = left.columns
+    # Side ordering makes an exactly-simultaneous right row visible:
+    # backward scans a preceding frame, so right sorts BEFORE left at
+    # equal timestamps; forward scans a following frame, so right
+    # sorts AFTER left.
+    l_side, r_side = (1, 0) if backward else (0, 1)
     tagged_l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.struct(*lcols).alias("__l"),
     )
     tagged_r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.struct(*right_values).alias("__r"),
+        F.lit(r_side).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__rt"),
+            *[F.col(c) for c in right_values],
+        ).alias("__r"),
     )
     tagged_l = tagged_l.withColumn(
         "__r", F.lit(None).cast(tagged_r.schema["__r"].dataType)
@@ -58,20 +77,26 @@ def asof_join(
     tagged_r = tagged_r.withColumn(
         "__l", F.lit(None).cast(tagged_l.schema["__l"].dataType)
     )
-    # Right rows sort before left rows at equal timestamps so an
-    # exactly-simultaneous right value is visible (>= semantics).
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("__k").orderBy("__t", "__side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = F.first("__r", ignorenulls=True).over(w)
     unioned = tagged_l.unionByName(tagged_r)
-    filled = unioned.select(
-        "__side",
-        "__l",
-        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
-    )
-    return filled.where(F.col("__side") == 1).select(
+    filled = unioned.select("__l", "__t", fill.alias("__rv"))
+    rv = F.col("__rv")
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(
+                F.unix_millis(F.col("__t"))
+                - F.unix_millis(rv.getField("__rt"))
+            )
+            <= tolerance_seconds * 1000
+        )
+        rv = F.when(within, F.col("__rv"))
+    return filled.where(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rv.{c}").alias(c) for c in right_values],
+        *[rv.getField(c).alias(c) for c in right_values],
     )

@@ -1603,3 +1603,105 @@ def text_tfidf_top_terms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------
+# Timeseries repair: forward fill & gap-filled resampling
+# --------------------------------------------------------------------
+
+
+@register(
+    "events_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+    doc="Forward fill (last-observation-carried-forward): every event "
+        "carries the user's most recent purchase value at that moment "
+        "(NULL before the first purchase). last(ignorenulls) over a "
+        "running frame — ONE window shuffle on the key; the same "
+        "mechanism the as-of join builds on (operators/asof.py).",
+)
+def events_forward_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@register(
+    "events_hour_grid_fill",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events WHERE user_id < 100 GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM u
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS value_sum
+        FROM events WHERE user_id < 100
+        GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.value_sum, 0.0) AS value_sum
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    doc="Gap-filled hourly resample (the hypertable/time_bucket_gapfill "
+        "shape): each user's hour grid spans their first to last "
+        "event; silent hours materialize as zero rows via a left join "
+        "against the hourly rollup. The grid is generated per key "
+        "with sequence+explode — no driver loops, no cross join; both "
+        "sides shuffle once on (user, hour)'s user prefix. Restricted "
+        "to user_id < 100 to keep oracle row counts sane.",
+)
+def events_hour_grid_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    hour = F.date_trunc("hour", F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = u.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        )
+    )

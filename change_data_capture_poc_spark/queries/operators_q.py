@@ -441,3 +441,51 @@ def cdc_envelope_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("row_valid_start_timestamp", "row_valid_expiration_timestamp")
     )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS o_custkey, ts, MAX(value) AS v
+        FROM events GROUP BY user_id, ts
+    ),
+    cand AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               MIN(ev.ts) AS nxt_ts
+        FROM orders o
+        LEFT JOIN ev ON ev.o_custkey = o.o_custkey
+                    AND ev.ts >= o.o_orderdate
+                    AND ev.ts <= o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    )
+    SELECT c.o_orderkey, c.o_custkey,
+           CAST(c.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           ev.v AS next_event_value
+    FROM cand c
+    LEFT JOIN ev ON ev.o_custkey = c.o_custkey AND ev.ts = c.nxt_ts
+    """,
+    doc="FORWARD as-of with 7-day tolerance: each order picks up the "
+        "next event value at or after its date, voided when the match "
+        "is further than 7 days out — the direction DuckDB's ASOF "
+        "JOIN lacks, so the oracle states the min-over-candidates "
+        "form (quadratic, oracle-scale only); the engine runs the "
+        "union+window plan (operators/asof.py), one shuffle, no "
+        "fan-out. Right side deduped per (key, ts) for determinism.",
+)
+def asof_join_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    return asof_join(
+        orders, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        right_values=["v"], direction="forward",
+        tolerance_seconds=7 * 86400,
+    ).withColumnRenamed("v", "next_event_value")

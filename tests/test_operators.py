@@ -298,3 +298,32 @@ def test_pagerank_star_graph(spark):
     # Hand-checked fixed point direction: hub collects 5 * leaf/1 each
     # iteration, leaves collect hub/5.
     assert r[0] > 1.0 > min(leaves)
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1),
+         (1, _ts("2024-01-01 12:00:00"), 2)],
+        "k int, t timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0),   # tie: visible forward
+         (1, _ts("2024-01-01 12:30:00"), 7.0)],
+        "k int, rt timestamp, px double",
+    )
+    fwd = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    right_values=["px"], direction="forward")
+    got = {r.lid: r.px for r in fwd.collect()}
+    assert got == {1: 5.0, 2: 7.0}
+
+    tight = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                      right_values=["px"], direction="forward",
+                      tolerance_seconds=600)
+    got2 = {r.lid: r.px for r in tight.collect()}
+    assert got2 == {1: 5.0, 2: None}  # 12:30 is 30 min out, > 10 min
+
+    back_tol = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                         right_values=["px"], direction="backward",
+                         tolerance_seconds=3600)
+    got3 = {r.lid: r.px for r in back_tol.collect()}
+    assert got3 == {1: 5.0, 2: None}  # 10:00 is 2 h back, > 1 h
