@@ -489,3 +489,59 @@ def asof_join_forward_tolerance(
         right_values=["v"], direction="forward",
         tolerance_seconds=7 * 86400,
     ).withColumnRenamed("v", "next_event_value")
+
+
+@register(
+    "range_join_signup_windows",
+    oracle="""
+    WITH sg AS (
+        SELECT event_id AS signup_id, user_id,
+               ts AS win_start, ts + INTERVAL 6 HOUR AS win_end
+        FROM events WHERE event_type = 'signup'
+    ),
+    pur AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT sg.signup_id, pur.purchase_id, pur.ts,
+           ROUND(pur.value, 6) AS value
+    FROM sg JOIN pur ON pur.user_id = sg.user_id
+                    AND pur.ts >= sg.win_start
+                    AND pur.ts <= sg.win_end
+    """,
+    doc="Range (point-in-interval) join: purchases landing inside the "
+        "6-hour window after the same user's signup. The oracle "
+        "states the theta-join semantics; the engine runs the "
+        "bucketed equi-join (operators/rangejoin.py) - intervals "
+        "explode to their hour-buckets, points map to one, the join "
+        "shuffles on (key, bucket) and the exact predicate verifies. "
+        "Linear fan-out; Spark's native plan for this predicate "
+        "shape is a per-key nested loop.",
+)
+def range_join_signup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        range_join_by_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sg = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_key"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_key"),
+        "ts",
+        "value",
+    )
+    out = range_join_by_bucket(
+        pur, sg,
+        point_key="p_key", interval_key="s_key",
+        point_ts="ts", lo="win_start", hi="win_end",
+        bucket_ms=3_600_000,
+    )
+    return out.select(
+        "signup_id", "purchase_id", "ts", F.round("value", 6).alias("value")
+    )

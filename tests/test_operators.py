@@ -327,3 +327,44 @@ def test_asof_join_forward_and_tolerance(spark):
                          tolerance_seconds=3600)
     got3 = {r.lid: r.px for r in back_tol.collect()}
     assert got3 == {1: 5.0, 2: None}  # 10:00 is 2 h back, > 1 h
+
+
+def test_range_join_matches_theta(spark):
+    """Bucketed range join must equal the naive theta join, including
+    boundary inclusivity, across bucket widths."""
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        range_join_by_bucket,
+    )
+
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 10),
+         (1, _ts("2024-01-03 12:00:00"), 11),
+         (1, _ts("2024-01-05 00:00:00"), 12),
+         (2, _ts("2024-01-02 00:00:00"), 13)],
+        "pk int, t timestamp, pid int",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 12:00:00"), 100),
+         (1, _ts("2024-01-04 00:00:00"), _ts("2024-01-06 00:00:00"), 101),
+         (2, _ts("2024-01-03 00:00:00"), _ts("2024-01-04 00:00:00"), 102)],
+        "ik int, lo timestamp, hi timestamp, iid int",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.pk == intervals.ik)
+            & (points.t >= intervals.lo)
+            & (points.t <= intervals.hi),
+        ).collect()
+    }
+    for bucket_ms in (3_600_000, 86_400_000, 7 * 86_400_000):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join_by_bucket(
+                points, intervals, "pk", "ik", "t", "lo", "hi",
+                bucket_ms=bucket_ms,
+            ).collect()
+        }
+        assert got == naive
+    assert (10, 100) in naive and (11, 100) in naive  # inclusive bounds
