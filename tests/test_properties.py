@@ -98,3 +98,126 @@ def test_sessionize_matches_model(spark, rows, gap):
             want[i] = sid
             prev = t
     assert got == want
+
+
+@given(left=_left_rows, right=_right_rows, tol=st.integers(1, 30))
+@settings(**_SETTINGS)
+def test_asof_forward_tolerance_matches_model(spark, left, right, tol):
+    rmap: dict[tuple[int, int], float] = {}
+    for k, t in right:
+        rmap[(k, t)] = float(max(rmap.get((k, t), float("-inf")), t * 10))
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left)],
+        "lid int, k int, t long",
+    ).select("lid", "k", F.timestamp_seconds("t").alias("t"))
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(None, None, None)],
+        "k int, rt long, v double",
+    ).where(F.col("k").isNotNull()).select(
+        "k", F.timestamp_seconds("rt").alias("rt"), "v"
+    )
+
+    got = {
+        r.lid: r.v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="rt",
+            right_values=["v"], direction="forward",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+
+    want = {}
+    for i, (k, t, _) in enumerate(left):
+        cands = [
+            (rt, v)
+            for (rk, rt), v in rmap.items()
+            if rk == k and t <= rt <= t + tol
+        ]
+        want[i] = min(cands)[1] if cands else None
+    assert got == want
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # Reference model: classic union-find.
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=20,
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 40)),
+        min_size=0, max_size=15,
+    ),
+    bucket_s=st.sampled_from([7, 24, 60]),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_model(spark, points, intervals, bucket_s):
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        range_join_by_bucket,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)] or [(None,) * 3],
+        "pid int, pk int, t long",
+    ).where(F.col("pid").isNotNull()).select(
+        "pid", "pk", F.timestamp_seconds("t").alias("t")
+    )
+    idf = spark.createDataFrame(
+        [(j, k, lo, lo + span) for j, (k, lo, span) in enumerate(intervals)]
+        or [(None,) * 4],
+        "iid int, ik int, lo long, hi long",
+    ).where(F.col("iid").isNotNull()).select(
+        "iid", "ik",
+        F.timestamp_seconds("lo").alias("lo"),
+        F.timestamp_seconds("hi").alias("hi"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_by_bucket(
+            pdf, idf, "pk", "ik", "t", "lo", "hi",
+            bucket_ms=bucket_s * 1000,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, t) in enumerate(points)
+        for j, (ik, lo, span) in enumerate(intervals)
+        if pk == ik and lo <= t <= lo + span
+    }
+    assert got == want
