@@ -16,3 +16,4 @@ import change_data_capture_poc_spark.queries.datapipe  # noqa: F401
 import change_data_capture_poc_spark.queries.operators_q  # noqa: F401
 import change_data_capture_poc_spark.queries.functions_q  # noqa: F401
 import change_data_capture_poc_spark.queries.sql_q  # noqa: F401
+import change_data_capture_poc_spark.queries.streaming_q  # noqa: F401

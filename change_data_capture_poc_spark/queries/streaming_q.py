@@ -1,0 +1,166 @@
+"""Streaming queries on the oracle-checked surface.
+
+Each query builds a REAL Structured Streaming pipeline (readStream →
+stateful transform → memory sink), drains it with ``availableNow``,
+and returns the sink's contents as the result DataFrame — so the
+driver's correctness gate exercises the streaming execution path
+end-to-end against a plain-SQL oracle, not just the batch twin.
+
+Determinism rules for streamed results:
+- emit KEYS or fully-aggregated values only — a streaming
+  ``dropDuplicates`` keeps whichever row arrived first, and arrival
+  order is not part of the contract;
+- aggregations drain in ``complete`` mode so no window is withheld by
+  a watermark at end-of-stream.
+
+``events.parquet`` is TIMESTAMP(NANOS): the streaming reader needs the
+same ``nanosAsLong`` + µs-truncation treatment as the batch catalog
+(sources/tables.load_table), mirrored here with an explicit schema
+(file streams require one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source only accepts DIRECTORIES (it watches them
+    for new files); the testdata table is a single parquet file, so
+    expose it through a per-SF symlink directory under /tmp — zero
+    copy, and exactly how a production stream would watch a landing
+    directory."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream_{key}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(
+        _events_stream_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_dedup_drain",
+    oracle="SELECT DISTINCT user_id FROM events",
+    doc="Streaming exact dedup, executed AS A STREAM: readStream over "
+        "the events parquet -> dropDuplicates state on user_id -> "
+        "memory sink, availableNow drain (streaming/dedup.py). Only "
+        "the key survives to the output (first-arrival payloads are "
+        "not part of the contract), so the plain DISTINCT oracle "
+        "checks the streaming state machinery exactly.",
+)
+def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.streaming.dedup import dedup_stream
+
+    ev = _stream_events(spark, sf_dir).select("user_id")
+    out = dedup_stream(ev, ["user_id"])
+    return _drain(out, "streaming_dedup_drain_tbl", "append")
+
+
+@register(
+    "streaming_hourly_rollup_drain",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    doc="Streaming tumbling-window rollup, executed AS A STREAM: "
+        "1-hour event-time windows aggregated in streaming state, "
+        "drained in complete mode so end-of-stream windows are not "
+        "withheld; the window struct is flattened to its start "
+        "timestamp (harness rule: no struct output columns). Oracle "
+        "is the batch GROUP BY over the same hours.",
+)
+def streaming_hourly_rollup_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select("ts", "value")
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("hour"), "n_events", "value_sum"
+    )
+    return _drain(out, "streaming_hourly_rollup_tbl", "complete")
+
+
+@register(
+    "streaming_session_window_drain",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Streaming session windows, executed AS A STREAM: "
+        "session_window(ts, 30 min) per user aggregated in streaming "
+        "state, complete-mode drain. Oracle replays the gap rule as "
+        "lag/cumsum SQL (same construction the batch "
+        "session_window_stats query pins). Window struct flattened "
+        "to the session start.",
+)
+def streaming_session_window_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "value_sum",
+    )
+    return _drain(out, "streaming_session_window_tbl", "complete")
