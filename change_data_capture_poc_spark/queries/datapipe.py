@@ -1582,9 +1582,10 @@ def text_tfidf_top_terms(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df derived FROM tf (rows are already distinct (doc, tok) pairs):
+    # no countDistinct two-phase agg, and the tf exchange is reused for
+    # both branches (ReusedExchange in the plan).
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
     scored = (
         tf.join(F.broadcast(dfreq), "tok")

@@ -545,3 +545,107 @@ def range_join_signup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "signup_id", "purchase_id", "ts", F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    SELECT doc_id, 64 AS width, 64 AS height, 64 AS n_bytes,
+           hex(encode(substring(text, 1, 8))) AS prefix_hex
+    FROM documents
+    """,
+    doc="Resize stage through the real mapInPandas plumbing "
+        "(operators/multimodal.py resize_media_batch): target dims "
+        "64x64, fake payload = bytes truncated/padded to area/64. The "
+        "oracle reproduces the output contract byte-for-byte (dims, "
+        "payload length, first-8-bytes hex) — swap in PIL and only "
+        "the Python body changes.",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.multimodal import (
+        resize_media_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    r = resize_media_batch(d, "payload", target_w=64, target_h=64)
+    return r.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_bytes"),
+        F.hex(F.substring("payload", 1, 8)).alias("prefix_hex"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1, 2))
+                AS INT) AS frame_idx
+    FROM documents
+    """,
+    doc="Frame-sampling stage (row-expanding mapInPandas — the UDF "
+        "analogue of explode): every 2nd frame kept, fake frame count "
+        "= n_bytes % 30 + 1 (decode_media_batch's formula). Oracle "
+        "unnests the identical index range per document.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.multimodal import (
+        sample_frames_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames_batch(d, "payload", every_nth=2).select(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
+    "multimodal_feature_argmax",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(16), b ->
+                   len(list_filter(range(len(text)),
+                                   i -> ord(text[i+1]) % 16 = b))) AS counts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_position(counts, list_aggregate(counts, 'max')) - 1
+                AS INT) AS top_bucket,
+           CAST(list_aggregate(counts, 'max') AS INT) AS top_count
+    FROM h
+    """,
+    doc="Feature-extraction stage (fake encoder: 16-bucket normalized "
+        "byte histogram, plumbing-identical to a vision/audio model "
+        "emitting array<float>): the harness-facing projection is the "
+        "dominant bucket + its raw count (arrays don't cross the "
+        "bridge; the count is reconstructed exactly from the float32 "
+        "share x n_bytes, error << 0.5). Oracle recomputes the "
+        "histogram from character codes (documents are ASCII, so "
+        "byte == codepoint); first-max tie rule matches numpy argmax.",
+)
+def multimodal_feature_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.multimodal import (
+        extract_features_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    f = extract_features_batch(d, "payload", dim=16)
+    top = F.array_max("features")
+    return f.select(
+        "doc_id",
+        (F.array_position(F.col("features"), top) - 1)
+        .cast("int")
+        .alias("top_bucket"),
+        F.round(top * F.octet_length("payload"))
+        .cast("int")
+        .alias("top_count"),
+    )
