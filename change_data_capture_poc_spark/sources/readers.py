@@ -120,3 +120,39 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning contract as parquet
     (predicate pushdown + column pruning reach the reader)."""
     return spark.read.orc(path)
+
+
+def read_envelope_log_tolerant(
+    spark: SparkSession,
+    path: str,
+    row_fields: list[T.StructField],
+    quarantine_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Envelope log scan that SURVIVES malformed lines (an at-least-
+    once transport WILL deliver truncated/garbled messages): PERMISSIVE
+    mode parses what it can and lands the raw text of unparseable
+    lines in ``quarantine_col`` instead of failing the job or silently
+    dropping them (DROPMALFORMED). Callers split the frame:
+
+        ok  = df.where(df[quarantine_col].isNull()).drop(quarantine_col)
+        bad = df.where(df[quarantine_col].isNotNull())
+
+    and route ``bad`` to a quarantine sink for replay — at 100 TB a
+    FAILFAST job restart costs hours; a quarantine table costs a
+    filter.
+
+    Note: Spark refuses queries that reference ONLY the corrupt-record
+    column of an uncached raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    ``.cache()`` (or persist to a table) the returned frame before
+    splitting it.
+    """
+    schema = T.StructType(
+        envelope_schema(row_fields).fields
+        + [T.StructField(quarantine_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", quarantine_col)
+        .json(path)
+    )

@@ -26,3 +26,24 @@ def test_oracle_queries_are_well_formed():
         if q.oracle is not None:
             assert "SELECT" in q.oracle.upper(), name
         assert q.doc, f"{name}: every query needs its design note"
+
+
+def test_representative_queries_deterministic(spark, sf_dir):
+    """Two executions of the same query must produce identical rows —
+    guards against nondeterministic expressions (rand, monotonically_
+    increasing_id, unstable tie-breaks) sneaking into the surface."""
+    from change_data_capture_poc_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "scd2_user_state",
+        "dedup_minhash_lsh",
+        "ann_cosine_lsh_hyperplane",
+        "text_tfidf_top_terms",
+        "dedup_cluster_label_propagation",
+    ):
+        a = {tuple(r) for r in qs[name].fn(spark, sf_dir).collect()}
+        b = {tuple(r) for r in qs[name].fn(spark, sf_dir).collect()}
+        assert a == b, f"{name} not deterministic across runs"
+        assert a, f"{name} returned no rows at smoke SF"
+        spark.catalog.clearCache()

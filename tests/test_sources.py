@@ -166,3 +166,35 @@ def test_sorted_layout_enables_file_pruning(spark, sf_dir, tmp_path):
 
     back = spark.read.parquet(p)
     assert back.count() == src.count()
+
+
+def test_envelope_log_tolerant_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.cdc.envelope import PRODUCT_FIELDS
+    from change_data_capture_poc_spark.cdc.generator import CdcGenerator
+    from change_data_capture_poc_spark.sources.readers import (
+        read_envelope_log_tolerant,
+    )
+
+    gen = CdcGenerator(seed=9)
+    good = gen.products_df(spark, num_records=20).toJSON().collect()
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    with open(os.path.join(src, "log.json"), "w") as f:
+        f.write("\n".join(good[:10]))
+        f.write("\n{truncated json...\n")            # malformed
+        f.write("not json at all\n")                  # malformed
+        f.write("\n".join(good[10:]))
+
+    # Spark disallows queries touching ONLY the corrupt-record column
+    # on an uncached raw scan — cache the parsed frame first (the
+    # pattern the reader's docstring prescribes).
+    df = read_envelope_log_tolerant(spark, src, PRODUCT_FIELDS).cache()
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    ok = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert bad.count() == 2
+    assert ok.count() == len(good)
+    # Quarantined rows keep the raw text for replay.
+    raws = {r._corrupt_record for r in bad.collect()}
+    assert "not json at all" in raws
