@@ -66,8 +66,10 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming drain {name} did not finish in 300s")
     return stream_df.sparkSession.table(name)
 
 
