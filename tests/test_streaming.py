@@ -296,3 +296,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r.o_id, r.e_id)
            for r in spark.read.parquet(str(tmp_path / "jout")).collect()}
     assert got == {(11, 1), (22, 3)}
+
+
+def test_synthetic_envelope_stream_liveness(spark, tmp_path):
+    """The rate-source CDC twin must emit decodable envelopes with
+    strictly increasing lsn and the reference op mix categories."""
+    from change_data_capture_poc_spark.streaming.synthetic import (
+        stream_synthetic_envelopes,
+    )
+
+    stream = stream_synthetic_envelopes(spark, rows_per_second=200)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synthetic_env_tbl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("synthetic_env_tbl").count() >= 100:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = spark.table("synthetic_env_tbl")
+    n = got.count()
+    assert n >= 100
+    decoded = decode_envelope(got)
+    ops = {r.operation_type for r in decoded.select("operation_type").distinct().collect()}
+    assert "CREATE" in ops and ("UPDATE" in ops or "DELETE" in ops)
+    lsns = [r.log_seq_num for r in decoded.select("log_seq_num").collect()]
+    assert len(set(lsns)) == len(lsns)  # unique, monotone sequence ids
