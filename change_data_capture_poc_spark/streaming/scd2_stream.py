@@ -85,6 +85,22 @@ class IncrementalScd2:
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.scd2_path).drop("bucket")
 
+    def reconcile(self) -> None:
+        """Repair path: recompute EVERY bucket from the landed log.
+
+        A stream stopped between the log append and the SCD2 overwrite
+        leaves the table lagging the log by one micro-batch; the log is
+        the source of truth (exactly the reference's recompute-from-log
+        stance, transform_scd2.py:20), so a full recompute restores the
+        invariant. Run after unclean shutdown or on a maintenance
+        cadence; cost is one pass over the log, same as the batch
+        path."""
+        log = self.spark.read.parquet(self.log_path)
+        out = scd2_recompute(log.drop("bucket"), self.attr_fields)
+        self._bucket(out).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(self.scd2_path)
+
 
 def run_incremental_scd2(
     spark: SparkSession,

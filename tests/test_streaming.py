@@ -332,3 +332,52 @@ def test_synthetic_envelope_stream_liveness(spark, tmp_path):
     assert "CREATE" in ops and ("UPDATE" in ops or "DELETE" in ops)
     lsns = [r.log_seq_num for r in decoded.select("log_seq_num").collect()]
     assert len(set(lsns)) == len(lsns)  # unique, monotone sequence ids
+
+
+def test_live_synthetic_cdc_to_scd2(spark, tmp_path):
+    """The reference's whole pipeline, LIVE: rate-source CDC envelopes
+    -> foreachBatch incremental SCD2 -> after shutdown + reconcile,
+    the materialized table equals the batch recompute over the landed
+    log (streaming <-> batch equivalence on a real running stream)."""
+    import time
+
+    from change_data_capture_poc_spark.streaming.scd2_stream import (
+        IncrementalScd2,
+    )
+    from change_data_capture_poc_spark.streaming.synthetic import (
+        stream_synthetic_envelopes,
+    )
+
+    log_p = str(tmp_path / "log")
+    scd2_p = str(tmp_path / "scd2")
+    stream = stream_synthetic_envelopes(spark, rows_per_second=300, n_keys=50)
+    inc = IncrementalScd2(spark, log_p, scd2_p, n_buckets=4)
+    q = (
+        stream.writeStream.foreachBatch(inc.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        landed = 0
+        while time.time() < deadline:
+            try:
+                landed = spark.read.parquet(log_p).count()
+            except Exception:
+                landed = 0
+            if landed >= 300:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert landed >= 300
+
+    # The stream may have stopped between log append and table
+    # overwrite — reconcile restores the table-equals-log invariant.
+    inc.reconcile()
+    log = spark.read.parquet(log_p).drop("bucket")
+    expect = {tuple(r) for r in scd2_recompute(log).collect()}
+    got = {tuple(r) for r in inc.result().collect()}
+    assert got == expect
+    assert len(got) >= 300
