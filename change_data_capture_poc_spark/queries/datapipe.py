@@ -1706,3 +1706,100 @@ def events_hour_grid_fill(spark, sf_dir):
             F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH
+    {_MINHASH_PAIRS_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    doc="Triangle count over the minhash near-dup graph — the density "
+        "signal that distinguishes template families (cliques) from "
+        "chance collisions (stray edges). Canonical a<b<c edge "
+        "orientation makes it two equi-joins with zero double "
+        "counting; at scale the joins shuffle on the edge endpoints "
+        "and the heavy-hitter mitigation is degree-ordering the "
+        "orientation (here id-ordering — dup-graph degrees are "
+        "bounded by family size).",
+)
+def graph_triangle_count(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir).persist()
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_id_a") == F.col("e1.doc_id_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_id_a") == F.col("e1.doc_id_a"))
+            & (F.col("e3.doc_id_b") == F.col("e2.doc_id_b")),
+        )
+    )
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(range(len(text)), i -> text[i+1]) AS chars
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, len(chars) AS n,
+               list_transform(list_distinct(chars), ch ->
+                   len(list_filter(chars, x -> x = ch))) AS counts
+        FROM c
+    )
+    SELECT doc_id,
+           ROUND(-list_aggregate(
+               list_transform(counts,
+                   k -> (k * 1.0 / n) * ln(k * 1.0 / n)),
+               'sum'), 6) AS entropy
+    FROM h
+    """,
+    doc="Character-level Shannon entropy per document (nats) — the "
+        "Gopher-family signal that flags mojibake (high) and "
+        "boilerplate/repetition (low). Engine side: explode chars -> "
+        "per-(doc, char) counts -> entropy in one agg over the counts "
+        "(sum of p ln p is order-independent; rounded to 6 for the "
+        "float bridge).",
+)
+def text_char_entropy(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)(?=.)")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n"),
+            # Sorted so the float sum has ONE canonical order — a
+            # collect_list order varying across runs could flip the
+            # 6th rounded decimal at a boundary.
+            F.sort_array(F.collect_list("k")).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                -F.aggregate(
+                    F.transform(
+                        "ks",
+                        lambda k: (k * 1.0 / F.col("n"))
+                        * F.log(k * 1.0 / F.col("n")),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )
