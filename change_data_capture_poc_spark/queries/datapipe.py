@@ -1803,3 +1803,62 @@ def text_char_entropy(spark, sf_dir):
             ).alias("entropy"),
         )
     )
+
+
+@register(
+    "sample_weighted_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < LEAST(n_chars, 500) * 1000
+    """,
+    doc="Deterministic WEIGHTED sampling: keep probability proportional "
+        "to document length (p = min(n_chars, 500)/1000) decided by "
+        "md5(doc_id) against the scaled threshold — importance "
+        "sampling for mixture construction with zero RNG state, "
+        "reproducible across engines/partitionings/runs. Pure filter, "
+        "no shuffle.",
+)
+def sample_weighted_hash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return d.where(
+        h < F.least(F.col("n_chars"), F.lit(500)) * 1000
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_fixed_per_stratum",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 20
+    """,
+    doc="Fixed-size-per-stratum sampling: exactly 20 docs per language, "
+        "chosen by ranking each stratum on md5(doc_id) — a "
+        "deterministic uniform draw (hash order is uncorrelated with "
+        "content) that replaces reservoir sampling; one window "
+        "shuffle on the stratum key.",
+)
+def sample_fixed_per_stratum(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
