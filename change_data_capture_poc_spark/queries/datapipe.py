@@ -1862,3 +1862,53 @@ def sample_fixed_per_stratum(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b, lvl) AS (
+        SELECT a, b, 1 FROM edges
+        UNION ALL
+        SELECT r.a, e.b, r.lvl + 1
+        FROM reach r JOIN edges e ON r.b = e.a
+        WHERE r.lvl < 5
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Recursive CTE on the SPARK SQL surface (Spark 4 WITH "
+        "RECURSIVE): 5-hop bounded reachability over the minhash "
+        "near-dup graph, reduced to per-node minimum reachable id. "
+        "Spark's recursion supports UNION ALL only, so cycles are "
+        "bounded by an explicit level guard — both engines run the "
+        "IDENTICAL bounded recursion. Depth 5 >= the dup-graph "
+        "diameter here, so this equals the full closure; unbounded "
+        "walk counting grows exponentially with clique size, which "
+        "is why the ENGINE path for clustering is label propagation "
+        "(dedup_cluster_label_propagation), not recursion — this "
+        "query exists to prove the SQL feature end-to-end.",
+)
+def sql_recursive_reachability(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs.createOrReplaceTempView("mh_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM mh_pairs
+                  UNION SELECT doc_id_b, doc_id_a FROM mh_pairs),
+        reach(a, b, lvl) AS (
+            SELECT a, b, 1 FROM edges
+            UNION ALL
+            SELECT r.a, e.b, r.lvl + 1
+            FROM reach r JOIN edges e ON r.b = e.a
+            WHERE r.lvl < 5
+        )
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+        """
+    )

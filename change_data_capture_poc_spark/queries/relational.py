@@ -568,3 +568,34 @@ def set_union_all(spark, sf_dir):
         F.col("c_custkey").alias("custkey")
     )
     return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, ROUND(SUM(value), 4) AS total
+    FROM (SELECT l_returnflag, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem)
+         UNPIVOT (value FOR metric IN
+                  (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY l_returnflag, metric
+    """,
+    doc="UNPIVOT (wide -> long melt): four measure columns become "
+        "(metric, value) rows, aggregated per return flag - the "
+        "inverse of pivot_agg and the standard shape for feeding "
+        "generic metric pipelines. Unpivot is a zero-shuffle "
+        "projection (row expansion); the only exchange is the "
+        "final aggregation.",
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("value"), 4).alias("total")
+    )
