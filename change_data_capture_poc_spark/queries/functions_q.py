@@ -436,3 +436,26 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", F.posexplode("w").alias("pos", "tok")
     )
+
+
+@register(
+    "explode_tokens_with_position",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, w[u.i] AS tok
+    FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+    """,
+    doc="posexplode (ordinal-preserving flatten): each token with its "
+        "0-based position — the shape sequence models need (token, "
+        "position) and the UDTF surface the reference lacks. Zero "
+        "shuffles; DuckDB replays it as a lateral unnest over the "
+        "index range.",
+)
+def explode_tokens_with_position(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )

@@ -599,3 +599,28 @@ def unpivot_lineitem_metrics(spark, sf_dir):
     return melted.groupBy("l_returnflag", "metric").agg(
         F.round(F.sum("value"), 4).alias("total")
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="RIGHT OUTER join (completes the join-type matrix with "
+        "inner/left/full/cross/semi/anti): every customer survives, "
+        "orderless ones count zero. Catalyst plans it as the mirrored "
+        "left join with the dim broadcast.",
+)
+def join_right_outer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "right_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
