@@ -20,6 +20,43 @@ def test_all_queries_build_and_have_stable_schemas(spark, sf_dir):
         assert df.schema.fields, name
 
 
+def test_no_harness_hostile_output_types(spark, sf_dir):
+    """The round-1 failure class, pinned forever: result columns must
+    never be array/map/struct typed (the driver's pandas row hash dies
+    on unhashable cells) and never TIMESTAMP columns that can carry the
+    year-9999 SCD2 sentinels (datetime64[ns] overflow in the bridge) —
+    sentinel-bearing queries must emit epoch-millis BIGINT instead.
+    Schema analysis only; costs no execution."""
+    from pyspark.sql import types as T
+
+    qs = all_queries()
+    sentinel_emitters = {
+        # Queries whose validity columns COULD hold 9999 sentinels; the
+        # assertion below proves they emit them as integers.
+        "scd2_user_state": {"row_valid_start_ms", "row_valid_expiration_ms"},
+        "scd2_merge_changed_versions": {"valid_from_ms", "valid_to_ms"},
+        "cdc_envelope_scd2_e2e": {
+            "row_valid_start_ms",
+            "row_valid_expiration_ms",
+        },
+    }
+    for name, q in sorted(qs.items()):
+        df = q.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), f"{name}.{f.name}: complex type {f.dataType.simpleString()}"
+        if name in sentinel_emitters:
+            got = {f.name for f in df.schema.fields}
+            missing = sentinel_emitters[name] - got
+            assert not missing, f"{name}: sentinel columns not ms-bridged: {missing}"
+            for f in df.schema.fields:
+                if f.name in sentinel_emitters[name]:
+                    assert isinstance(f.dataType, T.LongType), (
+                        f"{name}.{f.name} must be epoch-ms BIGINT"
+                    )
+
+
 def test_oracle_queries_are_well_formed():
     qs = all_queries()
     for name, q in qs.items():
