@@ -6,6 +6,13 @@ to_timestamp (§2.9); a usable analytics engine needs the full scalar
 surface, so every family gets an oracle-checked query here: strings,
 dates, math, window frames, distribution windows, grouping sets, and
 time-bucketed rollups. All built-ins — whole-stage-codegen'd, no UDFs.
+
+Rounding-tie rule: columns produced by DIVISION BY SMALL INTEGERS
+(avg, percent_rank, cume_dist) systematically land on exact .xxxxx5
+halves, where Spark rounds half-up but DuckDB rounds half-even —
+so those ROUNDs add 1e-9 on BOTH sides, pushing the half-way points
+off the boundary identically in each engine (surfaced by the sf0.1
+sweep; sums of many-decimal doubles don't have this failure mode).
 """
 
 from __future__ import annotations
@@ -153,8 +160,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-                 6) AS mov_avg,
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 + 1e-9, 6) AS mov_avg,
            MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                AS mov_max,
@@ -176,7 +183,7 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        F.round(F.avg("value").over(w) + 1e-9, 6).alias("mov_avg"),
         F.max("value").over(w).alias("mov_max"),
         F.count("value").over(w).alias("mov_n"),
     )
@@ -187,8 +194,8 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ntile(4) OVER w AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pr,
-           ROUND(cume_dist() OVER w, 6) AS cd,
+           ROUND(percent_rank() OVER w + 1e-9, 6) AS pr,
+           ROUND(cume_dist() OVER w + 1e-9, 6) AS cd,
            first_value(c_custkey) OVER w AS richest,
            nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
                                          ORDER BY c_acctbal DESC, c_custkey
@@ -210,8 +217,8 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pr"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cd"),
         F.first("c_custkey").over(w).alias("richest"),
         F.nth_value("c_custkey", 2).over(wfull).alias("second"),
     )
@@ -254,7 +261,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS users,
            ROUND(SUM(value), 4) AS value_sum,
-           ROUND(AVG(value), 6) AS value_avg
+           ROUND(AVG(value) + 1e-9, 6) AS value_avg
     FROM events
     GROUP BY 1, 2
     """,
@@ -272,7 +279,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("users"),
             F.round(F.sum("value"), 4).alias("value_sum"),
-            F.round(F.avg("value"), 6).alias("value_avg"),
+            F.round(F.avg("value") + 1e-9, 6).alias("value_avg"),
         )
     )
 
