@@ -123,7 +123,7 @@ _JACCARD_T = 0.8
         GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b,
-           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+           ROUND(c * 1.0 / (sa.n + sb.n - c) + 1e-9, 6) AS jaccard
     FROM inter
     JOIN sizes sa ON inter.doc_id_a = sa.doc_id
     JOIN sizes sb ON inter.doc_id_b = sb.doc_id
@@ -228,7 +228,7 @@ def ngram_jaccard_pairs(spark, sf_dir, rarest_first: bool = False):
         cand.join(ga, "doc_id_a")
         .join(gb, "doc_id_b")
         .where(jac >= _JACCARD_T)
-        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_id_a", "doc_id_b", F.round(jac + 1e-9, 6).alias("jaccard"))
     )
 
 
@@ -1132,7 +1132,8 @@ def pack_concat_chunks(spark, sf_dir):
            SUM(n_chars) AS chars,
            COUNT(*) AS docs,
            ROUND(SUM(n_chars) * 1.0 /
-                 SUM(SUM(n_chars)) OVER (PARTITION BY lang), 6) AS share
+                 SUM(SUM(n_chars)) OVER (PARTITION BY lang) + 1e-9,
+                 6) AS share
     FROM documents
     GROUP BY lang, source
     """,
@@ -1153,7 +1154,7 @@ def corpus_source_mix(spark, sf_dir):
         "source",
         "chars",
         "docs",
-        F.round(F.col("chars") * 1.0 / F.sum("chars").over(w), 6).alias(
+        F.round(F.col("chars") * 1.0 / F.sum("chars").over(w) + 1e-9, 6).alias(
             "share"
         ),
     )
@@ -1257,7 +1258,7 @@ def text_quality_filter(spark, sf_dir):
            CAST(SUM(c) AS BIGINT) AS n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
            CAST(MAX(c) AS BIGINT) AS top_gram_count,
-           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_fraction
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c) + 1e-9, 6) AS dup_fraction
     FROM counts GROUP BY doc_id
     """,
     doc="Within-document repetition stats (the Gopher repetition "
@@ -1289,7 +1290,7 @@ def text_repetition_stats(spark, sf_dir):
         F.sum("c").cast("long").alias("n_grams"),
         F.count("*").cast("long").alias("n_distinct"),
         F.max("c").cast("long").alias("top_gram_count"),
-        F.round(1.0 - F.count("*") * 1.0 / F.sum("c"), 6).alias(
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("c") + 1e-9, 6).alias(
             "dup_fraction"
         ),
     )
@@ -1526,7 +1527,7 @@ def text_top_tokens(spark, sf_dir):
     SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
            CAST(SUM(n) AS BIGINT) AS total_tokens,
            CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax_count,
-           ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS type_token_ratio
+           ROUND(COUNT(*) * 1.0 / SUM(n) + 1e-9, 6) AS type_token_ratio
     FROM c
     """,
     doc="Corpus vocabulary statistics: vocabulary size, total tokens, "
@@ -1545,7 +1546,7 @@ def text_vocab_stats(spark, sf_dir):
         F.count("*").cast("long").alias("vocab_size"),
         F.sum("n").cast("long").alias("total_tokens"),
         F.sum((F.col("n") == 1).cast("long")).alias("hapax_count"),
-        F.round(F.count("*") * 1.0 / F.sum("n"), 6).alias(
+        F.round(F.count("*") * 1.0 / F.sum("n") + 1e-9, 6).alias(
             "type_token_ratio"
         ),
     )
