@@ -48,6 +48,9 @@ PROBES = (
     "ann_cosine_lsh_hyperplane",
     "dedup_embedding_cosine",
     "sql_small_qty_revenue",
+    "range_join_signup_windows",
+    "events_funnel",
+    "text_tfidf_top_terms",
 )
 
 
