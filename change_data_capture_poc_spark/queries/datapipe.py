@@ -1913,3 +1913,117 @@ def sql_recursive_reachability(spark, sf_dir):
         FROM reach GROUP BY a
         """
     )
+
+
+# --------------------------------------------------------------------
+# Training-data hygiene: PII redaction and benchmark decontamination
+# --------------------------------------------------------------------
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '\d{6,}', '[ID]', 'g') AS redacted_name,
+           regexp_replace(c_name, '\d{6}(\d{3})', 'XXXXXX\1', 'g') AS masked_name,
+           CAST(len(regexp_extract_all(c_name, '\d{6,}')) AS INT) AS n_redactions
+    FROM customer
+    """,
+    doc="PII scrubbing pass a training-data pipeline runs before any "
+        "text ships: long digit runs (account-number shaped) are "
+        "either fully redacted to a typed placeholder or masked "
+        "keeping the last 3 digits via a capture group. Pure JVM "
+        "regexp_replace/regexp_extract_all — whole-stage codegen, no "
+        "shuffle at all (map-only over the scan), so it streams at "
+        "full scan bandwidth over 100 TB. Patterns avoid lookaround "
+        "so the exact same regex runs on Java regex and RE2 engines "
+        "(reference delegates all text ops to the engine: "
+        "transform_scd2.py keeps payloads opaque).",
+)
+def text_pii_redact(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    digits = r"\d{6,}"
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", digits, "[ID]").alias("redacted_name"),
+        F.regexp_replace("c_name", r"\d{6}(\d{3})", r"XXXXXX$1").alias(
+            "masked_name"
+        ),
+        F.size(F.regexp_extract_all("c_name", F.lit(digits), F.lit(0)))
+        .cast("int")
+        .alias("n_redactions"),
+    )
+
+
+# Benchmark-contamination check: 3-gram shingles here because the
+# synthetic vocabulary is ~40 words (40^3 = 64k gram space) — real
+# decontamination uses 8-13-gram windows; the plan is identical, only
+# the constant changes. The benchmark set is the deterministic
+# doc_id % 29 == 0 slice (the "eval set" a pipeline must not train on).
+_DECON_N = 3
+_DECON_MOD = 29
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - {_DECON_N - 1}),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+        FROM t WHERE len(w) >= {_DECON_N}
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {_DECON_MOD} = 0),
+    hits AS (
+        SELECT e.doc_id, COUNT(*) AS c
+        FROM e JOIN bench USING (gram)
+        WHERE e.doc_id % {_DECON_MOD} <> 0
+        GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(c, 0) * 1.0 / len(grams) + 1e-9, 6) AS overlap_ratio,
+           CAST(COALESCE(c, 0) > 0 AS INT) AS contaminated
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    """,
+    doc="Benchmark decontamination: per-document count of distinct "
+        "word n-grams shared with a held-out benchmark slice. The "
+        "benchmark gram set is tiny relative to the corpus (an eval "
+        "set vs 100 TB), so it is broadcast and the check is a "
+        "map-side semi-join + one groupBy on doc_id — the corpus is "
+        "never shuffled by gram. Every doc gets a row (LEFT join), "
+        "so 'clean' is an explicit 0, not an absent row.",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= _DECON_N
+    )
+    g = toks.select(
+        "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
+    )
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    bench = e.where(is_bench).select("gram").distinct()
+    hits = (
+        e.where(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    base = g.where(~is_bench).select(
+        "doc_id", F.size("grams").alias("n_grams")
+    )
+    n_over = F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_over.alias("n_overlap"),
+        F.round(n_over / F.col("n_grams") + F.lit(1e-9), 6).alias(
+            "overlap_ratio"
+        ),
+        (n_over > 0).cast("int").alias("contaminated"),
+    )

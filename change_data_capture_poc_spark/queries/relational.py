@@ -624,3 +624,83 @@ def join_right_outer(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(q AS INT) AS q,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice) + 1e-9, 6) AS lo_price,
+           ROUND(MAX(o_totalprice) + 1e-9, 6) AS hi_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS q
+        FROM orders
+    )
+    GROUP BY o_orderpriority, q
+    """,
+    doc="NTILE(4) quartile bucketing per priority class, reduced to "
+        "per-bucket count/min/max. One hash-partition window exchange "
+        "on o_orderpriority (5 groups) then a partial-agg groupBy; the "
+        "o_orderkey tiebreak makes bucket boundaries deterministic "
+        "across engines. At 100 TB the priority partitions are large "
+        "but ntile is a single sort per partition — same shape as any "
+        "ranking window, and AQE splits skewed partitions.",
+)
+def window_ntile_quartiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).cast("int").alias("q"),
+        )
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice") + F.lit(1e-9), 6).alias("lo_price"),
+            F.round(F.max("o_totalprice") + F.lit(1e-9), 6).alias("hi_price"),
+        )
+    )
+
+
+@register(
+    "agg_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-9, 6) AS q25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.75) + 1e-9, 6) AS q75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="EXACT grouped median / quartiles (vs the sketch-based "
+        "agg_approx_sketches): Spark percentile() == DuckDB "
+        "quantile_cont() — both linear-interpolation exact. Exact "
+        "percentiles need the full value multiset per group, so this "
+        "is the expensive truth path you run on samples or small "
+        "groups; the 100 TB default is the t-digest sketch in "
+        "agg_approx_sketches. Rounding epsilon bridges half-up vs "
+        "half-even ties on the interpolated midpoints.",
+)
+def agg_exact_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(l_quantity, 0.5)") + F.lit(1e-9), 6).alias(
+            "med_qty"
+        ),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.25)") + F.lit(1e-9), 6
+        ).alias("q25_price"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.75)") + F.lit(1e-9), 6
+        ).alias("q75_price"),
+    )
