@@ -649,3 +649,64 @@ def multimodal_feature_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("top_count"),
     )
+
+
+@register(
+    "global_ordinal_ids",
+    oracle="""
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) % 16 AS INT)
+               AS shard
+    FROM documents
+    """,
+    doc="Contiguous global ordinals (training-shard ids) WITHOUT the "
+        "single-partition global window that ROW_NUMBER() OVER "
+        "(ORDER BY ...) plans — that window funnels 100 TB through "
+        "one task. Instead: band the order key into P ranges with "
+        "DETERMINISTIC integer math from a one-row min/max aggregate "
+        "(repartitionByRange is unusable here: its sampled boundaries "
+        "can differ between the two evaluations of the subtree, "
+        "desynchronizing counts from rows — observed at sf0.1), "
+        "count rows per band (P rows), exclusive-prefix-sum the "
+        "counts (a window over P rows, never over data), broadcast "
+        "the offsets back, and add a per-band local row_number. "
+        "The only data-sized exchange is the hash partition on the "
+        "band id + its per-band sort — fully parallel. The oracle "
+        "states the naive global-window semantics. Round-robin "
+        "shard = (ordinal-1) % 16 balances shards to within one row.",
+)
+def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bands = 8
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    p = d.crossJoin(F.broadcast(stats)).withColumn(
+        "pid",
+        F.expr(
+            f"CAST(((doc_id - lo) * {n_bands}) DIV (hi - lo + 1) AS INT)"
+        ),
+    )
+    counts = p.groupBy("pid").agg(F.count("*").alias("c"))
+    # Offsets: exclusive prefix sum over one-row-per-band data — the
+    # window is single-partition but bounded by n_bands, never by the
+    # data.
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    ordinal = (F.col("off") + F.row_number().over(w_local)).cast("bigint")
+    return (
+        p.drop("lo", "hi").join(F.broadcast(offs), "pid")
+        .select(
+            "doc_id",
+            "lang",
+            ordinal.alias("ordinal"),
+            ((ordinal - 1) % 16).cast("int").alias("shard"),
+        )
+    )
