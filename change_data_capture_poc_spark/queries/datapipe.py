@@ -2027,3 +2027,41 @@ def decontaminate_ngram_overlap(spark, sf_dir):
         ),
         (n_over > 0).cast("int").alias("contaminated"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - mu) / sigma + 1e-9, 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE ROUND((value - mu) / sigma + 1e-9, 6) > 3
+    """,
+    doc="Statistical outlier filter (z-score > 3 per event class) — "
+        "the numeric-column anomaly screen a training pipeline runs "
+        "before ingesting telemetry-derived features. Two passes over "
+        "the facts: one partial-agg shuffle for the 5-row per-class "
+        "moment table, then a broadcast join + map-side filter — the "
+        "fact table is never shuffled. The filter compares the SAME "
+        "rounded expression both engines emit, so the threshold "
+        "decision is identical across float implementations.",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mu")) / F.col("sigma") + F.lit(1e-9), 6
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .where(F.col("zscore") > 3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
