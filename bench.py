@@ -47,6 +47,9 @@ HEADLINE = (
     "graph_pagerank_minhash",   # iterative power method over dup graph
     "text_tfidf_top_terms",     # tf-idf with broadcast idf join
     "events_funnel",            # single-fold ordered funnel
+    "decontaminate_ngram_overlap",  # benchmark-overlap hygiene check
+    "global_ordinal_ids",       # banded shard-id assignment
+    "events_anomaly_zscore",    # broadcast-moments outlier filter
 )
 
 

@@ -1999,12 +1999,20 @@ _DECON_MOD = 29
 )
 def decontaminate_ngram_overlap(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
-        F.size("w") >= _DECON_N
+    # The broadcast semi-join keeps the gram work map-side, so its
+    # parallelism is the SCAN's parallelism: a 100 TB scan has
+    # thousands of input splits, but a small test file has one, which
+    # serializes the explode (measured 5.4 s -> 0.5 s). Repartition to
+    # restore the cluster-shaped fan-out, and persist the gram table —
+    # it feeds three consumers (benchmark set, hit counts, base rows).
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= _DECON_N)
+        .repartition(32, "doc_id")
     )
     g = toks.select(
         "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
-    )
+    ).persist()
     is_bench = F.col("doc_id") % _DECON_MOD == 0
     e = g.select("doc_id", F.explode("grams").alias("gram"))
     bench = e.where(is_bench).select("gram").distinct()
