@@ -136,3 +136,23 @@ def test_lsh_buckets_pandas_matches_expression(spark, sf_dir):
     }
     pand = {r.vec_id: r.buckets for r in _lsh_buckets_pandas(e).collect()}
     assert expr == pand
+
+
+def test_global_ordinal_ids_deterministic_and_contiguous(spark, sf_dir):
+    """Pin the bug class found at sf0.1: repartitionByRange's sampled
+    boundaries differ between subtree re-evaluations, which silently
+    desynchronizes per-band counts from rows. The banded formulation
+    must (a) produce the same ordinals on every evaluation and
+    (b) produce exactly the contiguous 1..N ranking by doc_id."""
+    q = all_queries()["global_ordinal_ids"]
+    a = {r.doc_id: (r.ordinal, r.shard) for r in q.fn(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.ordinal, r.shard) for r in q.fn(spark, sf_dir).collect()}
+    assert a == b
+
+    n = len(a)
+    assert sorted(o for o, _ in a.values()) == list(range(1, n + 1))
+    # Ordinal order == doc_id order (unique key), shard = round-robin.
+    by_doc = sorted(a.items())
+    for rank, (_, (ordinal, shard)) in enumerate(by_doc, start=1):
+        assert ordinal == rank
+        assert shard == (ordinal - 1) % 16
