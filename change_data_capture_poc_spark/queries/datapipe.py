@@ -2073,3 +2073,51 @@ def events_anomaly_zscore(spark, sf_dir):
         .where(F.col("zscore") > 3)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type) + 1e-9, 6)
+               AS p_next
+    FROM p WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (the session-flow statistic behind next-action "
+        "models). One window shuffle on user_id for the LEAD, one "
+        "partial-agg shuffle to the 25-cell matrix; the normalizing "
+        "window then runs over 25 rows, never over data. The "
+        "(ts, event_id) tiebreak keeps sequences total-ordered, so "
+        "both engines see identical successor pairs.",
+)
+def events_transition_matrix(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w_norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w_norm) + F.lit(1e-9), 6
+        ).alias("p_next"),
+    )

@@ -704,3 +704,53 @@ def agg_exact_median(spark, sf_dir):
             F.expr("percentile(l_extendedprice, 0.75)") + F.lit(1e-9), 6
         ).alias("q75_price"),
     )
+
+
+@register(
+    "agg_listagg_top",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    top AS (
+        SELECT source, lang AS top_lang FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY c DESC, lang) = 1
+    ),
+    l AS (
+        SELECT source,
+               string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT l.source, langs, top_lang, n_docs
+    FROM l JOIN top USING (source)
+    """,
+    doc="LISTAGG / STRING_AGG shape plus a per-group mode: sorted "
+        "distinct languages as one delimited string per source, and "
+        "the most frequent language. Spark's mode() breaks frequency "
+        "ties nondeterministically, so the mode is computed as a "
+        "count + ROW_NUMBER ranking with a lexicographic tiebreak — "
+        "deterministic in both engines. collect_set stays bounded by "
+        "group cardinality (5 langs), not data; both aggregations "
+        "partial-combine map-side before the one shuffle each.",
+)
+def agg_listagg_top(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    l = d.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+            "langs"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+    return l.join(top, "source").select(
+        "source", "langs", "top_lang", "n_docs"
+    )
