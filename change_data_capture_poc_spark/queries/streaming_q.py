@@ -166,3 +166,39 @@ def streaming_session_window_drain(
         "value_sum",
     )
     return _drain(out, "streaming_session_window_tbl", "complete")
+
+
+@register(
+    "streaming_enrich_join_drain",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Stream-static enrichment join, executed AS A STREAM: the "
+        "event stream is joined to the static customer dimension "
+        "(broadcast — the canonical dim-enrichment shape: the stream "
+        "is unbounded, the dim ships to every task, no stream-side "
+        "shuffle for the join), then aggregated per market segment in "
+        "streaming state, complete-mode drain. Oracle is the batch "
+        "join + GROUP BY. At 100 TB/day the static side is re-read "
+        "per micro-batch, which is what keeps slowly-changing dims "
+        "fresh without restarting the query.",
+)
+def streaming_enrich_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = ev.join(F.broadcast(cust), "user_id")
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    return _drain(agg, "streaming_enrich_join_tbl", "complete")
