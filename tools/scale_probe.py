@@ -51,6 +51,9 @@ PROBES = (
     "range_join_signup_windows",
     "events_funnel",
     "text_tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "global_ordinal_ids",
+    "events_transition_matrix",
 )
 
 
