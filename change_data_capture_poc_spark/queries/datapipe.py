@@ -2121,3 +2121,117 @@ def events_transition_matrix(spark, sf_dir):
             F.col("n") / F.sum("n").over(w_norm) + F.lit(1e-9), 6
         ).alias("p_next"),
     )
+
+
+# --------------------------------------------------------------------
+# Data-quality: profiling and expectation validation
+# --------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "profile_table_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+    doc="Column-level data profiling (the ANALYZE/Deequ-style quality "
+        "gate a pipeline runs on every ingest batch): per column the "
+        "row/non-null/distinct counts and typed min/max, emitted in "
+        "long format. ONE pass over the table — all per-column "
+        "aggregates run in a single agg (Catalyst plans the "
+        "multi-distinct via expand), then the wide row is unpivoted "
+        "with stack(); the table is read once no matter how many "
+        "columns are profiled. min/max are computed on the native "
+        "type, then cast to string for the uniform report schema.",
+)
+def profile_table_columns(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val"
+    )
+
+
+_EXPECTATIONS = (
+    ("event_id_not_null", "event_id IS NULL"),
+    ("user_id_nonnegative", "user_id < 0"),
+    ("value_above_300", "value > 300"),
+    ("event_type_in_enum",
+     "event_type NOT IN ('click','view','purchase','signup','error')"),
+    ("ts_outside_2024_2025", "ts < TIMESTAMP '2024-01-01 00:00:00' OR "
+     "ts >= TIMESTAMP '2026-01-01 00:00:00'"),
+)
+
+
+@register(
+    "validate_events_expectations",
+    oracle="WITH s AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS r{i}"
+        for i, (_, pred) in enumerate(_EXPECTATIONS)
+    )
+    + " FROM events) "
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS rule,
+               CAST(r{i} AS BIGINT) AS n_violations,
+               ROUND(r{i} * 1.0 / n + 1e-9, 6) AS violation_rate
+        FROM s
+        """
+        for i, (name, _) in enumerate(_EXPECTATIONS)
+    ),
+    doc="Expectation-suite validation (Great-Expectations-style "
+        "ingest gate): each rule's violation count and rate over the "
+        "events table, ALL rules in one scan — conditional sums in a "
+        "single agg, unpivoted to one row per rule. Zero-violation "
+        "rows are part of the contract (a silent pass must still be "
+        "visible), and rules that do fire (value_above_300) prove "
+        "the counts flow. Map-side partial aggregation means the "
+        "scan dominates at 100 TB, same cost as one COUNT(*).",
+)
+def validate_events_expectations(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"r{i}")
+        for i, (_, pred) in enumerate(_EXPECTATIONS)
+    ]
+    wide = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', CAST(r{i} AS BIGINT)"
+        for i, (name, _) in enumerate(_EXPECTATIONS)
+    )
+    return wide.selectExpr(
+        f"stack({len(_EXPECTATIONS)}, {stack_args}) AS (rule, n_violations)",
+        "n",
+    ).select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n") + F.lit(1e-9), 6).alias(
+            "violation_rate"
+        ),
+    )
