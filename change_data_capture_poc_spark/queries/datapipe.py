@@ -1958,9 +1958,14 @@ def text_pii_redact(spark, sf_dir):
 # synthetic vocabulary is ~40 words (40^3 = 64k gram space) — real
 # decontamination uses 8-13-gram windows; the plan is identical, only
 # the constant changes. The benchmark set is the deterministic
-# doc_id % 29 == 0 slice (the "eval set" a pipeline must not train on).
+# doc_id % 29 == 0 AND doc_id < 500 slice — FIXED-SIZE by design: an
+# eval benchmark does not grow with the training corpus, and capping
+# it keeps the random 3-gram collision floor constant across scale
+# factors (uncapped, the sf0.1 benchmark grew 10x and background
+# overlap swamped every threshold).
 _DECON_N = 3
 _DECON_MOD = 29
+_DECON_BENCH_MAX = 500
 
 
 @register(
@@ -1974,11 +1979,14 @@ _DECON_MOD = 29
         FROM t WHERE len(w) >= {_DECON_N}
     ),
     e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {_DECON_MOD} = 0),
+    bench AS (SELECT DISTINCT gram FROM e
+              WHERE doc_id % {_DECON_MOD} = 0
+                AND doc_id < {_DECON_BENCH_MAX}),
     hits AS (
         SELECT e.doc_id, COUNT(*) AS c
         FROM e JOIN bench USING (gram)
-        WHERE e.doc_id % {_DECON_MOD} <> 0
+        WHERE NOT (e.doc_id % {_DECON_MOD} = 0
+                   AND e.doc_id < {_DECON_BENCH_MAX})
         GROUP BY e.doc_id
     )
     SELECT g.doc_id,
@@ -1987,7 +1995,8 @@ _DECON_MOD = 29
            ROUND(COALESCE(c, 0) * 1.0 / len(grams) + 1e-9, 6) AS overlap_ratio,
            CAST(COALESCE(c, 0) > 0 AS INT) AS contaminated
     FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
-    WHERE g.doc_id % {_DECON_MOD} <> 0
+    WHERE NOT (g.doc_id % {_DECON_MOD} = 0
+               AND g.doc_id < {_DECON_BENCH_MAX})
     """,
     doc="Benchmark decontamination: per-document count of distinct "
         "word n-grams shared with a held-out benchmark slice. The "
@@ -2013,7 +2022,9 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     g = toks.select(
         "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
     ).persist()
-    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    is_bench = (F.col("doc_id") % _DECON_MOD == 0) & (
+        F.col("doc_id") < _DECON_BENCH_MAX
+    )
     e = g.select("doc_id", F.explode("grams").alias("gram"))
     bench = e.where(is_bench).select("gram").distinct()
     hits = (
@@ -2234,4 +2245,135 @@ def validate_events_expectations(spark, sf_dir):
         F.round(F.col("n_violations") / F.col("n") + F.lit(1e-9), 6).alias(
             "violation_rate"
         ),
+    )
+
+
+@register(
+    "corpus_build_e2e",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    q AS (SELECT * FROM base WHERE n_chars >= 100 AND len(w) >= 20),
+    k AS (
+        SELECT * FROM q
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) = 1
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+        FROM k
+    ),
+    benchg AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS gram
+        FROM base WHERE doc_id % {_DECON_MOD} = 0
+          AND doc_id < {_DECON_BENCH_MAX} AND len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    hits AS (
+        SELECT e.doc_id, COUNT(*) AS c
+        FROM e JOIN benchg USING (gram) GROUP BY e.doc_id
+    ),
+    surv AS (
+        SELECT g.doc_id
+        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        WHERE NOT (g.doc_id % {_DECON_MOD} = 0
+                   AND g.doc_id < {_DECON_BENCH_MAX})
+          AND ROUND(COALESCE(c, 0) * 1.0 / len(grams) + 1e-9, 6) < 0.08
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) % 16 AS INT)
+               AS shard
+    FROM surv
+    """,
+    doc="The full training-corpus build as ONE composed pipeline — "
+        "the user story every other hygiene operator serves: "
+        "(1) quality gate (length rules, map-side), (2) exact dedup "
+        "keep-first (one md5-window shuffle), (3) benchmark "
+        "decontamination (broadcast gram semi-join, drop docs with "
+        ">= 8% benchmark 3-gram overlap and the benchmark slice "
+        "itself), (4) contiguous shard ordinals via deterministic "
+        "range banding. Stage boundaries persist their frontier "
+        "because each feeds multiple consumers. The corpus-sized "
+        "data crosses exactly three shuffles end-to-end (dup window, "
+        "hit-count groupBy, band partition) — everything else is "
+        "map-side or broadcast; at 100 TB each stage's shape is the "
+        "one its standalone query already probes at 8x.",
+)
+def corpus_build_e2e(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text", "n_chars", F.split("text", " ").alias("w")
+    )
+    q = base.where((F.col("n_chars") >= 100) & (F.size("w") >= 20))
+    w_dup = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy("doc_id")
+    k = (
+        q.withColumn("rn", F.row_number().over(w_dup))
+        .where(F.col("rn") == 1)
+        .repartition(32, "doc_id")
+    )
+    g = k.select(
+        "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
+    ).persist()
+    bench = (
+        base.where(
+            (F.col("doc_id") % _DECON_MOD == 0)
+            & (F.col("doc_id") < _DECON_BENCH_MAX)
+            & (F.size("w") >= 3)
+        )
+        .select(F.explode(ngram_shingles(F.col("w"), _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        e.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("c"), F.lit(0)) / F.size("grams") + F.lit(1e-9), 6
+    )
+    surv = (
+        g.join(hits, "doc_id", "left")
+        .where(
+            ~((F.col("doc_id") % _DECON_MOD == 0)
+              & (F.col("doc_id") < _DECON_BENCH_MAX))
+            & (ratio < 0.08)
+        )
+        .select("doc_id")
+        .persist()
+    )
+    n_bands = 8
+    stats = surv.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    p = surv.crossJoin(F.broadcast(stats)).withColumn(
+        "pid",
+        F.expr(
+            f"CAST(((doc_id - lo) * {n_bands}) DIV (hi - lo + 1) AS INT)"
+        ),
+    )
+    counts = p.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    ordinal = (F.col("off") + F.row_number().over(w_local)).cast("bigint")
+    return (
+        p.drop("lo", "hi")
+        .join(F.broadcast(offs), "pid")
+        .select(
+            "doc_id",
+            ordinal.alias("ordinal"),
+            ((ordinal - 1) % 16).cast("int").alias("shard"),
+        )
     )
