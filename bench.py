@@ -50,6 +50,7 @@ HEADLINE = (
     "decontaminate_ngram_overlap",  # benchmark-overlap hygiene check
     "global_ordinal_ids",       # banded shard-id assignment
     "events_anomaly_zscore",    # broadcast-moments outlier filter
+    "corpus_build_e2e",         # composed hygiene pipeline (flagship)
 )
 
 

@@ -2377,3 +2377,88 @@ def corpus_build_e2e(spark, sf_dir):
             ((ordinal - 1) % 16).cast("int").alias("shard"),
         )
     )
+
+
+@register(
+    "events_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p_lo,
+               quantile_cont(value, 0.99) AS p_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND(LEAST(GREATEST(value, p_lo), p_hi) + 1e-9, 6)
+               AS value_winsorized
+    FROM events e JOIN b USING (event_type)
+    """,
+    doc="Percentile winsorization (clip to per-class [p01, p99]) — "
+        "the outlier-taming transform applied to numeric features "
+        "before training. The exact-percentile bound table is 5 rows, "
+        "broadcast back over the facts for a map-side clip: one "
+        "percentile shuffle, zero fact shuffles. At 100 TB swap the "
+        "exact percentile for percentile_approx (same plan shape, "
+        "sketch-mergeable) — the clip side is unchanged.",
+)
+def events_winsorize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p_lo"),
+        F.expr("percentile(value, 0.99)").alias("p_hi"),
+    )
+    return e.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+            + F.lit(1e-9),
+            6,
+        ).alias("value_winsorized"),
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * dt_us) / SUM(dt_us) + 1e-9, 6) AS twap
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average per user over an IRREGULAR event "
+        "series (each observation weighted by how long it was the "
+        "latest one — the TWAP/telemetry-gauge aggregation a plain "
+        "AVG gets wrong on bursty streams). One window shuffle on "
+        "user_id for the LEAD interval, one partial-agg shuffle for "
+        "the weighted sums. Interval weights are integer "
+        "microseconds, so both engines weight identically; the final "
+        "ratio is the only float.",
+)
+def events_time_weighted_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")
+            + F.lit(1e-9),
+            6,
+        ).alias("twap"),
+    )
