@@ -202,3 +202,43 @@ def streaming_enrich_join_drain(
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
     return _drain(agg, "streaming_enrich_join_tbl", "complete")
+
+
+@register(
+    "streaming_hopping_rollup_drain",
+    oracle="""
+    WITH h AS (
+        SELECT value, unnest([
+            make_timestamp((epoch_us(ts) // 1000000
+                            // 1800 * 1800) * 1000000),
+            make_timestamp((epoch_us(ts) // 1000000
+                            // 1800 * 1800 - 1800) * 1000000)
+        ]) AS window_start
+        FROM events
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM h GROUP BY window_start
+    """,
+    doc="Streaming HOPPING-window rollup (1 h windows sliding every "
+        "30 min), executed AS A STREAM — completes the tumbling / "
+        "session / hopping window trio on the oracle-checked "
+        "surface. Each event belongs to exactly two overlapping "
+        "windows; Spark expands the assignment inside the streaming "
+        "agg, and the oracle replays it as an explicit two-element "
+        "unnest of the epoch-aligned hop starts. Complete-mode "
+        "drain, window struct flattened to its start.",
+)
+def streaming_hopping_rollup_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select("ts", "value")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "n_events", "value_sum"
+    )
+    return _drain(out, "streaming_hopping_rollup_tbl", "complete")

@@ -125,3 +125,36 @@ def write_sorted_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized for scan efficiency, returning the output file count.
+
+    The small-files problem is the classic streaming-sink pathology —
+    a micro-batch sink or an over-partitioned write leaves thousands
+    of KB-sized files whose open/footer overhead dominates a 100 TB
+    scan and bloats the driver's file listing. Compaction sizes the
+    output from the INPUT BYTES (cheap: file statuses only, no data
+    read), then performs one round-robin repartition — a full
+    rewrite, which is the point: it runs as a maintenance job on cold
+    partitions, not in the hot path.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode(mode).parquet(dst_dir)
+    return n_files

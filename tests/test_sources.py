@@ -198,3 +198,29 @@ def test_envelope_log_tolerant_quarantines_corrupt_lines(spark, tmp_path):
     # Quarantined rows keep the raw text for replay.
     raws = {r._corrupt_record for r in bad.collect()}
     assert "not json at all" in raws
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny files in, byte-identical rows out, file count sized
+    from input bytes (>=1 even for tiny inputs)."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.sources.writers import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # the small-files pathology
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_small_files(spark, src, dst)
+    assert n == 1  # tiny input -> one right-sized file
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(
+        F.sum("v")
+    ).collect()[0][0]
