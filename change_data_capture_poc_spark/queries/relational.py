@@ -754,3 +754,44 @@ def agg_listagg_top(spark, sf_dir):
     return l.join(top, "source").select(
         "source", "langs", "top_lang", "n_docs"
     )
+
+
+@register(
+    "agg_regression_trend",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch_us(ts) / 86400000000.0)
+                 + 1e-9, 4) AS slope_per_day,
+           ROUND(regr_intercept(value, epoch_us(ts) / 86400000000.0)
+                 / 10000 + 1e-9, 2) AS intercept_scaled,
+           ROUND(regr_r2(value, epoch_us(ts) / 86400000000.0)
+                 + 1e-9, 6) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Per-class least-squares trend (REGR_SLOPE / REGR_INTERCEPT / "
+        "REGR_R2) of the value series against time — the drift "
+        "detector behind data-freshness monitoring. Single "
+        "partial-aggregable pass (the regr_* family reduces to "
+        "sum/sum-of-product accumulators, so map-side combine holds "
+        "at 100 TB). x is scaled to DAYS so the slope lands in a "
+        "numerically robust range for the 4-decimal bridge rounding; "
+        "the intercept (extrapolated to epoch day 0, ~55 years out) "
+        "is scaled down 1e4 and rounded to 2 decimals because both "
+        "engines' float accumulation orders diverge in its low "
+        "digits.",
+)
+def agg_regression_trend(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x) + F.lit(1e-9), 4).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            F.regr_intercept(F.col("value"), x) / 10000 + F.lit(1e-9), 2
+        ).alias("intercept_scaled"),
+        F.round(F.regr_r2(F.col("value"), x) + F.lit(1e-9), 6).alias("r2"),
+    )
