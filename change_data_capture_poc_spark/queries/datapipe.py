@@ -2462,3 +2462,97 @@ def events_time_weighted_avg(spark, sf_dir):
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "eval_minhash_vs_exact",
+    oracle=f"""
+    WITH g AS ({_NGRAM_SQL}),
+    tk AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+        FROM tk a JOIN tk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_id_a, doc_id_b
+        FROM inter
+        JOIN sizes sa ON inter.doc_id_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_T}
+    ),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    approx AS (
+        SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    m AS (
+        SELECT e.doc_id_a IS NOT NULL AS in_exact,
+               a.doc_id_a IS NOT NULL AS in_approx
+        FROM exact e FULL OUTER JOIN approx a
+          ON e.doc_id_a = a.doc_id_a AND e.doc_id_b = a.doc_id_b
+    )
+    SELECT
+        CAST(SUM(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN in_approx AND NOT in_exact THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN in_exact AND NOT in_approx THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        ROUND(SUM(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END) * 1.0
+              / NULLIF(SUM(CASE WHEN in_approx THEN 1 ELSE 0 END), 0)
+              + 1e-9, 6) AS precision_,
+        ROUND(SUM(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END) * 1.0
+              / NULLIF(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END), 0)
+              + 1e-9, 6) AS recall_
+    FROM m
+    """,
+    doc="Operator-quality evaluation: the minhash-LSH candidate set "
+        "measured against exact n-gram Jaccard ground truth — TP/FP/"
+        "FN, precision, recall in one row. This is the harness a "
+        "pipeline runs on a SAMPLE to tune LSH geometry before "
+        "committing the 100 TB pass (the exact side is quadratic-ish "
+        "and only affordable on the sample; the approx side is the "
+        "production plan). Composes the two existing operators "
+        "unchanged and full-outer-joins their pair sets; both reuse "
+        "the same gram table. Column names precision_/recall_ avoid "
+        "reserved-word friction in both engines.",
+)
+def eval_minhash_vs_exact(spark, sf_dir):
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("e")
+    )
+    approx = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("a")
+    )
+    m = exact.join(approx, ["doc_id_a", "doc_id_b"], "full_outer")
+    in_e = F.col("e").isNotNull()
+    in_a = F.col("a").isNotNull()
+    tp = F.sum(F.when(in_e & in_a, 1).otherwise(0))
+    n_a = F.sum(F.when(in_a, 1).otherwise(0))
+    n_e = F.sum(F.when(in_e, 1).otherwise(0))
+    return m.agg(
+        tp.cast("bigint").alias("tp"),
+        F.sum(F.when(in_a & ~in_e, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(in_e & ~in_a, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.round(tp / F.nullif(n_a, F.lit(0)) + F.lit(1e-9), 6).alias(
+            "precision_"
+        ),
+        F.round(tp / F.nullif(n_e, F.lit(0)) + F.lit(1e-9), 6).alias(
+            "recall_"
+        ),
+    )
