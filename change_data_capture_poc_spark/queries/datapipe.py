@@ -2556,3 +2556,81 @@ def eval_minhash_vs_exact(spark, sf_dir):
             "recall_"
         ),
     )
+
+
+@register(
+    "text_token_pmi",
+    oracle="""
+    WITH td AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM td),
+    df AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+        FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_ab,
+           ROUND(LN(n_ab * 1.0 * n_docs / (da.df * db.df)) + 1e-9, 6)
+               AS pmi
+    FROM pairs
+    JOIN df da ON pairs.tok_a = da.tok
+    JOIN df db ON pairs.tok_b = db.tok
+    CROSS JOIN n
+    WHERE n_ab >= 20
+    """,
+    doc="Pointwise mutual information over document-level token "
+        "co-occurrence — the corpus statistic behind tokenizer "
+        "merges, embedding evaluation, and collocation mining. "
+        "Document-presence sets (DISTINCT doc-token) bound the "
+        "self-join at tokens-per-doc, not token count; the pair "
+        "aggregate is vocab^2-bounded, tiny next to the corpus, and "
+        "the df table broadcasts back onto it. Corpus-sized data "
+        "crosses two shuffles (doc_id pair join, pair groupBy). The "
+        "n_ab floor keeps the report to statistically meaningful "
+        "pairs (and the output deterministic under resampling).",
+)
+def text_token_pmi(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    ).persist()
+    n_docs_df = td.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = td.groupBy("tok").agg(F.count("*").alias("df"))
+    a = td.select("doc_id", F.col("tok").alias("tok_a"))
+    b = td.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    da = dfreq.select(
+        F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    db = dfreq.select(
+        F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("pmi"),
+        )
+    )
