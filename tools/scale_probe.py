@@ -54,6 +54,8 @@ PROBES = (
     "decontaminate_ngram_overlap",
     "global_ordinal_ids",
     "events_transition_matrix",
+    "corpus_build_e2e",
+    "text_token_pmi",
 )
 
 
