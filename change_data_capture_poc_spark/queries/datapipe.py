@@ -2634,3 +2634,77 @@ def text_token_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "basket_brand_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bf AS (SELECT p_brand, COUNT(*) AS df FROM ob GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_ab
+        FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                           AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(n_ab * 1.0 * n_orders / (fa.df * fb.df) + 1e-9, 6)
+               AS lift
+    FROM pairs
+    JOIN bf fa ON pairs.brand_a = fa.p_brand
+    JOIN bf fb ON pairs.brand_b = fb.p_brand
+    CROSS JOIN n
+    """,
+    doc="Market-basket association mining: brand-pair co-purchase "
+        "counts and lift (observed co-occurrence over the "
+        "independence expectation). Same presence-set shape as "
+        "text_token_pmi but over baskets: the part dim broadcasts "
+        "onto lineitem, the distinct (order, brand) set bounds the "
+        "self-join at brands-per-order (<= 25), and the pair "
+        "aggregate is brand^2-sized — tiny. Corpus-sized data "
+        "crosses two shuffles (presence distinct, pair groupBy).",
+)
+def basket_brand_lift(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    ).persist()
+    n_df = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bf = ob.groupBy("p_brand").agg(F.count("*").alias("df"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fa = bf.select(F.col("p_brand").alias("brand_a"), F.col("df").alias("df_a"))
+    fb = bf.select(F.col("p_brand").alias("brand_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                * F.col("n_orders")
+                / (F.col("df_a") * F.col("df_b"))
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
