@@ -795,3 +795,38 @@ def agg_regression_trend(spark, sf_dir):
         ).alias("intercept_scaled"),
         F.round(F.regr_r2(F.col("value"), x) + F.lit(1e-9), 6).alias("r2"),
     )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           ROUND(SUM(value) OVER w + 1e-9, 6) AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-24-hour RANGE window frame (vs the ROWS frames in "
+        "window_sliding_frame): the frame is bounded by event-TIME "
+        "distance, not row count, so bursty and sparse users get the "
+        "same temporal semantics — the rate-limiter / rolling-usage "
+        "aggregation. Ordered by integer epoch-µs in both engines so "
+        "frame boundaries are exact; ties (equal timestamps) are "
+        "RANGE-peers and enter the frame together, which keeps the "
+        "result deterministic without a tiebreak. One window "
+        "exchange on user_id.",
+)
+def window_time_range_sum(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        F.round(F.sum("value").over(w) + F.lit(1e-9), 6).alias("sum_24h"),
+    )
