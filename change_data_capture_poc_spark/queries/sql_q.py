@@ -652,3 +652,44 @@ _Q8_SQL = """
 def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     return spark.sql(_Q8_SQL)
+
+
+@register(
+    "sql_partsupp_counts",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size >= 25
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape over the reduced schema (lineitem stands in "
+        "for partsupp): grouped DISTINCT supplier counts with a "
+        "NOT IN anti-subquery and dim predicates. Exercises "
+        "Catalyst's null-aware anti-join planning for NOT IN (the "
+        "subquery side is a broadcast null-aware anti join — NOT IN "
+        "over a nullable column is the classic correctness trap) "
+        "plus distinct-aggregate expansion. Part dim broadcasts; "
+        "the distinct count shuffles once on the group keys.",
+)
+def sql_partsupp_counts(spark, sf_dir):
+    _view(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_size >= 25
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type
+        """
+    )
