@@ -830,3 +830,45 @@ def window_time_range_sum(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_24h"),
         F.round(F.sum("value").over(w) + F.lit(1e-9), 6).alias("sum_24h"),
     )
+
+
+@register(
+    "events_weekly_growth",
+    oracle="""
+    WITH wk AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, week, n,
+           ROUND((n - LAG(n) OVER w) * 100.0 / LAG(n) OVER w + 1e-9, 6)
+               AS pct_change
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+    doc="Week-over-week growth reporting: weekly counts per event "
+        "class with LAG percent change — the window-over-aggregate "
+        "composition every metrics dashboard runs. The corpus "
+        "crosses ONE shuffle (the weekly partial agg); the LAG "
+        "window then operates on the classes-x-weeks series, which "
+        "is dashboard-sized no matter how big the fact table is. "
+        "First week's change is NULL by construction (no prior "
+        "period), preserved as NULL in both engines. Both engines "
+        "truncate weeks to Monday starts.",
+)
+def events_weekly_growth(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "n",
+        F.round((F.col("n") - prev) * 100.0 / prev + F.lit(1e-9), 6).alias(
+            "pct_change"
+        ),
+    )
