@@ -2708,3 +2708,73 @@ def basket_brand_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH q AS (
+        SELECT label, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                   AS s
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> x - floor(x / s + 0.5) * s) AS errs,
+               len(embedding) AS d
+        FROM q
+    ),
+    m AS (
+        SELECT label,
+               list_aggregate(list_transform(errs, v -> v * v), 'sum') / d
+                   AS mse
+        FROM e
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(mse) * 1000000 + 1e-9, 4) AS mse_ppm
+    FROM m GROUP BY label
+    """,
+    doc="Symmetric int8 quantization error per embedding (the "
+        "vector-compression QA check before shipping an ANN index at "
+        "1/4 the memory): per-vector scale max|x|/127, quantize via "
+        "floor(x/s + 0.5) — spelled out instead of round() because "
+        "the quantized integer is a hard decision and the engines' "
+        "round() tie rules differ — dequantize, and report mean "
+        "squared error per label in ppm. Fully map-side until the "
+        "5-row label aggregate: zero shuffles of the vectors. All "
+        "arithmetic promotes the same float32 bits to double on both "
+        "engines, so the bridge is bit-exact; the error array is "
+        "materialized behind a projection boundary so the squaring "
+        "pass doesn't re-run the quantizer (interpreted-HOF CSE "
+        "rule).",
+)
+def embedding_quantize_error(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )
+        / 127.0
+    )
+    q = emb.select("label", "embedding", s.alias("s"))
+    errs = F.transform(
+        "embedding",
+        lambda x: x.cast("double")
+        - F.floor(x.cast("double") / F.col("s") + F.lit(0.5)) * F.col("s"),
+    )
+    e = q.select(
+        "label", errs.alias("errs"), F.size("embedding").alias("d")
+    )
+    mse = F.aggregate(
+        F.transform("errs", lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.col("d")
+    m = e.select("label", mse.alias("mse"))
+    return m.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("mse") * 1000000 + F.lit(1e-9), 4).alias("mse_ppm"),
+    )
