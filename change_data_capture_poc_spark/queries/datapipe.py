@@ -2778,3 +2778,59 @@ def embedding_quantize_error(spark, sf_dir):
         F.count("*").cast("long").alias("n_vecs"),
         F.round(F.avg("mse") * 1000000 + F.lit(1e-9), 4).alias("mse_ppm"),
     )
+
+
+_CHUNK_LEN = 50
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    s AS (
+        SELECT doc_id, w,
+               unnest(range(0, len(w), {_CHUNK_STRIDE})) AS start
+        FROM t WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(w[start+1 : start+{_CHUNK_LEN}]) AS INT) AS n_tokens,
+           array_to_string(w[start+1 : start+{_CHUNK_LEN}], ' ')
+               AS chunk_text
+    FROM s
+    """,
+    doc="Sliding-window document chunking (50-token chunks, stride "
+        "40 — 10-token overlap): the context-window preparation step "
+        "between cleaning and packing in an LLM data pipeline. Pure "
+        "map-side: sequence + posexplode + slice per document, no "
+        "shuffle at all — chunking streams at scan bandwidth over "
+        "100 TB and the downstream packer (pack_concat_chunks) "
+        "handles batching. Chunk boundaries are token-index "
+        "arithmetic, so both engines emit byte-identical chunks; "
+        "the final ragged chunk is kept (slice clamps at the "
+        "document end).",
+)
+def text_chunk_overlap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 1
+    )
+    s = t.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("w") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, _CHUNK_LEN)
+    return s.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
