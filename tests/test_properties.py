@@ -221,3 +221,115 @@ def test_range_join_matches_model(spark, points, intervals, bucket_s):
         if pk == ik and lo <= t <= lo + span
     }
     assert got == want
+
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=120).filter(
+        lambda s: s.strip()
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+_SLOW_OK = dict(
+    _SETTINGS,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+@given(texts=_doc_texts)
+@settings(**_SLOW_OK)
+def test_chunk_overlap_covers_every_token(spark, texts):
+    """Every token lands in >= 1 chunk; chunk starts advance by the
+    stride; rebuilding the doc from stride-aligned chunk prefixes
+    reproduces the token sequence exactly."""
+    import change_data_capture_poc_spark.queries.datapipe as dp
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dp.load_table
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "documents"
+        return df
+
+    dp.load_table = fake_load
+    try:
+        out = dp.text_chunk_overlap(spark, "ignored").collect()
+    finally:
+        dp.load_table = orig
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in rows:
+        toks = t.split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # chunk_idx is dense from 0; each covers tokens
+        # [idx*stride, idx*stride + len) — prefixes of stride tokens
+        # concatenate back to the document.
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for c in chunks:
+            ctoks = c.chunk_text.split(" ") if c.chunk_text else [""]
+            assert c.n_tokens == len(ctoks)
+            rebuilt.extend(ctoks[: dp._CHUNK_STRIDE])
+        # Tail tokens beyond the last stride boundary come from the
+        # final chunk's overflow.
+        last = chunks[-1]
+        ltoks = last.chunk_text.split(" ") if last.chunk_text else [""]
+        rebuilt.extend(ltoks[dp._CHUNK_STRIDE:])
+        assert rebuilt == toks
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8, allow_nan=False, width=32
+            ).filter(lambda x: abs(x) > 1e-3),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SLOW_OK)
+def test_quantize_error_bounded_by_half_step(spark, vecs):
+    """Symmetric int8 quantization: every element's error <= s/2, so
+    per-label MSE (ppm) <= (s_max/2)^2 * 1e6 for the label's largest
+    scale."""
+    import change_data_capture_poc_spark.queries.datapipe as dp
+
+    rows = [(i, v, i % 2) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = dp.load_table
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "embeddings"
+        return df
+
+    dp.load_table = fake_load
+    try:
+        out = {r.label: r for r in dp.embedding_quantize_error(
+            spark, "ignored").collect()}
+    finally:
+        dp.load_table = orig
+
+    import numpy as np
+
+    for label in {r[2] for r in rows}:
+        s_max = max(
+            max(abs(np.float32(x)) for x in v) / 127.0
+            for i, v, lb in rows
+            if lb == label
+        )
+        bound_ppm = (s_max / 2) ** 2 * 1e6 + 1e-3
+        assert out[label].mse_ppm <= bound_ppm
