@@ -289,9 +289,12 @@ def test_chunk_overlap_covers_every_token(spark, texts):
 @given(
     vecs=st.lists(
         st.lists(
-            st.floats(
-                min_value=-8, max_value=8, allow_nan=False, width=32
-            ).filter(lambda x: abs(x) > 1e-3),
+            st.one_of(
+                st.floats(min_value=0.0010000000474974513, max_value=8,
+                          allow_nan=False, width=32),
+                st.floats(min_value=-8, max_value=-0.0010000000474974513,
+                          allow_nan=False, width=32),
+            ),
             min_size=2,
             max_size=6,
         ),
