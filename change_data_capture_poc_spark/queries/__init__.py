@@ -8,6 +8,10 @@ Modules:
                     salted join, sketches, CDC e2e)
 - ``functions_q`` — scalar/window/statistical function families
 - ``sql_q``       — Spark SQL-authored warehouse query shapes
+- ``streaming_q`` — Structured Streaming drains (stateful, windowed)
+- ``cdc_ops_q``   — CDC maintenance ops (net-effect compaction,
+                    snapshot diff, checksums, incremental merge,
+                    fuzzy join, EMA)
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -17,3 +21,4 @@ import change_data_capture_poc_spark.queries.operators_q  # noqa: F401
 import change_data_capture_poc_spark.queries.functions_q  # noqa: F401
 import change_data_capture_poc_spark.queries.sql_q  # noqa: F401
 import change_data_capture_poc_spark.queries.streaming_q  # noqa: F401
+import change_data_capture_poc_spark.queries.cdc_ops_q  # noqa: F401

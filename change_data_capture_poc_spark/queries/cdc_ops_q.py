@@ -1,0 +1,387 @@
+"""CDC maintenance & entity-resolution operators.
+
+The reference is a change-data-capture pipeline (Postgres → Debezium →
+Kafka → DuckDB, ``duckdb/analytics/transform_scd2.py``); this module
+adds the maintenance operators every production CDC deployment runs on
+top of that log — net-effect batch compaction, snapshot diffing,
+replication checksums, incremental aggregate maintenance — plus the
+entity-resolution fuzzy join and an order-sensitive EMA fold.
+
+The ``events`` table plays the change-log role exactly as in
+``scd2_q.py``: ``user_id`` is the key, ``event_id`` the LSN,
+``event_type`` the operation, ``value`` the payload.
+
+Scale notes (100 TB): every operator here is one or two hash shuffles
+on the CDC key with map-side partial aggregation; the fuzzy join
+aggregates down to the (fixed-size) name vocabulary before its blocked
+self-join, so the pair comparison never touches row-level data; the
+incremental-merge pattern is the reason mergeable partial aggregates
+matter at scale — the base table is never rescanned, only the delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+
+def _with_split_lsn(events: DataFrame) -> DataFrame:
+    """Attach the snapshot split point T1 = max(lsn) div 2 as a column.
+
+    Broadcast cross-join of a 1-row aggregate — the scalar never
+    round-trips through the driver, so the plan stays fully
+    distributed and the threshold is computed in the same job.
+    """
+    t1 = events.agg(F.expr("max(event_id) div 2").alias("t1"))
+    return events.crossJoin(F.broadcast(t1))
+
+
+@register(
+    "cdc_net_effect_compaction",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id, event_id, value,
+               CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error'  THEN 'd'
+                               ELSE 'u' END AS op
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               arg_min(op, event_id)    AS first_op,
+               arg_max(op, event_id)    AS last_op,
+               arg_max(value, event_id) AS last_value,
+               max(event_id)            AS last_event_id,
+               count(*)                 AS n_ops
+        FROM ops GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN last_op = 'd' THEN 'd'
+                WHEN first_op = 'c' THEN 'c'
+                ELSE 'u' END AS net_op,
+           CASE WHEN last_op = 'd' THEN NULL
+                ELSE ROUND(last_value + 1e-9, 6) END AS net_value,
+           last_event_id,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM agg
+    WHERE NOT (first_op = 'c' AND last_op = 'd')
+    """,
+    doc="Net-effect compaction of a CDC batch (Debezium 'event "
+        "flattening'): all operations for a key collapse to the single "
+        "change the batch is equivalent to — create+...+delete "
+        "disappears, create+updates becomes one create with final "
+        "values, updates+delete becomes one delete. One hash shuffle "
+        "with map-side min_by/max_by partials; the downstream MERGE "
+        "then touches each key once. Mirrors the consolidation the "
+        "reference's transform_scd2.py re-derives per full scan "
+        "(transform_scd2.py:19-61) as a batch-local operator.",
+)
+def cdc_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ops = events.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    agg = ops.groupBy("user_id").agg(
+        F.min_by("op", "event_id").alias("first_op"),
+        F.max_by("op", "event_id").alias("last_op"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    return agg.where(
+        ~((F.col("first_op") == "c") & (F.col("last_op") == "d"))
+    ).select(
+        "user_id",
+        F.when(F.col("last_op") == "d", F.lit("d"))
+        .when(F.col("first_op") == "c", F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("net_op"),
+        F.when(F.col("last_op") == "d", F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("last_value") + F.lit(1e-9), 6))
+        .alias("net_value"),
+        "last_event_id",
+        "n_ops",
+    )
+
+
+@register(
+    "snapshot_diff_changes",
+    oracle="""
+    WITH t AS (SELECT max(event_id) // 2 AS t1 FROM events
+               WHERE user_id IS NOT NULL),
+    ops AS (
+        SELECT user_id, event_id, value,
+               CASE event_type WHEN 'error' THEN 'd' ELSE 'u' END AS op
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sa AS (
+        SELECT user_id, arg_max(op, event_id) AS lop,
+               arg_max(value, event_id) AS lval
+        FROM ops, t WHERE event_id <= t1 GROUP BY user_id
+    ),
+    a AS (SELECT user_id, lval FROM sa WHERE lop <> 'd'),
+    sb AS (
+        SELECT user_id, arg_max(op, event_id) AS lop,
+               arg_max(value, event_id) AS lval
+        FROM ops GROUP BY user_id
+    ),
+    b AS (SELECT user_id, lval FROM sb WHERE lop <> 'd')
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'i'
+                WHEN b.user_id IS NULL THEN 'd'
+                ELSE 'u' END AS change_op,
+           ROUND(a.lval + 1e-9, 6) AS old_value,
+           ROUND(b.lval + 1e-9, 6) AS new_value
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL
+       OR a.lval IS DISTINCT FROM b.lval
+    """,
+    doc="Snapshot diff: reconstruct the keyed state at LSN T1 and at "
+        "head (a key exists iff its latest op is not a delete), full "
+        "outer join the two states, classify insert/update/delete — "
+        "the audit query run to verify a CDC target against its "
+        "source. Both states aggregate on user_id, so the full outer "
+        "join reuses the hash partitioning: two shuffles total, no "
+        "third exchange for the join.",
+)
+def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ops = events.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        agg = df.groupBy("user_id").agg(
+            F.max_by("op", "event_id").alias("lop"),
+            F.max_by("value", "event_id").alias("lval"),
+        )
+        return agg.where(F.col("lop") != "d").drop("lop")
+
+    # Only the prefix branch needs the T1 scalar — attaching it to both
+    # branches would leave a vestigial empty-row broadcast join in the
+    # head branch after column pruning.
+    a = state(_with_split_lsn(ops).where(F.col("event_id") <= F.col("t1")))
+    b = state(ops)
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    return joined.where(
+        F.col("a.user_id").isNull()
+        | F.col("b.user_id").isNull()
+        | ~F.col("a.lval").eqNullSafe(F.col("b.lval"))
+    ).select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.when(F.col("a.user_id").isNull(), F.lit("i"))
+        .when(F.col("b.user_id").isNull(), F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("change_op"),
+        F.round(F.col("a.lval") + F.lit(1e-9), 6).alias("old_value"),
+        F.round(F.col("b.lval") + F.lit(1e-9), 6).alias("new_value"),
+    )
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT c_custkey % 16 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substring(md5(
+               concat_ws('|',
+                   COALESCE(CAST(c_custkey AS VARCHAR), ''),
+                   COALESCE(c_name, ''),
+                   COALESCE(CAST(c_nationkey AS VARCHAR), ''),
+                   COALESCE(CAST(CAST(ROUND(c_acctbal, 2)
+                                      AS DECIMAL(18,2)) AS VARCHAR), ''),
+                   COALESCE(c_mktsegment, ''))), 1, 8))::BIGINT)
+               AS BIGINT) AS checksum
+    FROM customer
+    GROUP BY c_custkey % 16
+    """,
+    doc="Order-independent replication checksum: canonical row string "
+        "-> portable 32-bit md5 hash -> SUM per key bucket. Source and "
+        "target sides compute this independently and compare 16 rows "
+        "instead of the whole table — the standard CDC consistency "
+        "audit (pt-table-checksum shape). Commutative SUM makes the "
+        "checksum partition-order-independent, so it runs as one "
+        "map-side-partial shuffle at any scale; mismatched buckets "
+        "then re-sync narrowly instead of re-snapshotting the table.",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    row_repr = F.concat_ws(
+        "|",
+        F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("c_name"), F.lit("")),
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
+        F.coalesce(
+            F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)").cast("string"),
+            F.lit(""),
+        ),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")),
+    )
+    h = F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        cust.select((F.col("c_custkey") % 16).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("checksum"))
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value) + 1e-9, 6) AS total_value
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Incremental aggregate maintenance: the per-key (count, sum) "
+        "materialization is updated by aggregating ONLY the delta "
+        "(lsn > T1) and merging it with the stored base aggregate via "
+        "union + re-aggregate — count and sum are mergeable partials, "
+        "so the base table is never rescanned. The oracle is the full "
+        "recompute the merge must converge to. At 100 TB this is the "
+        "difference between scanning the delta (GBs) and the table "
+        "(TBs) on every refresh.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = _with_split_lsn(events).where(F.col("user_id").isNotNull())
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+
+    base = partial(ev.where(F.col("event_id") <= F.col("t1")))
+    delta = partial(ev.where(F.col("event_id") > F.col("t1")))
+    return (
+        base.unionAll(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value") + F.lit(1e-9), 6).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, count(*) AS n_parts,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+           CAST(a.n_parts + b.n_parts AS BIGINT) AS pair_support
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="Entity-resolution fuzzy join: aggregate rows down to the name "
+        "vocabulary (the only data-sized shuffle), block on the shared "
+        "noun token, then verify candidate pairs with unit-cost "
+        "levenshtein <= 4. The quadratic comparison runs on the "
+        "deduplicated vocabulary — fixed-size as the table grows — "
+        "and the blocked self-join broadcasts, so the plan is "
+        "agg + broadcast-join at any scale; row counts ride along as "
+        "pair support.",
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+            (F.col("a.n_parts") + F.col("b.n_parts")).alias("pair_support"),
+        )
+    )
+
+
+@register(
+    "events_ema",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vals
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_points,
+           ROUND(CAST(list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2)
+                      AS DOUBLE) + 1e-9, 6) AS ema
+    FROM l
+    """,
+    doc="Per-key exponential moving average (alpha=0.2), seeded with "
+        "the first observation — the order-sensitive fold SQL windows "
+        "cannot express without numerically-exploding (1-a)^-i tricks. "
+        "One shuffle: sorted collect_list per key, then a single "
+        "JVM-side aggregate() fold over the array (values extracted "
+        "once behind a projection boundary — interpreted HOFs have no "
+        "CSE). Fold order is pinned by the LSN sort on both engines, "
+        "so the doubles are bit-identical.",
+)
+def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lst = (
+        events.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "value"))
+            ).alias("xs")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(xs, s -> s.value)").alias("vals"),
+        )
+    )
+    return lst.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_points"),
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), "
+                "vals[0], (acc, x) -> acc * 0.8D + x * 0.2D)"
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("ema"),
+    )

@@ -81,3 +81,47 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir, queries):
     join (only the global top-k window exchanges)."""
     df = queries["ann_cosine_bruteforce"].fn(spark, sf_dir)
     assert broadcast_count(df) >= 1
+
+
+def test_cdc_net_effect_single_shuffle(spark, sf_dir, queries):
+    """Net-effect compaction is one hash shuffle on the CDC key with
+    map-side min_by/max_by partials — the batch collapses before the
+    downstream MERGE ever sees it."""
+    df = queries["cdc_net_effect_compaction"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_snapshot_diff_join_reuses_agg_partitioning(spark, sf_dir, queries):
+    """Both snapshot states aggregate on user_id, so the full outer
+    join must reuse their hash partitioning: exchanges = 2 state aggs
+    + 1 single-row T1 scalar, never a 4th for the join itself."""
+    df = queries["snapshot_diff_changes"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 3
+
+
+def test_table_checksum_single_shuffle(spark, sf_dir, queries):
+    df = queries["table_checksum"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_incremental_merge_no_extra_exchange(spark, sf_dir, queries):
+    """The merge re-aggregate sits directly on the union of the two
+    co-partitioned partial aggregates — exchanges are the 2 partials
+    + 2 T1 scalar single-rows (dedup'd by exchange reuse at runtime),
+    and crucially none for the merge itself."""
+    df = queries["incremental_agg_merge"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 4
+
+
+def test_fuzzy_join_blocks_on_vocab(spark, sf_dir, queries):
+    """The quadratic comparison runs on the aggregated name vocabulary
+    and broadcasts: one data-sized shuffle (the vocab agg), and the
+    self-join side is a broadcast, not a shuffle."""
+    df = queries["fuzzy_join_levenshtein"].fn(spark, sf_dir)
+    assert broadcast_count(df) >= 1
+    assert shuffle_count(df) <= 2
+
+
+def test_events_ema_single_shuffle(spark, sf_dir, queries):
+    df = queries["events_ema"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1

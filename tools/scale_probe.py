@@ -17,6 +17,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import change_data_capture_poc_spark.queries.cdc_ops_q as _m_cdc_ops
 import change_data_capture_poc_spark.queries.datapipe as _m_datapipe
 import change_data_capture_poc_spark.queries.functions_q as _m_functions
 import change_data_capture_poc_spark.queries.operators_q as _m_operators
@@ -30,7 +31,7 @@ from change_data_capture_poc_spark.sources import tables as tables_mod
 # Query modules bind load_table at import time (`from ... import
 # load_table`), so the probe must patch every consumer namespace.
 _CONSUMERS = (
-    _m_datapipe, _m_functions, _m_operators, _m_relational, _m_scd2,
+    _m_cdc_ops, _m_datapipe, _m_functions, _m_operators, _m_relational, _m_scd2,
     _m_sql, tables_mod,
 )
 
@@ -56,6 +57,9 @@ PROBES = (
     "events_transition_matrix",
     "corpus_build_e2e",
     "text_token_pmi",
+    "cdc_net_effect_compaction",
+    "snapshot_diff_changes",
+    "events_ema",
 )
 
 
