@@ -872,3 +872,56 @@ def events_weekly_growth(spark, sf_dir):
             "pct_change"
         ),
     )
+
+
+@register(
+    "join_bloom_prefiltered",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+               AS revenue
+    FROM lineitem l
+    SEMI JOIN (SELECT o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT') hp
+      ON l.l_orderkey = hp.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+    doc="Runtime-filter join, the explicit two-phase form of "
+        "Catalyst's injected bloom filter: the build side's keys are "
+        "projected onto a fixed 2^16 hash domain (key mod 65536 — a "
+        "single-hash Bloom filter whose bitmap is stored exactly as a "
+        "broadcast distinct set, at most 64 Ki rows REGARDLESS of "
+        "build-side cardinality), the fact table is prefiltered by a "
+        "broadcast semi-join on that domain, and the exact semi-join "
+        "then removes the hash collisions — so the result equals the "
+        "plain semi-join (the oracle) bit-for-bit. At 100 TB the "
+        "build side may hold billions of keys (too big to broadcast "
+        "exactly), but its hash-domain bitmap stays tiny and cuts "
+        "most of the fact rows before the only real shuffle.",
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hp = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    domain = 1 << 16
+    modset = hp.select((F.col("o_orderkey") % domain).alias("kmod")).distinct()
+    pre = lineitem.join(
+        F.broadcast(modset),
+        (F.col("l_orderkey") % domain) == F.col("kmod"),
+        "left_semi",
+    )
+    return (
+        pre.join(hp, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                4,
+            ).alias("revenue"),
+        )
+    )

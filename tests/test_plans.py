@@ -125,3 +125,14 @@ def test_fuzzy_join_blocks_on_vocab(spark, sf_dir, queries):
 def test_events_ema_single_shuffle(spark, sf_dir, queries):
     df = queries["events_ema"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1
+
+
+def test_bloom_prefilter_broadcasts_modset(spark, sf_dir, queries):
+    """The hash-domain bitmap is a broadcast (never a shuffle), and
+    the plan keeps the exact semi-join — prefilter plus verification,
+    the two-phase runtime-filter shape."""
+    df = queries["join_bloom_prefiltered"].fn(spark, sf_dir)
+    assert broadcast_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2  # prefilter + exact verification
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
