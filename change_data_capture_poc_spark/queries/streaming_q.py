@@ -242,3 +242,77 @@ def streaming_hopping_rollup_drain(
         F.col("window.start").alias("window_start"), "n_events", "value_sum"
     )
     return _drain(out, "streaming_hopping_rollup_tbl", "complete")
+
+
+@register(
+    "streaming_net_effect_drain",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id, event_id, value,
+               CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error'  THEN 'd'
+                               ELSE 'u' END AS op
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               arg_min(op, event_id)    AS first_op,
+               arg_max(op, event_id)    AS last_op,
+               arg_max(value, event_id) AS last_value,
+               max(event_id)            AS last_event_id,
+               count(*)                 AS n_ops
+        FROM ops GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN last_op = 'd' THEN 'd'
+                WHEN first_op = 'c' THEN 'c'
+                ELSE 'u' END AS net_op,
+           CASE WHEN last_op = 'd' THEN NULL
+                ELSE ROUND(last_value + 1e-9, 6) END AS net_value,
+           last_event_id,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM agg
+    WHERE NOT (first_op = 'c' AND last_op = 'd')
+    """,
+    doc="Net-effect CDC compaction executed AS A STREAM: the running "
+        "min_by/max_by state per key consolidates every arriving "
+        "change, so at any drain point the sink holds exactly one net "
+        "change per key — the streaming form of "
+        "cdc_net_effect_compaction (same oracle), and the shape of a "
+        "continuously-maintained MERGE staging table. State is five "
+        "scalars per key (no event retention); complete-mode drain, "
+        "classification applied to the drained table.",
+)
+def streaming_net_effect_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    ops = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    agg = ops.groupBy("user_id").agg(
+        F.min_by("op", "event_id").alias("first_op"),
+        F.max_by("op", "event_id").alias("last_op"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    drained = _drain(agg, "streaming_net_effect_tbl", "complete")
+    return drained.where(
+        ~((F.col("first_op") == "c") & (F.col("last_op") == "d"))
+    ).select(
+        "user_id",
+        F.when(F.col("last_op") == "d", F.lit("d"))
+        .when(F.col("first_op") == "c", F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("net_op"),
+        F.when(F.col("last_op") == "d", F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("last_value") + F.lit(1e-9), 6))
+        .alias("net_value"),
+        "last_event_id",
+        "n_ops",
+    )
