@@ -219,3 +219,164 @@ def scd2_merge_changed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to_ms"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+               CAST(epoch_ms(COALESCE(LEAD(ts) OVER w,
+                                      TIMESTAMP '{SCD2_SENTINEL}')) AS BIGINT)
+                   AS valid_to_ms
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT p.user_id,
+           p.event_id AS probe_event_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS probe_ts_ms,
+           d.event_id AS version_event_id,
+           ROUND(d.value + 1e-9, 6) AS value_as_of,
+           d.valid_from_ms
+    FROM events p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND CAST(epoch_ms(p.ts) AS BIGINT) >= d.valid_from_ms
+     AND CAST(epoch_ms(p.ts) AS BIGINT) < d.valid_to_ms
+    WHERE p.user_id IS NOT NULL AND p.event_type = 'purchase'
+    """,
+    doc="Point-in-time lookup against the SCD2 dimension — THE read "
+        "pattern SCD2 exists for (transform_scd2.py builds exactly "
+        "this validity interval table): each purchase probe joins to "
+        "the one version whose [valid_from, valid_to) interval covers "
+        "its timestamp. Equi-join on the key with the interval "
+        "predicate as a residual filter — per-key version chains are "
+        "short, so this is a plain hash join on user_id at any scale "
+        "(never an interval cross-product). Validity bounds travel as "
+        "epoch-ms BIGINT (year-9999 open-row sentinel vs the pandas "
+        "bridge).",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    dim = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", "event_id", "value", "ts")
+        .withColumn("valid_from_ms", F.unix_millis("ts"))
+        .withColumn(
+            "valid_to_ms",
+            F.unix_millis(
+                F.coalesce(
+                    F.lead("ts").over(w),
+                    F.lit(SCD2_SENTINEL).cast("timestamp"),
+                )
+            ),
+        )
+        .drop("ts")
+    )
+    probes = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("probe_event_id"),
+            F.unix_millis("ts").alias("probe_ts_ms"),
+        )
+    )
+    return (
+        probes.alias("p")
+        .join(
+            dim.alias("d"),
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (F.col("p.probe_ts_ms") >= F.col("d.valid_from_ms"))
+            & (F.col("p.probe_ts_ms") < F.col("d.valid_to_ms")),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            "probe_event_id",
+            "probe_ts_ms",
+            F.col("d.event_id").alias("version_event_id"),
+            F.round(F.col("d.value") + F.lit(1e-9), 6).alias("value_as_of"),
+            "valid_from_ms",
+        )
+    )
+
+
+@register(
+    "scd2_validity_audit",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id, event_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+               CAST(epoch_ms(COALESCE(LEAD(ts) OVER w,
+                                      TIMESTAMP '{SCD2_SENTINEL}')) AS BIGINT)
+                   AS valid_to_ms
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    kept AS (SELECT * FROM dim WHERE event_id % 5 <> 0),
+    seq AS (
+        SELECT user_id, valid_from_ms, valid_to_ms,
+               LEAD(valid_from_ms) OVER
+                   (PARTITION BY user_id ORDER BY valid_from_ms, valid_to_ms)
+                   AS next_from_ms
+        FROM kept
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (next_from_ms IS NOT NULL
+                                 AND next_from_ms <> valid_to_ms)
+                AS BIGINT) AS n_chain_breaks,
+           CAST(COUNT(*) FILTER (valid_to_ms =
+                CAST(epoch_ms(TIMESTAMP '{SCD2_SENTINEL}') AS BIGINT))
+                AS BIGINT) AS n_open_rows
+    FROM seq GROUP BY user_id
+    """,
+    doc="SCD2 validity-chain audit — the data-quality invariant every "
+        "CDC target must hold: per key, consecutive versions ordered "
+        "by validity must tile time exactly (next.valid_from == "
+        "valid_to), with exactly one open row. Run here against a "
+        "deliberately corrupted chain (every 5th version dropped) so "
+        "the audit demonstrably DETECTS the breaks it exists to "
+        "catch. One window + one aggregate on the same key "
+        "partitioning — a single shuffle end-to-end.",
+)
+def scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    dim = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts")
+        .withColumn("valid_from_ms", F.unix_millis("ts"))
+        .withColumn(
+            "valid_to_ms",
+            F.unix_millis(
+                F.coalesce(
+                    F.lead("ts").over(w),
+                    F.lit(SCD2_SENTINEL).cast("timestamp"),
+                )
+            ),
+        )
+    )
+    kept = dim.where(F.col("event_id") % 5 != 0)
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "valid_to_ms")
+    seq = kept.withColumn(
+        "next_from_ms", F.lead("valid_from_ms").over(w2)
+    )
+    sentinel_ms = F.unix_millis(F.lit(SCD2_SENTINEL).cast("timestamp"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("next_from_ms").isNotNull()
+                & (F.col("next_from_ms") != F.col("valid_to_ms")),
+                1,
+            ).otherwise(0)
+        ).alias("n_chain_breaks"),
+        F.sum(
+            F.when(F.col("valid_to_ms") == sentinel_ms, 1).otherwise(0)
+        ).alias("n_open_rows"),
+    )
