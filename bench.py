@@ -51,6 +51,10 @@ HEADLINE = (
     "global_ordinal_ids",       # banded shard-id assignment
     "events_anomaly_zscore",    # broadcast-moments outlier filter
     "corpus_build_e2e",         # composed hygiene pipeline (flagship)
+    "cdc_net_effect_compaction",    # CDC batch -> net change per key
+    "snapshot_diff_changes",        # state-at-T1 vs head diff
+    "scd2_point_in_time_lookup",    # SCD2 validity-interval read
+    "join_bloom_prefiltered",       # two-phase runtime-filter join
 )
 
 
