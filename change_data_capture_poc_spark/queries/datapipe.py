@@ -2834,3 +2834,172 @@ def text_chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+        SELECT tok.doc_id, ln(vocab.c / tot.n) AS lp
+        FROM tok JOIN vocab USING (tok), tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp) + 1e-9, 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring — the perplexity-style quality "
+        "filter every pretraining pipeline runs (docs whose mean token "
+        "log-probability under the corpus unigram model is too low are "
+        "gibberish/boilerplate candidates). Two corpus shuffles (vocab "
+        "count, per-doc mean); the vocab re-joins the token stream by "
+        "key — at 100 TB the vocab table is Zipf-tiny next to the "
+        "corpus and the join broadcasts.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logprob"),
+    )
+
+
+@register(
+    "bpe_pair_merges",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(list_zip(w[:-2], w[2:]),
+                                     p -> p[1] || ' ' || p[2])) AS pair
+        FROM t
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE merge-candidate counting — the first iteration of "
+        "byte-pair-encoding tokenizer training: count adjacent token "
+        "pairs corpus-wide, take the top merges (deterministic "
+        "count-desc, pair-asc tiebreak). The pair stream is a map-only "
+        "zip of two shifted slices (no self-join); one count shuffle "
+        "plus a global top-k TakeOrdered.",
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, "
+                "size(split(text, ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "kmeans_one_iter",
+    oracle="""
+    WITH ed AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, e AS c FROM ed WHERE vec_id < 8),
+    d AS (
+        SELECT ed.vec_id, s.cid,
+               ROUND(list_reduce(list_transform(list_zip(ed.e, s.c),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) + 1e-9, 6) AS dist
+        FROM ed, seeds s
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ),
+    asgn AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+    j AS (SELECT asgn.cid, ed.e FROM asgn JOIN ed USING (vec_id))
+    SELECT cid AS cluster_id, r.i AS dim,
+           ROUND(AVG(e[r.i]) + 1e-9, 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM j, (SELECT unnest(range(1, 65)) AS i) r
+    GROUP BY cid, r.i
+    """,
+    doc="One k-means iteration over the embedding corpus (assign to "
+        "nearest of 8 seed centroids, recompute centroids) — the "
+        "building block of embedding-space clustering and IVF index "
+        "training. Seeds broadcast against the corpus; the argmin "
+        "crosses a SKINNY (vec_id, cid, dist) shuffle — the 64-float "
+        "vectors rejoin the winning assignment afterwards, so arrays "
+        "cross the network once, not once per candidate. Distances "
+        "fold element-by-element in a fixed order and round at 1e-6, "
+        "so both engines agree on every assignment (float-sign "
+        "portability rule). Centroids emit as (cluster, dim, value) "
+        "scalars — 512 rows, no array columns on the bridge.",
+)
+def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    seeds = ed.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    d = ed.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+                "0D, (a, b) -> a + b)"
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asgn = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    j = asgn.join(ed, "vec_id")
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    return (
+        j.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "dim",
+            F.element_at("e", F.col("dim")).alias("val"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg("val") + F.lit(1e-9), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
