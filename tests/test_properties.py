@@ -336,3 +336,72 @@ def test_quantize_error_bounded_by_half_step(spark, vecs):
         )
         bound_ppm = (s_max / 2) ** 2 * 1e6 + 1e-3
         assert out[label].mse_ppm <= bound_ppm
+
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.sampled_from(["signup", "click", "view", "purchase", "error"]),
+        st.integers(min_value=-50, max_value=50),  # value (int-valued)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_cdc_ops)
+@settings(**_SLOW_OK)
+def test_net_effect_equals_replay(spark, ops):
+    """Net-effect compaction contract: applying the single net change
+    per key to any prior state yields the same final state as
+    replaying the whole batch — checked against an independent
+    in-Python state-machine replay."""
+    import change_data_capture_poc_spark.queries.cdc_ops_q as co
+
+    rows = [
+        (i, None, uid, et, float(v), None)
+        for i, (uid, et, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = co.load_table
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "events"
+        return df
+
+    co.load_table = fake_load
+    try:
+        out = {
+            r.user_id: r
+            for r in co.cdc_net_effect_compaction(spark, "ignored").collect()
+        }
+    finally:
+        co.load_table = orig
+
+    op_map = {"signup": "c", "error": "d"}
+    expected = {}
+    for i, (uid, et, v) in enumerate(ops):
+        op = op_map.get(et, "u")
+        first, _, _, _, n = expected.get(uid, (op, None, None, None, 0))
+        expected[uid] = (first, op, float(v), i, n + 1)
+
+    for uid, (first, last, v, last_id, n) in expected.items():
+        if first == "c" and last == "d":
+            assert uid not in out  # transient key vanishes
+            continue
+        r = out[uid]
+        net = "d" if last == "d" else ("c" if first == "c" else "u")
+        assert r.net_op == net
+        assert r.last_event_id == last_id
+        assert r.n_ops == n
+        if net == "d":
+            assert r.net_value is None
+        else:
+            assert r.net_value == v
+    assert len(out) == sum(
+        1 for f, l, *_ in expected.values() if not (f == "c" and l == "d")
+    )

@@ -60,6 +60,9 @@ PROBES = (
     "cdc_net_effect_compaction",
     "snapshot_diff_changes",
     "events_ema",
+    "text_unigram_logprob",
+    "bpe_pair_merges",
+    "kmeans_one_iter",
 )
 
 
