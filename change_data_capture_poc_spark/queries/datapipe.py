@@ -2865,16 +2865,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Persist the vocab: it feeds both the broadcast join and the
+    # total-count scalar, and without the persist each consumer
+    # re-tokenizes and re-counts the whole corpus (a third full pass
+    # the 8x probe caught as the worst ratio on the board).
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = vocab.agg(F.sum("c").alias("n"))
-    scored = (
-        tok.join(vocab, "tok")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    # Broadcast the vocab (Zipf vocabulary ≪ corpus at any scale) and
+    # keep the global total OUT of the per-token path entirely:
+    # avg(ln(c/n)) = avg(ln c) - ln(n), so the scalar joins the
+    # per-doc aggregate, not the token stream.
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("c")).alias("avg_ln_c"),
+        )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logprob"),
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("avg_ln_c") - F.log("n") + F.lit(1e-9), 6
+        ).alias("avg_logprob"),
     )
 
 
