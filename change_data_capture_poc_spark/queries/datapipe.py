@@ -3017,3 +3017,58 @@ def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comps AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.source,
+           EXISTS (SELECT 1 FROM comps c
+                   WHERE c.doc_id = d.doc_id) AS is_cluster_rep
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comps c
+                      WHERE c.doc_id = d.doc_id
+                        AND c.cluster_id <> c.doc_id)
+    """,
+    doc="The dedup pipeline's END DELIVERABLE: the surviving corpus "
+        "after near-dup removal — minhash-LSH candidate pairs -> "
+        "connected components -> keep exactly one representative per "
+        "cluster (the min doc_id, i.e. the doc whose component label "
+        "is itself) plus every unclustered doc. One anti-join of the "
+        "corpus against the non-canonical member list on top of the "
+        "banded-LSH + label-propagation plan; the drop list is the "
+        "duplicate mass only, never the corpus.",
+)
+def dedup_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    comps = dedup_cluster_label_propagation(spark, sf_dir)
+    drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    reps = comps.where(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("is_cluster_rep")
+    )
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("is_cluster_rep", F.lit(False)).alias(
+                "is_cluster_rep"
+            ),
+        )
+    )
