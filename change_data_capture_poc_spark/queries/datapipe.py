@@ -3072,3 +3072,97 @@ def dedup_survivors(spark, sf_dir):
             ),
         )
     )
+
+
+_BM25_TERMS = ("spark", "merge", "window", "scan")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, dl, unnest(w) AS tok FROM base
+    ),
+    tf AS (
+        SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf
+        FROM tok WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ad AS (SELECT AVG(dl) AS avgdl FROM base),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / ad.avgdl))
+                   AS s
+        FROM tf JOIN dfreq USING (tok), n, ad
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           ROUND(SUM(s) + 1e-9, 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query "
+        "term set — the lexical-retrieval sibling of "
+        "text_tfidf_top_terms and the standard first-stage ranker for "
+        "RAG corpus search. The query-term filter happens INSIDE the "
+        "token explode (map-side), so the tf aggregation shuffles "
+        "only matching tokens; document length rides along in the "
+        "same aggregation (no corpus-sized length join); df/N/avgdl "
+        "are broadcast scalars. Deterministic top-20 on the rounded "
+        "score with doc_id tiebreak.",
+)
+def text_bm25_retrieval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    tok = base.select("doc_id", "dl", F.explode("w").alias("tok"))
+    tf = (
+        tok.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    ad = base.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum("s") + F.lit(1e-9), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
