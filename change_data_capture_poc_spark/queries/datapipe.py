@@ -3166,3 +3166,75 @@ def text_bm25_retrieval(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# Johnson-Lindenstrauss sign matrix (8 components x 64 dims), generated
+# by a fixed LCG and inlined as literals into BOTH engines' expressions
+# (shared-literal rule: no engine-specific RNG can diverge).
+def _jl_signs() -> list[list[int]]:
+    s, out = 12345, []
+    for _ in range(8):
+        row = []
+        for _ in range(64):
+            s = (1103515245 * s + 12345) % (1 << 31)
+            row.append(1 if (s >> 16) & 1 else -1)
+        out.append(row)
+    return out
+
+
+_JL = _jl_signs()
+_JL_SCALE = "0.35355339059327373"  # 1/sqrt(8), shared literal
+
+
+def _jl_oracle() -> str:
+    comps = ",\n".join(
+        "ROUND(list_reduce(list_transform(list_zip(e, "
+        f"[{', '.join(str(c) for c in row)}]), "
+        "p -> p[1] * p[2]), (a, b) -> a + b) "
+        f"* {_JL_SCALE} + 1e-9, 6) AS proj_{j}"
+        for j, row in enumerate(_JL)
+    )
+    return f"""
+    WITH ed AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id, label, {comps} FROM ed
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64 -> 8 dims with a "
+        "+-1 sign matrix — the cheap dimensionality reduction used to "
+        "shrink embeddings before LSH/clustering at corpus scale. "
+        "Map-only (zero shuffles): each component is one fixed-order "
+        "fold against an inlined literal sign row, identical "
+        "arithmetic in both engines; output is 8 scalar columns, no "
+        "arrays on the bridge. At 100 TB this runs at scan bandwidth "
+        "and cuts downstream LSH/ANN cost 8x.",
+)
+def embedding_random_projection(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    comps = [
+        F.round(
+            F.expr(
+                "aggregate(zip_with(e, array({lits}), (x, c) -> x * c), "
+                "0D, (a, b) -> a + b) * {scale}".format(
+                    lits=", ".join(f"{c}D" for c in row),
+                    scale=_JL_SCALE,
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias(f"proj_{j}")
+        for j, row in enumerate(_JL)
+    ]
+    return ed.select("vec_id", "label", *comps)

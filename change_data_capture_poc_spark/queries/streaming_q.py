@@ -316,3 +316,44 @@ def streaming_net_effect_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         "n_ops",
     )
+
+
+@register(
+    "streaming_stateful_running_agg_drain",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value) + 1e-9, 6) AS value_sum,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ts_ms
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="The CUSTOM stateful operator path (applyInPandasWithState, "
+        "streaming/stateful.py) on the oracle gate: per-key running "
+        "(count, sum, last-seen) state maintained across micro-batches "
+        "in the state store, drained and compared against the plain "
+        "batch aggregate it must converge to. Update-mode sinks emit "
+        "one row per key per touched micro-batch, so the drain keeps "
+        "each key's max-n row (n is strictly increasing) — exact "
+        "regardless of how the source splits into batches. NoTimeout "
+        "per the drain rule (a processing-time timer spins availableNow "
+        "drains through empty cleanup batches).",
+)
+def streaming_stateful_running_agg_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    ev = _stream_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    out = running_user_totals(ev.select("user_id", "ts", "value"))
+    drained = _drain(out, "streaming_stateful_running_tbl", "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.max_by("value_sum", "n") + F.lit(1e-9), 6
+        ).alias("value_sum"),
+        F.unix_millis(F.max_by("last_ts", "n")).alias("last_ts_ms"),
+    )
