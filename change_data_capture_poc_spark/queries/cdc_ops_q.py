@@ -425,3 +425,117 @@ def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.where(
         F.col("prev_ms").isNull() | (F.col("ts_ms") - F.col("prev_ms") > 86400000)
     ).drop("prev_ms")
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM customer c
+               WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+    FROM orders o
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM orders o2
+               WHERE o2.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    """,
+    doc="Referential-integrity audit across the replicated schema — "
+        "the validation a CDC target runs after every backfill "
+        "(out-of-order application and partial snapshots orphan "
+        "children). Each FK edge is an existence-tagged aggregate: "
+        "the child streams once through a join against the parent "
+        "key set and reduces to one (fk, rows, orphans) row — "
+        "parent key sets broadcast when small, and the audit never "
+        "materializes the orphan rows themselves.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def edge(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+             name: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        tagged = child.join(
+            F.broadcast(keys), F.col(ck) == F.col("__pk"), "left"
+        )
+        return tagged.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("__pk").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return edge(orders, "o_custkey", customer, "c_custkey",
+                "orders->customer").unionAll(
+        edge(lineitem, "l_orderkey", orders, "o_orderkey",
+             "lineitem->orders")
+    )
+
+
+@register(
+    "cdc_hotspot_keys",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id,
+               count(*) AS n_changes,
+               count(*) FILTER (event_type = 'error') AS n_deletes,
+               CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT)
+                   AS active_span_ms
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(n_deletes AS BIGINT) AS n_deletes,
+           active_span_ms,
+           ROUND(n_changes * 86400000.0 / active_span_ms + 1e-9, 6)
+               AS changes_per_day
+    FROM per_key
+    WHERE active_span_ms > 0
+    ORDER BY n_changes DESC, user_id
+    LIMIT 25
+    """,
+    doc="CDC hotspot profiling — the monitoring query that finds keys "
+        "dominating the change stream (skew candidates for salting, "
+        "compaction pressure, runaway writers). One key shuffle with "
+        "map-side partials; top-25 via TakeOrdered with deterministic "
+        "key tiebreak.",
+)
+def cdc_hotspot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_key = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_deletes"),
+            (
+                F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))
+            ).alias("active_span_ms"),
+        )
+    )
+    return (
+        per_key.where(F.col("active_span_ms") > 0)
+        .select(
+            "user_id",
+            "n_changes",
+            "n_deletes",
+            "active_span_ms",
+            F.round(
+                F.col("n_changes") * 86400000.0 / F.col("active_span_ms")
+                + F.lit(1e-9),
+                6,
+            ).alias("changes_per_day"),
+        )
+        .orderBy(F.col("n_changes").desc(), "user_id")
+        .limit(25)
+    )
