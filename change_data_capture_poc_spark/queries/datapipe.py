@@ -3238,3 +3238,78 @@ def embedding_random_projection(spark, sf_dir):
         for j, row in enumerate(_JL)
     ]
     return ed.select("vec_id", "label", *comps)
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH pert AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               upper(text) || '!!  ' AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext,
+               text
+        FROM pert
+    )
+    SELECT md5(ntext) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+    FROM norm
+    GROUP BY md5(ntext)
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    doc="Exact dedup AFTER text normalization (casefold, strip "
+        "punctuation, collapse whitespace) — catches the "
+        "trivially-reformatted duplicates raw byte-exact dedup "
+        "misses, the standard first pass before the fuzzy families "
+        "(ngram/minhash/simhash/embedding, all implemented). The "
+        "corpus is unioned with a deterministically reformatted twin "
+        "of every 7th doc (uppercased, punctuated, padded), and "
+        "n_raw_variants > 1 in every emitted group PROVES raw "
+        "fingerprinting would have missed them. Normalization is "
+        "map-only JVM regex at scan bandwidth; one fingerprint "
+        "shuffle. Spark regexp_replace is global by default; the "
+        "oracle passes the \'g\' flag for identical semantics.",
+)
+def dedup_exact_normalized(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pert = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!  ")).alias("text"),
+        )
+    )
+    norm = pert.select(
+        "doc_id",
+        "text",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ).alias("ntext"),
+    )
+    return (
+        norm.select(
+            F.md5(F.col("ntext").cast("binary")).alias("fingerprint"),
+            F.md5(F.col("text").cast("binary")).alias("raw_fp"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("raw_fp").alias("n_raw_variants"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
