@@ -925,3 +925,55 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "partition_boundary_recommendation",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(o_custkey, 1/16.0) + 1e-9, 6) AS b1,
+           ROUND(quantile_cont(o_custkey, 2/16.0) + 1e-9, 6) AS b2,
+           ROUND(quantile_cont(o_custkey, 3/16.0) + 1e-9, 6) AS b3,
+           ROUND(quantile_cont(o_custkey, 4/16.0) + 1e-9, 6) AS b4,
+           ROUND(quantile_cont(o_custkey, 5/16.0) + 1e-9, 6) AS b5,
+           ROUND(quantile_cont(o_custkey, 6/16.0) + 1e-9, 6) AS b6,
+           ROUND(quantile_cont(o_custkey, 7/16.0) + 1e-9, 6) AS b7,
+           ROUND(quantile_cont(o_custkey, 8/16.0) + 1e-9, 6) AS b8,
+           ROUND(quantile_cont(o_custkey, 9/16.0) + 1e-9, 6) AS b9,
+           ROUND(quantile_cont(o_custkey, 10/16.0) + 1e-9, 6) AS b10,
+           ROUND(quantile_cont(o_custkey, 11/16.0) + 1e-9, 6) AS b11,
+           ROUND(quantile_cont(o_custkey, 12/16.0) + 1e-9, 6) AS b12,
+           ROUND(quantile_cont(o_custkey, 13/16.0) + 1e-9, 6) AS b13,
+           ROUND(quantile_cont(o_custkey, 14/16.0) + 1e-9, 6) AS b14,
+           ROUND(quantile_cont(o_custkey, 15/16.0) + 1e-9, 6) AS b15
+    FROM orders
+    """,
+    doc="Equi-depth range-partition boundary recommendation: the 15 "
+        "interior 16-quantiles of the partition key — exactly what a "
+        "planner feeds repartitionByRange/bucketing so every range "
+        "split carries ~n/16 rows regardless of key skew. Exact "
+        "percentile (Spark percentile == DuckDB quantile_cont, both "
+        "linear-interpolation) on the oracle gate; the 100 TB "
+        "production path swaps in approx_percentile with the same "
+        "output shape. One aggregation, 16 scalar output columns.",
+)
+def partition_boundary_recommendation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(o_custkey, 1/16.0)") + F.lit(1e-9), 6).alias("b1"),
+        F.round(F.expr("percentile(o_custkey, 2/16.0)") + F.lit(1e-9), 6).alias("b2"),
+        F.round(F.expr("percentile(o_custkey, 3/16.0)") + F.lit(1e-9), 6).alias("b3"),
+        F.round(F.expr("percentile(o_custkey, 4/16.0)") + F.lit(1e-9), 6).alias("b4"),
+        F.round(F.expr("percentile(o_custkey, 5/16.0)") + F.lit(1e-9), 6).alias("b5"),
+        F.round(F.expr("percentile(o_custkey, 6/16.0)") + F.lit(1e-9), 6).alias("b6"),
+        F.round(F.expr("percentile(o_custkey, 7/16.0)") + F.lit(1e-9), 6).alias("b7"),
+        F.round(F.expr("percentile(o_custkey, 8/16.0)") + F.lit(1e-9), 6).alias("b8"),
+        F.round(F.expr("percentile(o_custkey, 9/16.0)") + F.lit(1e-9), 6).alias("b9"),
+        F.round(F.expr("percentile(o_custkey, 10/16.0)") + F.lit(1e-9), 6).alias("b10"),
+        F.round(F.expr("percentile(o_custkey, 11/16.0)") + F.lit(1e-9), 6).alias("b11"),
+        F.round(F.expr("percentile(o_custkey, 12/16.0)") + F.lit(1e-9), 6).alias("b12"),
+        F.round(F.expr("percentile(o_custkey, 13/16.0)") + F.lit(1e-9), 6).alias("b13"),
+        F.round(F.expr("percentile(o_custkey, 14/16.0)") + F.lit(1e-9), 6).alias("b14"),
+        F.round(F.expr("percentile(o_custkey, 15/16.0)") + F.lit(1e-9), 6).alias("b15"),
+    )
