@@ -539,3 +539,82 @@ def cdc_hotspot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_changes").desc(), "user_id")
         .limit(25)
     )
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH del AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'error') AS n_deletes,
+               max(event_id) FILTER (event_type = 'error')
+                   AS last_delete_lsn,
+               count(*) AS n_history_rows
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) FILTER (event_type = 'error') > 0
+    ),
+    after AS (
+        SELECT d.user_id,
+               count(e.event_id) AS n_rows_after_last_delete
+        FROM del d LEFT JOIN events e
+          ON e.user_id = d.user_id AND e.event_id > d.last_delete_lsn
+        GROUP BY d.user_id
+    )
+    SELECT del.user_id,
+           CAST(n_deletes AS BIGINT) AS n_deletes,
+           last_delete_lsn,
+           CAST(n_history_rows AS BIGINT) AS n_history_rows,
+           CAST(n_rows_after_last_delete AS BIGINT)
+               AS n_rows_after_last_delete,
+           n_rows_after_last_delete = 0 AS erasable
+    FROM del JOIN after USING (user_id)
+    """,
+    doc="Right-to-be-forgotten work queue: for every key with a "
+        "delete in the change log, the history row count to purge, "
+        "the last delete LSN, and whether the key was RESURRECTED "
+        "afterwards (activity past the delete means the erasure "
+        "request is superseded — the compliance edge case that "
+        "silently corrupts naive purge jobs). Both aggregates key on "
+        "user_id, so the join reuses the hash partitioning; the "
+        "post-delete count joins deletes back to the log as a "
+        "range predicate on the LSN, not a second full aggregate.",
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("user_id").isNotNull())
+    del_agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_deletes"),
+            F.max(
+                F.when(F.col("event_type") == "error", F.col("event_id"))
+            ).alias("last_delete_lsn"),
+            F.count(F.lit(1)).alias("n_history_rows"),
+        )
+        .where(F.col("n_deletes") > 0)
+    )
+    after = (
+        del_agg.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.user_id") == F.col("d.user_id"))
+            & (F.col("e.event_id") > F.col("d.last_delete_lsn")),
+            "left",
+        )
+        .groupBy(F.col("d.user_id").alias("user_id"))
+        .agg(F.count(F.col("e.event_id")).alias("n_rows_after_last_delete"))
+    )
+    return (
+        del_agg.join(after, "user_id")
+        .select(
+            "user_id",
+            "n_deletes",
+            "last_delete_lsn",
+            "n_history_rows",
+            "n_rows_after_last_delete",
+            (F.col("n_rows_after_last_delete") == 0).alias("erasable"),
+        )
+    )
