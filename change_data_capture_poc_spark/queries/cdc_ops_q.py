@@ -459,11 +459,14 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
 
     def edge(child: DataFrame, ck: str, parent: DataFrame, pk: str,
-             name: str) -> DataFrame:
+             name: str, broadcast: bool = False) -> DataFrame:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
-        tagged = child.join(
-            F.broadcast(keys), F.col(ck) == F.col("__pk"), "left"
-        )
+        # Broadcast only dimension-sized parents; a fact-sized parent
+        # key set (lineitem->orders at 100 TB) must shuffle-join and
+        # let AQE pick the strategy.
+        if broadcast:
+            keys = F.broadcast(keys)
+        tagged = child.join(keys, F.col(ck) == F.col("__pk"), "left")
         return tagged.agg(
             F.lit(name).alias("fk"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -473,7 +476,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("fk", "n_rows", "n_orphans")
 
     return edge(orders, "o_custkey", customer, "c_custkey",
-                "orders->customer").unionAll(
+                "orders->customer", broadcast=True).unionAll(
         edge(lineitem, "l_orderkey", orders, "o_orderkey",
              "lineitem->orders")
     )
