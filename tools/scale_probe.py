@@ -63,6 +63,12 @@ PROBES = (
     "text_unigram_logprob",
     "bpe_pair_merges",
     "kmeans_one_iter",
+    "dedup_survivors",
+    "text_bm25_retrieval",
+    "events_debounce_dedup",
+    "gdpr_erasure_audit",
+    "fk_integrity_audit",
+    "embedding_random_projection",
 )
 
 
