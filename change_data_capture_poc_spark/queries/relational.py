@@ -977,3 +977,49 @@ def partition_boundary_recommendation(spark, sf_dir):
         F.round(F.expr("percentile(o_custkey, 14/16.0)") + F.lit(1e-9), 6).alias("b14"),
         F.round(F.expr("percentile(o_custkey, 15/16.0)") + F.lit(1e-9), 6).alias("b15"),
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, d + CAST(r.i AS INTEGER) AS window_end
+        FROM ud, (SELECT unnest(range(0, 7)) AS i) r
+    )
+    SELECT window_end,
+           CAST(COUNT(*) AS BIGINT) AS wau
+    FROM contrib
+    GROUP BY window_end
+    ORDER BY window_end
+    """,
+    doc="Rolling 7-day active users (the WAU/MAU dashboard family): "
+        "sliding COUNT(DISTINCT) is not a window frame either engine "
+        "supports, so each (user, day) activity pair is exploded to "
+        "the 7 window-ends it contributes to and deduplicated — the "
+        "scalable reformulation of a sliding distinct. Shuffle "
+        "budget: distinct pairs, distinct contributions, final "
+        "count — each keyed and map-side-partial; the 7x explode is "
+        "bounded by the window length, never the corpus.",
+)
+def events_rolling_wau(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ud = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    days = spark.range(0, 7).select(F.col("id").cast("int").alias("i"))
+    contrib = (
+        ud.crossJoin(F.broadcast(days))
+        .select("user_id", F.date_add("d", F.col("i")).alias("window_end"))
+        .distinct()
+    )
+    return (
+        contrib.groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("window_end")
+    )
