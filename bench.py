@@ -55,6 +55,11 @@ HEADLINE = (
     "snapshot_diff_changes",        # state-at-T1 vs head diff
     "scd2_point_in_time_lookup",    # SCD2 validity-interval read
     "join_bloom_prefiltered",       # two-phase runtime-filter join
+    "corpus_mix_rebalance",         # broadcast-rate source downsampling
+    "curriculum_quality_phases",    # percentile-broadcast phasing
+    "text_bigram_logprob",          # bigram LM scoring
+    "dedup_minhash_containment",    # containment on LSH survivors
+    "eval_ann_recall",              # IVF-vs-exact recall gate
 )
 
 

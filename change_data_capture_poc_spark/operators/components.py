@@ -66,10 +66,15 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        # Carry the OLD label through the checkpoint so the changed
+        # count is a filter over already-materialized rows — one join
+        # per round, not two (the old shape re-joined new vs old labels
+        # just to count diffs, doubling per-round shuffle work).
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
@@ -77,13 +82,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = stepped.select("node", "component")
         if changed == 0:
             break
     else:
@@ -121,14 +123,17 @@ def pagerank(
         .persist()
     )
     deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    # Degrees are loop-invariant: fold them into the edge table ONCE so
+    # each iteration is a single rank join + contribution shuffle, not
+    # rank-join + degree-join.
+    e_deg = e.join(deg, "a").persist()
     ranks = deg.select(
         F.col("a").alias("node"), F.lit(1.0).alias("rank")
     ).localCheckpoint()
 
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e["a"] == ranks["node"])
-            .join(deg, "a")
+            e_deg.join(ranks, e_deg["a"] == ranks["node"])
             .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
@@ -140,5 +145,6 @@ def pagerank(
             ),
         ).localCheckpoint()
 
+    e_deg.unpersist()
     e.unpersist()
     return ranks

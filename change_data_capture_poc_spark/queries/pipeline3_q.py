@@ -1,0 +1,468 @@
+"""Round-3 pipeline operators: corpus curation (deterministic splits,
+source-mix rebalancing, curriculum phasing), language-model statistics
+(bigram scoring, tokenizer coverage), and evaluation harnesses (ANN
+recall against exact ground truth, containment scoring on LSH
+candidates).
+
+These extend the reference's query surface (shalini-p16/
+change-data-capture-poc delegates all querying to DuckDB SQL,
+duckdb/scd2_example.sql) with the corpus-construction operations a
+100 TB training-data pipeline runs after CDC landing — each one a
+declarative DataFrame plan with a DuckDB oracle twin.
+
+Shared determinism rule: every sampling/splitting decision hashes row
+KEYS (md5, integer arithmetic) — never rand() — so results are
+reproducible across runs, engines, and partitionings, and the oracle
+can replay the exact decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+
+def _md5_mod(col, mod: int):
+    """First 8 hex digits of md5(col-as-string) as an integer in
+    [0, mod) — the engine side of DuckDB's
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT % mod``."""
+    return (
+        F.conv(
+            F.substring(F.md5(col.cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus curation
+# --------------------------------------------------------------------
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang, source,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS h
+        FROM documents
+    )
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by key hash "
+        "— the split must be a pure function of the document id so it "
+        "is stable under reshards, re-runs, and incremental corpus "
+        "growth (a doc never migrates between splits when new data "
+        "lands). Map-only: no shuffle, no RNG, prunes to three "
+        "columns at the scan.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = _md5_mod(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (SELECT source, cnt, (mn * 1000) // cnt AS keep_permille
+          FROM c, m)
+    SELECT d.doc_id, d.source, r.keep_permille
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000 < r.keep_permille
+    """,
+    doc="Source-mix rebalancing: downsample every source to (about) the "
+        "size of the smallest one, so no single crawl dominates the "
+        "training mix. Per-source keep rate = floor(min_count*1000/"
+        "count) permille — INTEGER arithmetic end-to-end so engine and "
+        "oracle make bit-identical keep decisions. One tiny agg "
+        "(per-source counts -> broadcast) + a map-side hash filter; "
+        "the corpus itself never shuffles.",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = c.agg(F.min("cnt").alias("mn"))
+    rates = c.crossJoin(F.broadcast(mn)).select(
+        "source",
+        ((F.col("mn") * 1000) / F.col("cnt"))
+        .cast("long")
+        .alias("keep_permille"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(_md5_mod(F.col("doc_id"), 1000) < F.col("keep_permille"))
+        .select("doc_id", "source", "keep_permille")
+    )
+
+
+@register(
+    "curriculum_quality_phases",
+    oracle="""
+    WITH t AS (
+        SELECT quantile_cont(n_chars, 1.0/3) AS t33,
+               quantile_cont(n_chars, 2.0/3) AS t66
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN d.n_chars <= t.t33 THEN 0
+                WHEN d.n_chars <= t.t66 THEN 1
+                ELSE 2 END AS phase
+    FROM documents d, t
+    """,
+    doc="Curriculum phasing: documents bucketed into 3 phases by exact "
+        "length terciles (short -> long, the classic easy-to-hard "
+        "schedule). Scale shape: the NAIVE formulation is a global "
+        "sort + ntile window (single-partition killer); this one "
+        "computes the two tercile thresholds in a scalar aggregate and "
+        "broadcasts them back — the corpus is touched by two map-side "
+        "passes and never globally sorted. Thresholds interpolate on "
+        "INTEGER n_chars (exact .0/.5 values), so engine and oracle "
+        "bucket identically.",
+)
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.agg(
+        F.expr("percentile(n_chars, 1.0D/3.0D)").alias("t33"),
+        F.expr("percentile(n_chars, 2.0D/3.0D)").alias("t66"),
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("t33"), 0)
+        .when(F.col("n_chars") <= F.col("t66"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("phase"),
+    )
+
+
+# --------------------------------------------------------------------
+# Language-model statistics
+# --------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS pos FROM t),
+    bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT tok AS w1, COUNT(*) AS c FROM tok GROUP BY tok),
+    v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+    scored AS (
+        SELECT bg.doc_id,
+               ln((c2.c + 1.0) / (c1.c + v.vsz)) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp) + 1e-9, 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring with add-one smoothing: mean "
+        "ln((c(w1,w2)+1)/(c(w1)+V)) per document — the next step up "
+        "from text_unigram_logprob for fluency-based quality filtering "
+        "(captures word-order junk a unigram model cannot). Bigrams "
+        "come from one pass over the token array (transform on "
+        "adjacent positions — no positional self-join on the engine "
+        "side); the bigram and unigram count tables are Zipf-small "
+        "and broadcast back onto the bigram stream.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    # Adjacent-pair structs in ONE array pass; the positional self-join
+    # the oracle uses would shuffle the token stream twice.
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1), "
+                "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("w1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
+    v = c1.agg(F.count(F.lit(1)).alias("vsz"))
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp") + 1e-9, 6).alias("avg_logprob"),
+    )
+
+
+_VOCAB_TOP = 500
+
+
+@register(
+    "tokenizer_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+            ORDER BY c DESC, tok LIMIT {_VOCAB_TOP}
+        )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE tok IN (SELECT tok FROM vocab))
+                AS BIGINT) AS covered_tokens,
+           ROUND(1.0 - COUNT(*) FILTER (WHERE tok IN (SELECT tok FROM vocab))
+                 * 1.0 / COUNT(*) + 1e-9, 6) AS oov_rate
+    FROM tok GROUP BY lang
+    """,
+    doc=f"Tokenizer coverage audit: out-of-vocabulary occurrence rate "
+        f"per language against a frequency-built top-{_VOCAB_TOP} "
+        f"vocabulary (ties broken by token for determinism) — the "
+        f"check that a tokenizer trained on the majority language "
+        f"doesn't shred minority-language text. The vocab is a "
+        f"TakeOrdered top-k (partial per partition, no full sort) "
+        f"broadcast back over the token stream as a left semi flag.",
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            1.0
+            - F.sum(F.coalesce("in_vocab", F.lit(0))) * 1.0
+            / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------
+# Evaluation harnesses
+# --------------------------------------------------------------------
+
+_ANN_K = 5
+_ANN_NQ = 8
+
+
+@register(
+    "eval_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_ANN_NQ}),
+    gt AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                           e.vec_id) AS rk
+            FROM e, q WHERE e.vec_id != q.q_id
+        ) WHERE rk <= {_ANN_K}
+    ),
+    ivf AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                           e.vec_id) AS rk
+            FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
+        ) WHERE rk <= {_ANN_K}
+    )
+    SELECT gt.q_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS hits,
+           ROUND(COUNT(ivf.neighbor_id) * 1.0 / {_ANN_K} + 1e-9, 6)
+               AS recall_at_{_ANN_K}
+    FROM gt LEFT JOIN ivf USING (q_id, neighbor_id)
+    GROUP BY gt.q_id
+    """,
+    doc=f"ANN quality gate: recall@{_ANN_K} of the IVF "
+        f"(probe-own-partition) index against exact brute-force ground "
+        f"truth, per query — the measurement that decides whether an "
+        f"approximate index is allowed to replace the exact path in "
+        f"the dedup/retrieval pipeline. Ranks use raw (unrounded) "
+        f"cosine with id tie-breaks so both engines rank identically. "
+        f"Reuses the registered brute-force and IVF query plans; the "
+        f"comparison join is {_ANN_NQ}x{_ANN_K} rows — driver-scale "
+        f"zero.",
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
+    en = e.select(
+        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("nv").alias("qnv"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _ANN_K)
+            .select("q_id", "neighbor_id")
+        )
+
+    gt = topk(
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+        )
+    )
+    ivf = topk(
+        en.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+        )
+    )
+    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
+    return (
+        gt.join(
+            ivf.withColumn("hit_flag", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit) * 1.0 / _ANN_K + 1e-9, 6).alias(
+                f"recall_at_{_ANN_K}"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Containment scoring on LSH candidates (asymmetric near-dup)
+# --------------------------------------------------------------------
+
+def _containment_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL}
+    SELECT p.pa AS doc_id_a, p.pb AS doc_id_b,
+           ROUND(len(list_intersect(ga.grams, gb.grams)) * 1.0
+                 / len(ga.grams) + 1e-9, 6) AS containment_a,
+           ROUND(len(list_intersect(ga.grams, gb.grams)) * 1.0
+                 / len(gb.grams) + 1e-9, 6) AS containment_b
+    FROM pairs p
+    JOIN g ga ON ga.doc_id = p.pa
+    JOIN g gb ON gb.doc_id = p.pb
+    """
+
+
+@register(
+    "dedup_minhash_containment",
+    oracle=_containment_oracle(),
+    doc="Containment verification of minhash-LSH candidates: "
+        "|A∩B|/|A| and |A∩B|/|B| over the exact 4-gram sets, per "
+        "candidate pair. Jaccard misses SUBSET duplication (a doc "
+        "wholly embedded in a longer one scores low Jaccard but "
+        "containment ~1) — this is the signal sub-document dedup "
+        "keys on. Scale shape: exact set intersection runs ONLY on "
+        "LSH survivors (band equi-join output), never all pairs; the "
+        "gram arrays join in by doc_id, so the heavy column moves "
+        "once per side.",
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _spark_grams,
+        dedup_minhash_lsh,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ga = g.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        pairs.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter * 1.0 / F.size("grams_a") + 1e-9, 6).alias(
+                "containment_a"
+            ),
+            F.round(inter * 1.0 / F.size("grams_b") + 1e-9, 6).alias(
+                "containment_b"
+            ),
+        )
+    )

@@ -13,10 +13,11 @@ Determinism rules for streamed results:
 - aggregations drain in ``complete`` mode so no window is withheld by
   a watermark at end-of-stream.
 
-``events.parquet`` is TIMESTAMP(NANOS): the streaming reader needs the
-same ``nanosAsLong`` + µs-truncation treatment as the batch catalog
-(sources/tables.load_table), mirrored here with an explicit schema
-(file streams require one).
+``events.parquet`` has shipped as both TIMESTAMP(NANOS) and plain µs
+TIMESTAMP across data generations: the streaming reader needs the same
+encoding branch as the batch catalog (sources/tables.load_table),
+mirrored here with an explicit schema (file streams require one) chosen
+by peeking the batch-read schema once.
 """
 
 from __future__ import annotations
@@ -26,9 +27,13 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 
-_EVENTS_RAW_SCHEMA = (
+_EVENTS_RAW_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
+)
+_EVENTS_RAW_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
 )
 
 
@@ -52,10 +57,19 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(
-        _events_stream_dir(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Peek the physical encoding with a schema-only batch read (no scan)
+    # so the stream uses the matching explicit schema.
+    peek = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    nanos = peek.get("ts") == "bigint"
+    schema = _EVENTS_RAW_SCHEMA_NANOS if nanos else _EVENTS_RAW_SCHEMA_MICROS
+    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -30,19 +30,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as raw nanos (``nanosAsLong``) and
-    truncated to microseconds — exactly DuckDB's ns→µs behavior, so
-    oracle comparisons stay bit-identical.
+    ``events.ts`` has shipped in two physical encodings across data
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    rejects — read as raw nanos via ``nanosAsLong`` and truncated to
+    microseconds, exactly DuckDB's ns→µs behavior) and plain µs
+    TIMESTAMP (readable directly). Branch on the observed read schema
+    so both generations work and oracle comparisons stay bit-identical.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if dict(df.dtypes).get("ts") == "bigint":  # nanos generation
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:  # µs generation reads as TIMESTAMP_NTZ; session tz is
+            # pinned UTC, so the LTZ cast is value-identical and keeps
+            # every downstream query seeing one ts type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,113 @@
+"""Invariant checks for the round-3 curation/LM/eval operators.
+
+The DuckDB oracle (tools/check_correctness.py) pins exact values;
+these tests pin the semantic invariants that hold at ANY scale —
+partition/coverage properties, bounds, determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import all_queries
+
+
+def test_split_partitions_corpus(spark, sf_dir):
+    """Every doc lands in exactly one split; the assignment is a pure
+    function of doc_id (two runs agree row-for-row)."""
+    q = all_queries()["split_train_val_test"]
+    a = q.fn(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert a.count() == n_docs
+    assert a.select("doc_id").distinct().count() == n_docs
+    splits = {r.split for r in a.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    b = q.fn(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_mix_rebalance_caps_every_source(spark, sf_dir):
+    """The smallest source is kept whole (permille 1000); every other
+    source's kept count stays near its integer keep rate."""
+    q = all_queries()["corpus_mix_rebalance"]
+    out = q.fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r.source: r.cnt for r in docs.groupBy("source")
+              .agg(F.count("*").alias("cnt")).collect()}
+    mn = min(counts.values())
+    kept = {r.source: (r.kept, r.keep_permille) for r in out.groupBy(
+        "source", "keep_permille").agg(F.count("*").alias("kept"))
+        .select("source", "kept", "keep_permille").collect()}
+    for src, (k, permille) in kept.items():
+        assert permille == (mn * 1000) // counts[src]
+        assert k <= counts[src]
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    assert kept[smallest][1] == 1000
+    assert kept[smallest][0] == counts[smallest]
+
+
+def test_curriculum_phases_are_ordered_terciles(spark, sf_dir):
+    """Phases partition the corpus; length ranges are ordered
+    phase0 <= phase1 <= phase2 and sizes are near-equal thirds."""
+    out = all_queries()["curriculum_quality_phases"].fn(spark, sf_dir)
+    rows = out.groupBy("phase").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    ).collect()
+    by_phase = {r.phase: r for r in rows}
+    assert set(by_phase) == {0, 1, 2}
+    assert by_phase[0].hi <= by_phase[1].lo or by_phase[0].hi <= by_phase[1].hi
+    assert by_phase[1].hi <= by_phase[2].lo or by_phase[1].hi <= by_phase[2].hi
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n - total / 3) < 0.1 * total + 2
+
+
+def test_bigram_logprob_bounds(spark, sf_dir):
+    """Log-probs are negative; every doc with >= 2 tokens scores and
+    emits exactly n_tokens - 1 bigrams."""
+    out = all_queries()["text_bigram_logprob"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).where(F.col("n_tok") >= 2)
+    joined = docs.join(out, "doc_id")
+    assert joined.count() == docs.count()
+    bad = joined.where(
+        (F.col("n_bigrams") != F.col("n_tok") - 1)
+        | (F.col("avg_logprob") >= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    out = all_queries()["tokenizer_oov_rate"].fn(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert 0 <= r.covered_tokens <= r.total_tokens
+        assert -1e-6 <= r.oov_rate <= 1 + 1e-6
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    out = all_queries()["eval_ann_recall"].fn(spark, sf_dir).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r.hits <= 5
+        assert abs(r.recall_at_5 - r.hits / 5) < 1e-5
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """max(containment_a, containment_b) >= jaccard of the same pair —
+    containment is the laxer measure (subset dup detection)."""
+    pairs = all_queries()["dedup_minhash_containment"].fn(spark, sf_dir)
+    jac = all_queries()["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    j = pairs.join(jac, ["doc_id_a", "doc_id_b"])
+    bad = j.where(
+        F.greatest("containment_a", "containment_b")
+        < F.col("jaccard") - 1e-6
+    ).count()
+    assert bad == 0
+    out = pairs.collect()
+    for r in out:
+        assert 0 < r.containment_a <= 1 + 1e-6
+        assert 0 < r.containment_b <= 1 + 1e-6

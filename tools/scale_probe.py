@@ -21,6 +21,7 @@ import change_data_capture_poc_spark.queries.cdc_ops_q as _m_cdc_ops
 import change_data_capture_poc_spark.queries.datapipe as _m_datapipe
 import change_data_capture_poc_spark.queries.functions_q as _m_functions
 import change_data_capture_poc_spark.queries.operators_q as _m_operators
+import change_data_capture_poc_spark.queries.pipeline3_q as _m_pipeline3
 import change_data_capture_poc_spark.queries.relational as _m_relational
 import change_data_capture_poc_spark.queries.scd2_q as _m_scd2
 import change_data_capture_poc_spark.queries.sql_q as _m_sql
@@ -31,8 +32,8 @@ from change_data_capture_poc_spark.sources import tables as tables_mod
 # Query modules bind load_table at import time (`from ... import
 # load_table`), so the probe must patch every consumer namespace.
 _CONSUMERS = (
-    _m_cdc_ops, _m_datapipe, _m_functions, _m_operators, _m_relational, _m_scd2,
-    _m_sql, tables_mod,
+    _m_cdc_ops, _m_datapipe, _m_functions, _m_operators, _m_pipeline3,
+    _m_relational, _m_scd2, _m_sql, tables_mod,
 )
 
 PROBES = (
@@ -69,6 +70,12 @@ PROBES = (
     "gdpr_erasure_audit",
     "fk_integrity_audit",
     "embedding_random_projection",
+    "split_train_val_test",
+    "corpus_mix_rebalance",
+    "curriculum_quality_phases",
+    "text_bigram_logprob",
+    "tokenizer_oov_rate",
+    "dedup_minhash_containment",
 )
 
 
