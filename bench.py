@@ -60,6 +60,9 @@ HEADLINE = (
     "text_bigram_logprob",          # bigram LM scoring
     "dedup_minhash_containment",    # containment on LSH survivors
     "eval_ann_recall",              # IVF-vs-exact recall gate
+    "cdc_lsn_gap_transactions",     # banded-prefix-sum tx inference
+    "corpus_quality_token_budget",  # budgeted selection, no global sort
+    "text_span_dedup_c4",           # span-level boilerplate removal
 )
 
 

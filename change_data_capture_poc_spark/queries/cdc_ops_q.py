@@ -621,3 +621,173 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows_after_last_delete") == 0).alias("erasable"),
         )
     )
+
+
+_TX_GAP = 20
+
+
+@register(
+    "cdc_lsn_gap_transactions",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    flagged AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN event_id - LAG(event_id) OVER (ORDER BY event_id)
+                         > {_TX_GAP}
+                    OR LAG(event_id) OVER (ORDER BY event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM p
+    ),
+    txed AS (
+        SELECT user_id, value,
+               SUM(is_start) OVER (ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS tx_id,
+               event_id
+        FROM flagged
+    )
+    SELECT CAST(tx_id AS BIGINT) AS tx_id,
+           CAST(MIN(event_id) AS BIGINT) AS first_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS last_lsn,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           ROUND(SUM(value) + 1e-9, 6) AS tx_value
+    FROM txed GROUP BY tx_id
+    """,
+    doc=f"Transaction-boundary inference from LSN gaps (Debezium "
+        f"surfaces real tx ids; a raw WAL tail doesn't — consecutive "
+        f"LSNs with a gap > {_TX_GAP} start a new transaction batch). "
+        f"The naive plan is LAG + running SUM over a GLOBAL order — a "
+        f"single-partition window that dies at scale. This plan bands "
+        f"the LSN range (broadcast min/max), computes boundary flags "
+        f"band-locally, stitches band edges with a broadcast of one "
+        f"summary row per band, and turns the running start-count into "
+        f"band-offset + band-local prefix — the same banded-prefix-sum "
+        f"skeleton as global_ordinal_ids, so the log is never "
+        f"single-partitioned. Oracle states the naive global-window "
+        f"semantics; results are identical.",
+)
+def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bands = 32
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "value")
+    stats = p.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    banded = p.crossJoin(F.broadcast(stats)).withColumn(
+        "band",
+        F.expr(
+            f"CAST(((event_id - lo) * {n_bands}) DIV (hi - lo + 1) AS INT)"
+        ),
+    ).drop("lo", "hi")
+    # Band edge stitching: the LAG of each band's first row lives in the
+    # previous band — one summary row per band carries it over.
+    summary = banded.groupBy("band").agg(
+        F.max("event_id").alias("band_max"),
+        F.count(F.lit(1)).alias("band_rows"),
+    )
+    prev_max = summary.select(
+        (F.col("band") + 1).alias("band"),
+        F.col("band_max").alias("prev_band_max"),
+    )
+    w_local = Window.partitionBy("band").orderBy("event_id")
+    flagged = (
+        banded.join(F.broadcast(prev_max), "band", "left")
+        .withColumn(
+            "prev_lsn",
+            F.coalesce(
+                F.lag("event_id").over(w_local), F.col("prev_band_max")
+            ),
+        )
+        .withColumn(
+            "is_start",
+            (
+                F.col("prev_lsn").isNull()
+                | (F.col("event_id") - F.col("prev_lsn") > _TX_GAP)
+            ).cast("long"),
+        )
+    )
+    # Running start-count = offset of starts in earlier bands (bounded
+    # n_bands-row window) + band-local prefix of flags.
+    band_starts = flagged.groupBy("band").agg(
+        F.sum("is_start").alias("starts")
+    )
+    w_off = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = band_starts.select(
+        "band", F.coalesce(F.sum("starts").over(w_off), F.lit(0)).alias("off")
+    )
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    txed = flagged.join(F.broadcast(offsets), "band").withColumn(
+        "tx_id", (F.col("off") + F.sum("is_start").over(w_run)).cast("long")
+    )
+    return txed.groupBy("tx_id").agg(
+        F.min("event_id").cast("long").alias("first_lsn"),
+        F.max("event_id").cast("long").alias("last_lsn"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.countDistinct("user_id").cast("long").alias("n_keys"),
+        F.round(F.sum("value") + 1e-9, 6).alias("tx_value"),
+    )
+
+
+@register(
+    "scd2_rebuild_at_lsn",
+    oracle="""
+    WITH bound AS (SELECT max(event_id) // 2 AS l FROM events),
+    upto AS (
+        SELECT user_id, event_id, value,
+               CASE event_type WHEN 'error' THEN 'd' ELSE 'u' END AS op
+        FROM events, bound
+        WHERE user_id IS NOT NULL AND event_id <= bound.l
+    ),
+    last AS (
+        SELECT user_id,
+               arg_max(op, event_id)    AS last_op,
+               arg_max(value, event_id) AS last_value,
+               max(event_id)            AS last_lsn
+        FROM upto GROUP BY user_id
+    )
+    SELECT user_id, ROUND(last_value + 1e-9, 6) AS value,
+           CAST(last_lsn AS BIGINT) AS last_lsn
+    FROM last WHERE last_op != 'd'
+    """,
+    doc="Point-in-time state rebuild keyed by LSN rather than wall "
+        "clock (the recovery primitive: 'replay the log to exactly "
+        "change L' — timestamps are non-monotonic under clock skew, "
+        "LSNs are the true order; reference semantics "
+        "transform_scd2.py:19-61 sequence by source.lsn for the same "
+        "reason). The LSN bound (max/2) is computed as a broadcast "
+        "scalar in-plan; one hash shuffle with map-side max_by "
+        "partials; keys whose last op at L is a delete are absent, "
+        "exactly as a restored replica would be.",
+)
+def scd2_rebuild_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bound = ev.agg(F.expr("max(event_id) div 2").alias("l"))
+    upto = (
+        ev.crossJoin(F.broadcast(bound))
+        .where(F.col("user_id").isNotNull() & (F.col("event_id") <= F.col("l")))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "error", "d").otherwise("u")
+            .alias("op"),
+        )
+    )
+    last = upto.groupBy("user_id").agg(
+        F.expr("max_by(op, event_id)").alias("last_op"),
+        F.expr("max_by(value, event_id)").alias("last_value"),
+        F.max("event_id").cast("long").alias("last_lsn"),
+    )
+    return last.where(F.col("last_op") != "d").select(
+        "user_id",
+        F.round(F.col("last_value") + 1e-9, 6).alias("value"),
+        "last_lsn",
+    )

@@ -466,3 +466,180 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Budgeted corpus selection & span-level dedup
+# --------------------------------------------------------------------
+
+@register(
+    "corpus_quality_token_budget",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    b AS (SELECT (SUM(n_tokens) * 2) // 5 AS budget FROM d),
+    run AS (
+        SELECT doc_id, n_chars, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM run, b WHERE cum_tokens <= b.budget
+    """,
+    doc="Budgeted corpus selection: take documents in quality order "
+        "(n_chars desc, doc_id tiebreak) until a token budget (40% of "
+        "corpus tokens) is spent — the 'best data that fits the "
+        "compute budget' cut every pretraining run makes. The naive "
+        "plan is a running SUM over one global sort (single-partition "
+        "window). This plan never globally sorts: score-decile "
+        "thresholds (one scalar agg, broadcast) band the corpus, "
+        "per-band token sums prefix over a bounded 10-row window, and "
+        "each band's running sum is band-offset + band-local window — "
+        "banded prefix-sum, same skeleton as global_ordinal_ids. "
+        "Bands nest cleanly because banding and running order use the "
+        "SAME key (n_chars desc, doc_id).",
+)
+def corpus_quality_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n_bands = 10
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    budget = d.agg(
+        ((F.sum("n_tokens") * 2) / 5).cast("long").alias("budget")
+    )
+    # Decile thresholds on the score; band 0 holds the HIGHEST scores
+    # so band order equals running order.
+    qs = ", ".join(str(1.0 - i / n_bands) for i in range(1, n_bands))
+    th = d.agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("t")
+    )
+    banded = d.crossJoin(F.broadcast(th)).withColumn(
+        "band",
+        F.aggregate(
+            "t",
+            F.lit(0),
+            lambda acc, t: acc
+            + (F.col("n_chars") < t).cast("int"),
+        ),
+    ).drop("t")
+    band_sums = banded.groupBy("band").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    w_off = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = band_sums.select(
+        "band",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_run = (
+        Window.partitionBy("band")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = banded.join(F.broadcast(offsets), "band").withColumn(
+        "cum_tokens",
+        (F.col("off") + F.sum("n_tokens").over(w_run)).cast("long"),
+    )
+    return (
+        run.crossJoin(F.broadcast(budget))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )
+
+
+_SPAN_N = 8
+
+
+@register(
+    "text_span_dedup_c4",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id, s.pos,
+               array_to_string(w[s.pos * {_SPAN_N} + 1 :
+                                 s.pos * {_SPAN_N} + {_SPAN_N}], ' ')
+                   AS span
+        FROM t, LATERAL (
+            SELECT unnest(range((len(w) + {_SPAN_N} - 1) // {_SPAN_N}))
+                   AS pos
+        ) s
+    ),
+    keeper AS (
+        SELECT span, MIN(doc_id * 1000000 + pos) AS keep_key,
+               COUNT(*) AS occ
+        FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (
+               WHERE k.occ > 1
+                 AND s.doc_id * 1000000 + s.pos != k.keep_key
+           ) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+               list(s.span ORDER BY s.pos) FILTER (
+                   WHERE k.occ = 1
+                      OR s.doc_id * 1000000 + s.pos = k.keep_key
+               ), ' '), '') AS text_kept
+    FROM spans s JOIN keeper k USING (span)
+    GROUP BY s.doc_id
+    """,
+    doc=f"C4-style span-level dedup: documents are cut into "
+        f"non-overlapping {_SPAN_N}-token spans; a span occurring "
+        f"more than once in the corpus is kept ONLY at its first "
+        f"global occurrence (min (doc_id, pos)) and removed "
+        f"everywhere else — the boilerplate-removal pass that "
+        f"deduplicates repeated paragraphs across pages without "
+        f"dropping whole documents. Two hash shuffles (span "
+        f"keeper-agg on the span hash, per-doc reassembly); the span "
+        f"text itself never travels — the keeper table joins back on "
+        f"the span key. Deterministic reassembly: spans re-concatenate "
+        f"in position order.",
+)
+def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform("
+                f"  sequence(0, (size(w) + {_SPAN_N} - 1) DIV {_SPAN_N} - 1),"
+                f"  p -> array_join(slice(w, p * {_SPAN_N} + 1, {_SPAN_N}),"
+                f"                  ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    keeper = spans.groupBy("span").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("keep_key"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    joined = spans.join(keeper, "span").withColumn(
+        "kept",
+        (F.col("occ") == 1)
+        | (F.col("doc_id") * 1000000 + F.col("pos") == F.col("keep_key")),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.expr(
+                "transform("
+                "  array_sort(collect_list(CASE WHEN kept THEN "
+                "    struct(pos, span) END)),"
+                "  s -> s.span)"
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

@@ -111,3 +111,85 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for r in out:
         assert 0 < r.containment_a <= 1 + 1e-6
         assert 0 < r.containment_b <= 1 + 1e-6
+
+
+def test_lsn_gap_transactions_tile_the_log(spark, sf_dir):
+    """Transactions are disjoint LSN intervals in order, cover every
+    purchase row, and only break on gaps > 20."""
+    out = all_queries()["cdc_lsn_gap_transactions"].fn(spark, sf_dir)
+    rows = sorted(out.collect(), key=lambda r: r.tx_id)
+    assert [r.tx_id for r in rows] == list(range(1, len(rows) + 1))
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'purchase' AND user_id IS NOT NULL")
+        .count()
+    )
+    assert sum(r.n_changes for r in rows) == n_purchases
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_lsn < cur.first_lsn
+        assert cur.first_lsn - prev.last_lsn > 20
+
+
+def test_rebuild_at_lsn_respects_bound_and_tombstones(spark, sf_dir):
+    out = all_queries()["scd2_rebuild_at_lsn"].fn(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bound = ev.agg(F.expr("max(event_id) div 2").alias("l")).collect()[0].l
+    assert out.where(F.col("last_lsn") > bound).count() == 0
+    # Cross-check against a direct driver-side recompute: keep only
+    # each user's max event at-or-under the bound, drop tombstones.
+    got = {r.user_id: r for r in out.collect()}
+    per_user = {}
+    for r in ev.where(
+        (F.col("event_id") <= bound) & F.col("user_id").isNotNull()
+    ).collect():
+        if r.user_id not in per_user or r.event_id > per_user[r.user_id].event_id:
+            per_user[r.user_id] = r
+    expect = {u: r for u, r in per_user.items() if r.event_type != "error"}
+    assert set(got) == set(expect)
+    for u, r in expect.items():
+        assert got[u].last_lsn == r.event_id
+
+
+def test_token_budget_takes_best_prefix(spark, sf_dir):
+    """Selected docs form a prefix of the (n_chars desc, doc_id)
+    order and stay within budget."""
+    out = all_queries()["corpus_quality_token_budget"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = (total * 2) // 5
+    sel = {r.doc_id: r for r in out.collect()}
+    assert all(r.cum_tokens <= budget for r in sel.values())
+    ordered = sorted(
+        docs.collect(), key=lambda r: (-r.n_chars, r.doc_id)
+    )
+    run = 0
+    for r in ordered:
+        run += r.n_tokens
+        if run <= budget:
+            assert r.doc_id in sel, f"doc {r.doc_id} missing from prefix"
+            assert sel[r.doc_id].cum_tokens == run
+        else:
+            assert r.doc_id not in sel
+            break  # everything after is also out; prefix proven
+
+
+def test_span_dedup_keeps_each_span_once(spark, sf_dir):
+    """After span dedup, kept occurrences == distinct spans in the
+    corpus (every duplicate collapsed to its first occurrence)."""
+    out = all_queries()["text_span_dedup_c4"].fn(spark, sf_dir)
+    kept_occurrences = out.agg(
+        F.sum(F.col("n_spans") - F.col("n_removed"))
+    ).collect()[0][0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = docs.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(split(text, ' ')) + 7) DIV 8 - 1),"
+                " p -> array_join(slice(split(text, ' '), p * 8 + 1, 8), ' '))"
+            )
+        ).alias("pos", "span")
+    )
+    n_distinct = spans.select("span").distinct().count()
+    assert kept_occurrences == n_distinct

@@ -76,6 +76,10 @@ PROBES = (
     "text_bigram_logprob",
     "tokenizer_oov_rate",
     "dedup_minhash_containment",
+    "cdc_lsn_gap_transactions",
+    "corpus_quality_token_budget",
+    "text_span_dedup_c4",
+    "scd2_rebuild_at_lsn",
 )
 
 
