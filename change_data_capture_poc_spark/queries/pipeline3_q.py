@@ -643,3 +643,175 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_kept"),
     )
+
+
+# --------------------------------------------------------------------
+# Distributed PCA (top component) — matvec power iteration
+# --------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    it = """
+    s{k} AS (SELECT vec_id, SUM(ci * wi) AS s
+             FROM c JOIN w{p} USING (i) GROUP BY vec_id),
+    u{k} AS (SELECT i, SUM(ci * s) AS u
+             FROM c JOIN s{k} USING (vec_id) GROUP BY i),
+    n{k} AS (SELECT sqrt(SUM(u * u)) AS n FROM u{k}),
+    w{k} AS (SELECT i, u / n AS wi FROM u{k}, n{k})"""
+    steps = ",".join(
+        it.format(k=k, p=k - 1) for k in range(1, _PCA_ITERS + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi
+          FROM e),
+    mu AS (SELECT i, AVG(xi) AS m FROM x GROUP BY i),
+    c AS (SELECT vec_id, i, xi - m AS ci FROM x JOIN mu USING (i)),
+    w0 AS (SELECT i, 1.0 / {_PCA_DIM} AS wi
+           FROM (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i)),
+    {steps}
+    SELECT c.vec_id, ROUND(SUM(ci * wi) + 1e-9, 6) AS pc1
+    FROM c JOIN w{_PCA_ITERS} USING (i)
+    GROUP BY c.vec_id
+    """
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component by {_PCA_ITERS} power iterations, "
+        f"projected per vector — the embedding-drift / dimensionality "
+        f"diagnostic before quantization or clustering. The 100 TB "
+        f"design point: the {_PCA_DIM}x{_PCA_DIM} covariance matrix is "
+        f"NEVER materialized — each iteration computes G·w as "
+        f"C^T(C·w): one map-side dot per row, then {_PCA_DIM} partial "
+        f"sums in a scalar aggregate. The corpus is read "
+        f"{_PCA_ITERS + 2} times and never shuffled; per-pass network "
+        f"traffic is {_PCA_DIM} doubles per partition. Start vector "
+        f"is the fixed uniform direction, so the iteration (and the "
+        f"resulting sign) is fully deterministic and the oracle "
+        f"unrolls the identical arithmetic as CTEs.",
+)
+def embedding_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu = e.agg(
+        F.array(
+            *[F.avg(F.col("v")[i]) for i in range(_PCA_DIM)]
+        ).alias("mu")
+    )
+    c = (
+        e.crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.zip_with("v", "mu", lambda x, m: x - m).alias("c"),
+        )
+        .persist()
+    )
+    # w carried as a 1-row broadcast frame; each iteration is
+    # dot(c, w) map-side + 64 partial sums + in-row normalization.
+    w = spark.range(1).select(
+        F.array_repeat(F.lit(1.0 / _PCA_DIM), _PCA_DIM).alias("w")
+    )
+    dot = F.aggregate(
+        F.zip_with("c", "w", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(_PCA_ITERS):
+        cw = c.crossJoin(F.broadcast(w)).select("vec_id", "c", dot.alias("s"))
+        u = cw.agg(
+            F.array(
+                *[F.sum(F.col("c")[i] * F.col("s")) for i in range(_PCA_DIM)]
+            ).alias("u")
+        )
+        w = u.select(
+            F.transform(
+                "u",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("u", lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, y: acc + y,
+                    )
+                ),
+            ).alias("w")
+        )
+    return (
+        c.crossJoin(F.broadcast(w))
+        .select("vec_id", F.round(dot + 1e-9, 6).alias("pc1"))
+    )
+
+
+# --------------------------------------------------------------------
+# Train/test leakage via near-duplicates
+# --------------------------------------------------------------------
+
+def _leakage_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 AS h
+            FROM documents
+        )
+    )
+    SELECT p.pa AS doc_id_a, p.pb AS doc_id_b,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.pa
+    JOIN sp sb ON sb.doc_id = p.pb
+    WHERE sa.split != sb.split
+    """
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle=_leakage_oracle(),
+    doc="Train/test leakage audit: near-duplicate pairs (minhash-LSH "
+        "candidates) whose two members landed in DIFFERENT splits — "
+        "the eval-integrity failure mode where test documents have "
+        "near-copies in training data and benchmark numbers go soft. "
+        "Composes the LSH candidate generator with the hash split; "
+        "the split assignment is a map-side hash (no extra shuffle), "
+        "so the audit costs two broadcast joins over the candidate "
+        "pairs only — never touches the corpus beyond what LSH "
+        "already did. The fix loop: move flagged pairs' members into "
+        "the same split, or drop the training-side member.",
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sp = split_train_val_test(spark, sf_dir).select("doc_id", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_id_a", "doc_id_b", "split_a", "split_b")
+    )

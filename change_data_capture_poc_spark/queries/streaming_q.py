@@ -371,3 +371,65 @@ def streaming_stateful_running_agg_drain(
         ).alias("value_sum"),
         F.unix_millis(F.max_by("last_ts", "n")).alias("last_ts_ms"),
     )
+
+
+@register(
+    "streaming_interval_join_drain",
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           s.event_id AS s_event_id,
+           p.user_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT)
+               AS delta_s
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND s.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    WHERE p.user_id IS NOT NULL
+    """,
+    doc="STREAM-STREAM interval join executed as a real streaming "
+        "query (streaming/joins.interval_join_streams): purchases "
+        "correlated with same-user signups in the prior 2 h. Both "
+        "sides buffer in watermarked state; the interval bound is what "
+        "makes that state finite — a buffered row is evicted once the "
+        "watermark passes ts+upper and can never match again. Inner "
+        "join, append drain: the emitted pair SET equals the batch "
+        "theta-join the oracle states. One shuffle per side on "
+        "user_id.",
+)
+def streaming_interval_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    ev = _stream_events(spark, sf_dir)
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("s_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = interval_join_streams(
+        p, s,
+        left_key="user_id", right_key="s_user_id",
+        left_ts="p_ts", right_ts="s_ts",
+        lower_seconds=7200, upper_seconds=0,
+    ).select(
+        "p_event_id",
+        "s_event_id",
+        "user_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 1000000)
+        .cast("long")
+        .alias("delta_s"),
+    )
+    return _drain(j, "streaming_interval_join_tbl", "append")

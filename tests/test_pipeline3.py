@@ -193,3 +193,53 @@ def test_span_dedup_keeps_each_span_once(spark, sf_dir):
     )
     n_distinct = spans.select("span").distinct().count()
     assert kept_occurrences == n_distinct
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """The streamed inner interval join emits exactly the batch
+    theta-join's pair set."""
+    out = all_queries()["streaming_interval_join_drain"].fn(spark, sf_dir)
+    got = {(r.p_event_id, r.s_event_id) for r in out.collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.where("event_type = 'purchase' AND user_id IS NOT NULL").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where("event_type = 'signup' AND user_id IS NOT NULL").select(
+        F.col("event_id").alias("s_event_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    batch = p.join(
+        s,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("s_ts") <= F.col("p_ts")),
+    )
+    expect = {(r.p_event_id, r.s_event_id) for r in batch.collect()}
+    assert got == expect
+
+
+def test_pca_projection_is_centered_and_deterministic(spark, sf_dir):
+    q = all_queries()["embedding_pca_power_iteration"]
+    a = q.fn(spark, sf_dir)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = a.collect()
+    assert len(rows) == n_vecs
+    # Projection of mean-centered data onto any direction sums to ~0.
+    assert abs(sum(r.pc1 for r in rows)) < 1e-2
+    b = {r.vec_id: r.pc1 for r in q.fn(spark, sf_dir).collect()}
+    assert all(b[r.vec_id] == r.pc1 for r in rows)
+    # 3 power iterations should already dominate any axis-aligned
+    # direction (PC1 maximizes variance over unit directions).
+    import statistics
+
+    var_pc1 = statistics.pvariance([r.pc1 for r in rows])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    axis_vars = emb.agg(
+        *[F.var_pop(F.col("v")[i]).alias(f"v{i}") for i in range(64)]
+    ).collect()[0]
+    assert var_pc1 >= max(axis_vars) * 0.99

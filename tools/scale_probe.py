@@ -80,6 +80,8 @@ PROBES = (
     "corpus_quality_token_budget",
     "text_span_dedup_c4",
     "scd2_rebuild_at_lsn",
+    "embedding_pca_power_iteration",
+    "dedup_cross_split_leakage",
 )
 
 
