@@ -815,3 +815,152 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_id_a", "doc_id_b", "split_a", "split_b")
     )
+
+
+# --------------------------------------------------------------------
+# Containment survivors & cross-source duplication report
+# --------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+
+def _containment_survivors_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    scored AS (
+        SELECT p.pa, p.pb,
+               len(list_intersect(ga.grams, gb.grams)) AS inter,
+               len(ga.grams) AS na, len(gb.grams) AS nb
+        FROM pairs p
+        JOIN g ga ON ga.doc_id = p.pa
+        JOIN g gb ON gb.doc_id = p.pb
+    ),
+    losers AS (
+        SELECT DISTINCT CASE
+            WHEN inter * 10 >= na * 9 AND inter * 10 >= nb * 9
+                THEN GREATEST(pa, pb)
+            WHEN inter * 10 >= na * 9 THEN pa
+            ELSE pb
+        END AS doc_id
+        FROM scored
+        WHERE inter * 10 >= na * 9 OR inter * 10 >= nb * 9
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+    """
+
+
+@register(
+    "dedup_containment_survivors",
+    oracle=_containment_survivors_oracle(),
+    doc=f"Sub-document dedup deliverable: for each LSH candidate pair, "
+        f"if one doc's 4-gram set is >= {_CONTAIN_T:.0%} contained in "
+        f"the other, the CONTAINED doc (the subset — it adds almost "
+        f"nothing) is dropped; mutual containment drops the higher "
+        f"doc_id. Containment test in exact INTEGER arithmetic "
+        f"(inter*10 >= n*9), so engine and oracle agree bit-for-bit. "
+        f"One anti-join of the corpus against the loser list — the "
+        f"drop decision only ever touches LSH candidate pairs.",
+)
+def dedup_containment_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _spark_grams,
+        dedup_minhash_lsh,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ga = g.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    scored = (
+        pairs.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+            F.size("grams_a").alias("na"),
+            F.size("grams_b").alias("nb"),
+        )
+    )
+    a_in_b = F.col("inter") * 10 >= F.col("na") * 9
+    b_in_a = F.col("inter") * 10 >= F.col("nb") * 9
+    losers = (
+        scored.where(a_in_b | b_in_a)
+        .select(
+            F.when(a_in_b & b_in_a, F.greatest("doc_id_a", "doc_id_b"))
+            .when(a_in_b, F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _cross_source_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL}
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.pa
+    JOIN documents db ON db.doc_id = p.pb
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "corpus_cross_source_dup_report",
+    oracle=_cross_source_oracle(),
+    doc="Which crawls duplicate each other: near-dup candidate pairs "
+        "rolled up by unordered source pair — the diagnostic that "
+        "decides which overlapping sources to drop or down-weight "
+        "before paying for full dedup. Two broadcast-sized dimension "
+        "joins over the candidate pairs (doc_id -> source), one "
+        "dashboard-sized agg; the corpus itself is only touched by "
+        "the LSH plan.",
+)
+def corpus_cross_source_dup_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        dedup_minhash_lsh,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    da = d.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_id_a")
+        .join(db, "doc_id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )

@@ -243,3 +243,36 @@ def test_pca_projection_is_centered_and_deterministic(spark, sf_dir):
         *[F.var_pop(F.col("v")[i]).alias(f"v{i}") for i in range(64)]
     ).collect()[0]
     assert var_pc1 >= max(axis_vars) * 0.99
+
+
+def test_containment_survivors_drop_contained_side(spark, sf_dir):
+    """A doc that is >=90% contained in a partner (and not mutually)
+    never survives; survivors + drops partition the corpus."""
+    surv = all_queries()["dedup_containment_survivors"].fn(spark, sf_dir)
+    cont = all_queries()["dedup_minhash_containment"].fn(spark, sf_dir)
+    survivors = {r.doc_id for r in surv.collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(survivors) <= n_docs
+    # Margin keeps the float-rounded containment view away from the
+    # exact integer 0.9 boundary the operator tests.
+    for r in cont.collect():
+        a_in_b = r.containment_a >= 0.9005
+        b_in_a = r.containment_b >= 0.9005
+        if a_in_b and not b_in_a:
+            assert r.doc_id_a not in survivors
+        elif b_in_a and not a_in_b:
+            assert r.doc_id_b not in survivors
+        elif a_in_b and b_in_a:
+            assert max(r.doc_id_a, r.doc_id_b) not in survivors
+
+
+def test_cross_source_report_accounts_every_pair(spark, sf_dir):
+    rep = all_queries()["corpus_cross_source_dup_report"].fn(spark, sf_dir)
+    total = rep.agg(F.sum("n_dup_pairs")).collect()[0][0]
+    from change_data_capture_poc_spark.queries.datapipe import (
+        dedup_minhash_lsh,
+    )
+
+    assert total == dedup_minhash_lsh(spark, sf_dir).count()
+    bad = rep.where(F.col("source_x") > F.col("source_y")).count()
+    assert bad == 0
