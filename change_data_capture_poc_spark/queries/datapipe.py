@@ -2351,7 +2351,10 @@ def corpus_build_e2e(spark, sf_dir):
         .select("doc_id")
         .persist()
     )
-    n_bands = 8
+    # 32 bands: the band count only bounds the per-band sort's
+    # parallelism (results are band-count-invariant); see
+    # global_ordinal_ids.
+    n_bands = 32
     stats = surv.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )

@@ -677,7 +677,11 @@ def multimodal_feature_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard = (ordinal-1) % 16 balances shards to within one row.",
 )
 def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_bands = 8
+    # Band count bounds the per-band sort's PARALLELISM, not the
+    # result (ordinals are band-count-invariant): 8 bands capped the
+    # stage at 8 tasks and went 15x at the 8x probe; 32 matches the
+    # local core count. At cluster scale set ~4x executor cores.
+    n_bands = 32
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     stats = d.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
