@@ -791,3 +791,152 @@ def scd2_rebuild_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("last_value") + 1e-9, 6).alias("value"),
         "last_lsn",
     )
+
+
+@register(
+    "events_pattern_signup_purchase_cep",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, event_id, ts, event_type,
+               COUNT(*) FILTER (WHERE event_type = 'error')
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS err_cnt
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts,
+                 err_cnt AS p_err FROM u WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, event_id AS s_event_id, ts AS s_ts,
+                 err_cnt AS s_err FROM u WHERE event_type = 'signup'),
+    best AS (
+        SELECT p.user_id, p.p_event_id, p.p_ts, p.p_err,
+               MAX(s.s_event_id) AS s_event_id
+        FROM p JOIN s ON p.user_id = s.user_id
+                     AND s.s_event_id < p.p_event_id
+                     AND s.s_ts >= p.p_ts - INTERVAL 24 HOUR
+        GROUP BY p.user_id, p.p_event_id, p.p_ts, p.p_err
+    )
+    SELECT b.user_id, b.s_event_id, b.p_event_id,
+           CAST((epoch_us(b.p_ts) - epoch_us(s.s_ts)) // 1000000 AS BIGINT)
+               AS latency_s
+    FROM best b JOIN s ON b.user_id = s.user_id
+                      AND b.s_event_id = s.s_event_id
+    WHERE b.p_err = s.s_err
+    """,
+    doc="Complex-event pattern match (the MATCH_RECOGNIZE / Flink CEP "
+        "shape): signup FOLLOWED BY purchase within 24 h with NO error "
+        "in between, per user — emitted as (matched signup, purchase, "
+        "latency). The 'nothing in between' predicate is the part "
+        "naive joins get wrong; here it is O(1) per candidate: a "
+        "per-user running error COUNT makes 'no error between A and B' "
+        "equal 'err_cnt(A) == err_cnt(B)'. Plan: one keyed window for "
+        "the running counts, an as-of-style max-per-purchase join for "
+        "the latest qualifying signup, then the counter equality "
+        "filter — everything partitions by user_id, nothing global.",
+)
+def events_pattern_signup_purchase_cep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .over(w)
+        .alias("err_cnt"),
+    )
+    p = u.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("err_cnt").alias("p_err"),
+    )
+    s = u.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("s_event_id"),
+        F.col("ts").alias("s_ts"),
+        F.col("err_cnt").alias("s_err"),
+    )
+    best = (
+        p.join(
+            s.select("user_id", "s_event_id", "s_ts"),
+            (p["user_id"] == s["user_id"])
+            & (F.col("s_event_id") < F.col("p_event_id"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .drop(s["user_id"])
+        .groupBy("user_id", "p_event_id", "p_ts", "p_err")
+        .agg(F.max("s_event_id").alias("s_event_id"))
+    )
+    return (
+        best.join(s, ["user_id", "s_event_id"])
+        .where(F.col("p_err") == F.col("s_err"))
+        .select(
+            "user_id",
+            "s_event_id",
+            "p_event_id",
+            ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 1000000)
+            .cast("long")
+            .alias("latency_s"),
+        )
+    )
+
+
+@register(
+    "cdc_out_of_order_report",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_ts
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(COUNT(*) FILTER (WHERE ts < prev_ts) AS BIGINT)
+               AS n_inversions,
+           CAST(COALESCE(MAX(CASE WHEN ts < prev_ts
+                    THEN (epoch_us(prev_ts) - epoch_us(ts)) // 1000000
+                END), 0) AS BIGINT) AS max_skew_s
+    FROM o GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE ts < prev_ts) > 0
+    """,
+    doc="Out-of-order arrival report: per key, how often the LSN order "
+        "(the true change order) disagrees with event-time order, and "
+        "the worst clock skew observed — the diagnostic that sizes "
+        "watermarks and validates that downstream SCD2 sequences by "
+        "LSN, not ts (the reference's transform sequences by "
+        "source.lsn for exactly this reason, transform_scd2.py:47-51). "
+        "One keyed window + one keyed agg, both on user_id.",
+)
+def cdc_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    inv = F.col("ts") < F.col("prev_ts")
+    skew = (
+        (F.unix_micros("prev_ts") - F.unix_micros("ts")) / 1000000
+    ).cast("long")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.sum(inv.cast("long")).cast("long").alias("n_inversions"),
+            F.coalesce(
+                F.max(F.when(inv, skew)), F.lit(0)
+            ).cast("long").alias("max_skew_s"),
+        )
+        .where(F.col("n_inversions") > 0)
+    )

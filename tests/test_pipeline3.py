@@ -276,3 +276,67 @@ def test_cross_source_report_accounts_every_pair(spark, sf_dir):
     assert total == dedup_minhash_lsh(spark, sf_dir).count()
     bad = rep.where(F.col("source_x") > F.col("source_y")).count()
     assert bad == 0
+
+
+def test_cep_matches_have_clean_windows(spark, sf_dir):
+    """Every emitted (signup, purchase) match: signup precedes the
+    purchase by LSN, lies within 24h, is the LATEST such signup, and
+    no error event sits between the two."""
+    out = all_queries()["events_pattern_signup_purchase_cep"].fn(
+        spark, sf_dir
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    by_user = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.event_id)
+    for m in out.collect():
+        rows = by_user[m.user_id]
+        sid = {r.event_id: r for r in rows}
+        s, p = sid[m.s_event_id], sid[m.p_event_id]
+        assert s.event_type == "signup" and p.event_type == "purchase"
+        assert s.event_id < p.event_id
+        delta = (p.ts - s.ts).total_seconds()
+        assert 0 <= delta <= 86400
+        assert int(delta) == m.latency_s
+        between = [
+            r for r in rows if s.event_id < r.event_id < p.event_id
+        ]
+        assert not any(r.event_type == "error" for r in between)
+        later_signups = [
+            r for r in rows
+            if r.event_type == "signup"
+            and m.s_event_id < r.event_id < m.p_event_id
+            and (p.ts - r.ts).total_seconds() >= 0
+            and (p.ts - r.ts).total_seconds() <= 86400
+        ]
+        assert not later_signups, "a later qualifying signup exists"
+
+
+def test_out_of_order_report_counts_inversions(spark, sf_dir):
+    out = {
+        r.user_id: r
+        for r in all_queries()["cdc_out_of_order_report"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    by_user = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.event_id)
+        inv = sum(
+            1 for a, b in zip(rows, rows[1:]) if b.ts < a.ts
+        )
+        if inv:
+            assert uid in out
+            assert out[uid].n_inversions == inv
+            assert out[uid].n_changes == len(rows)
+        else:
+            assert uid not in out
