@@ -964,3 +964,257 @@ def corpus_cross_source_dup_report(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+# --------------------------------------------------------------------
+# Source drift, two-stage retrieval, SCD2 history compaction
+# --------------------------------------------------------------------
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok),
+    tot AS (SELECT source, SUM(n) AS t FROM c GROUP BY source),
+    p AS (SELECT c.source, c.tok, c.n * 1.0 / tot.t AS p
+          FROM c JOIN tot USING (source)),
+    shared AS (
+        SELECT a.source AS source_x, b.source AS source_y,
+               SUM(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))) AS s_terms,
+               SUM(a.p) AS sa, SUM(b.p) AS sb
+        FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    allpairs AS (
+        SELECT x.source AS source_x, y.source AS source_y
+        FROM tot x JOIN tot y ON x.source < y.source
+    )
+    SELECT ap.source_x, ap.source_y,
+           ROUND((COALESCE(s.s_terms, 0)
+                  + 0.5 * ln(2.0)
+                    * (2 - COALESCE(s.sa, 0) - COALESCE(s.sb, 0)))
+                 / ln(2.0) + 1e-9, 6) AS js_divergence_bits
+    FROM allpairs ap LEFT JOIN shared s USING (source_x, source_y)
+    """,
+    doc="Vocabulary drift between sources: pairwise Jensen-Shannon "
+        "divergence (bits) of per-source unigram distributions — the "
+        "corpus-QA check that flags a crawl whose language shifted "
+        "(spam injection, encoding breakage) before it contaminates "
+        "training. Identity that keeps the plan join-light: tokens "
+        "present in only one source contribute 0.5·ln2·p, and their "
+        "mass is 1 − Σ_shared p — so the whole statistic derives from "
+        "the INNER join of the (source, token) probability tables "
+        "(Zipf-small next to the corpus), no outer/anti joins; "
+        "disjoint-vocabulary pairs come out exactly 1 bit via the "
+        "all-pairs left join.",
+)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("t")).persist()
+    p = c.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("n") * 1.0 / F.col("t")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("source_x"), "tok", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_y"),
+        F.col("tok").alias("tok_b"),
+        F.col("p").alias("pb"),
+    )
+    m = F.col("pa") + F.col("pb")
+    shared = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source_x") < F.col("source_y")),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.sum(
+                0.5 * F.col("pa") * F.log(2.0 * F.col("pa") / m)
+                + 0.5 * F.col("pb") * F.log(2.0 * F.col("pb") / m)
+            ).alias("s_terms"),
+            F.sum("pa").alias("sa"),
+            F.sum("pb").alias("sb"),
+        )
+    )
+    allpairs = (
+        tot.select(F.col("source").alias("source_x"))
+        .crossJoin(
+            F.broadcast(tot.select(F.col("source").alias("source_y")))
+        )
+        .where(F.col("source_x") < F.col("source_y"))
+    )
+    return allpairs.join(
+        F.broadcast(shared), ["source_x", "source_y"], "left"
+    ).select(
+        "source_x",
+        "source_y",
+        F.round(
+            (
+                F.coalesce("s_terms", F.lit(0.0))
+                + 0.5
+                * math.log(2.0)
+                * (2 - F.coalesce("sa", F.lit(0.0)) - F.coalesce("sb", F.lit(0.0)))
+            )
+            / math.log(2.0)
+            + 1e-9,
+            6,
+        ).alias("js_divergence_bits"),
+    )
+
+
+_RERANK_PROBE_K = 12
+
+
+@register(
+    "ann_two_stage_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 8),
+    stage1 AS (
+        SELECT q_id, neighbor_id, cos FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                           e.vec_id) AS rk
+            FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
+        ) WHERE rk <= {_RERANK_PROBE_K}
+    )
+    SELECT q_id, neighbor_id, ROUND(cos + 1e-9, 6) AS cosine
+    FROM (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM stage1
+    ) WHERE rk <= 5
+    """,
+    doc=f"Two-stage retrieval, the production ANN serving shape: "
+        f"stage 1 probes the query's own IVF partition for a generous "
+        f"candidate pool (top-{_RERANK_PROBE_K} by cosine), stage 2 "
+        f"re-ranks that pool exactly and cuts to the final top-5. At "
+        f"100 TB the pool join is the only corpus-touching stage and "
+        f"shuffles on the partition label; the re-rank operates on "
+        f"8x{_RERANK_PROBE_K} rows. Raw (unrounded) scores order both "
+        f"stages with id tie-breaks, so both engines rank "
+        f"identically; only the emitted cosine is rounded.",
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
+    en = e.select(
+        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("nv").alias("qnv"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    stage1 = (
+        en.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RERANK_PROBE_K)
+        .drop("rk")
+    )
+    return (
+        stage1.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("cos") + 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "scd2_history_compaction",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_id, value, ts,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_value
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kept AS (
+        SELECT user_id, event_id, value, ts
+        FROM ch
+        WHERE prev_value IS NULL OR value IS DISTINCT FROM prev_value
+    )
+    SELECT user_id, event_id AS version_lsn,
+           ROUND(value + 1e-9, 6) AS value,
+           CAST(COALESCE(LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id) - 1,
+               9223372036854775807) AS BIGINT) AS valid_to_lsn
+    FROM kept
+    """,
+    doc="SCD2 history compaction: consecutive versions carrying an "
+        "IDENTICAL payload are collapsed into one (no-op updates are "
+        "the bulk of many real CDC feeds — heartbeats, touch-updates "
+        "— and they bloat the dimension without adding information). "
+        "LAG drops repeats, LEAD re-derives each surviving version's "
+        "validity interval in LSN space (open tail = max bigint "
+        "sentinel). Two keyed windows on user_id, nothing global; "
+        "IS DISTINCT FROM handles NULL payloads on both engines.",
+)
+def scd2_history_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ch = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    kept = ch.where(
+        F.col("prev_value").isNull()
+        | ~F.col("value").eqNullSafe(F.col("prev_value"))
+    )
+    return kept.select(
+        "user_id",
+        F.col("event_id").alias("version_lsn"),
+        F.round(F.col("value") + 1e-9, 6).alias("value"),
+        F.coalesce(
+            F.lead("event_id").over(w) - 1,
+            F.lit(9223372036854775807),
+        ).cast("long").alias("valid_to_lsn"),
+    )

@@ -340,3 +340,42 @@ def test_out_of_order_report_counts_inversions(spark, sf_dir):
             assert out[uid].n_changes == len(rows)
         else:
             assert uid not in out
+
+
+def test_js_divergence_bounds_and_symmetry_inputs(spark, sf_dir):
+    """JS divergence lies in [0, 1] bits and covers every unordered
+    source pair exactly once."""
+    out = all_queries()["text_js_divergence_sources"].fn(spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_x < r.source_y
+        assert -1e-6 <= r.js_divergence_bits <= 1 + 1e-6
+
+
+def test_two_stage_rerank_subset_of_ivf(spark, sf_dir):
+    """The reranked top-5 per query is exactly the IVF top-5 (stage-1
+    pool top-12 contains it; rerank by the same exact score)."""
+    rer = all_queries()["ann_two_stage_rerank"].fn(spark, sf_dir)
+    ivf = all_queries()["ann_cosine_ivf_partition"].fn(spark, sf_dir)
+    got = {(r.q_id, r.neighbor_id) for r in rer.collect()}
+    expect = {(r.q_id, r.neighbor_id) for r in ivf.collect()}
+    assert got == expect
+
+
+def test_history_compaction_drops_only_noop_updates(spark, sf_dir):
+    """Compacted history: no two consecutive versions of a key carry
+    the same value; every surviving version's interval tiles the key's
+    LSN line."""
+    out = all_queries()["scd2_history_compaction"].fn(spark, sf_dir)
+    by_user = {}
+    for r in out.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.version_lsn)
+        for a, b in zip(rows, rows[1:]):
+            assert a.value != b.value, "no-op update survived"
+            assert a.valid_to_lsn == b.version_lsn - 1, "interval gap"
+        assert rows[-1].valid_to_lsn == 9223372036854775807
