@@ -63,6 +63,10 @@ HEADLINE = (
     "cdc_lsn_gap_transactions",     # banded-prefix-sum tx inference
     "corpus_quality_token_budget",  # budgeted selection, no global sort
     "text_span_dedup_c4",           # span-level boilerplate removal
+    "events_pattern_signup_purchase_cep",  # CEP match via running counters
+    "text_js_divergence_sources",   # pairwise source drift
+    "ann_two_stage_rerank",         # pool + exact rerank serving shape
+    "scd2_history_compaction",      # no-op update collapse
 )
 
 

@@ -82,6 +82,13 @@ PROBES = (
     "scd2_rebuild_at_lsn",
     "embedding_pca_power_iteration",
     "dedup_cross_split_leakage",
+    "events_pattern_signup_purchase_cep",
+    "cdc_out_of_order_report",
+    "text_js_divergence_sources",
+    "ann_two_stage_rerank",
+    "scd2_history_compaction",
+    "dedup_containment_survivors",
+    "corpus_cross_source_dup_report",
 )
 
 
