@@ -67,6 +67,7 @@ HEADLINE = (
     "text_js_divergence_sources",   # pairwise source drift
     "ann_two_stage_rerank",         # pool + exact rerank serving shape
     "scd2_history_compaction",      # no-op update collapse
+    "kmeans_multi_iter",            # 3-round Lloyd loop
 )
 
 

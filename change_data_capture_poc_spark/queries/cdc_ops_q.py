@@ -940,3 +940,56 @@ def cdc_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_inversions") > 0)
     )
+
+
+@register(
+    "scd2_type3_current_previous",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           ROUND(MAX(CASE WHEN rn = 1 THEN value END) + 1e-9, 6)
+               AS current_value,
+           CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+               AS current_lsn,
+           ROUND(MAX(CASE WHEN rn = 2 THEN value END) + 1e-9, 6)
+               AS previous_value,
+           CAST(MAX(CASE WHEN rn = 2 THEN event_id END) AS BIGINT)
+               AS previous_lsn
+    FROM r WHERE rn <= 2 GROUP BY user_id
+    """,
+    doc="Slowly-Changing-Dimension TYPE 3: one row per key carrying the "
+        "current AND immediately-previous attribute value side by side "
+        "(the 'limited history' SCD variant — completes the family "
+        "next to type-1 net-effect compaction and the type-2 validity "
+        "chains the reference materializes, transform_scd2.py:52-58). "
+        "One keyed window to rank the two newest versions, one pivot "
+        "agg; keys with a single version carry NULL previous columns "
+        "on both engines.",
+)
+def scd2_type3_current_previous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    r = ev.select(
+        "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    cur = F.when(F.col("rn") == 1, F.col("value"))
+    prev = F.when(F.col("rn") == 2, F.col("value"))
+    return r.groupBy("user_id").agg(
+        F.round(F.max(cur) + 1e-9, 6).alias("current_value"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+        .cast("long")
+        .alias("current_lsn"),
+        F.round(F.max(prev) + 1e-9, 6).alias("previous_value"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_id")))
+        .cast("long")
+        .alias("previous_lsn"),
+    )

@@ -1218,3 +1218,136 @@ def scd2_history_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9223372036854775807),
         ).cast("long").alias("valid_to_lsn"),
     )
+
+
+# --------------------------------------------------------------------
+# Multi-iteration k-means (fixed 3 rounds, portable arithmetic)
+# --------------------------------------------------------------------
+
+_KM_ITERS = 3
+_KM_K = 8
+_KM_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    step = """
+    d{k} AS (
+        SELECT ed.vec_id, c.cid,
+               ROUND(list_reduce(list_transform(list_zip(ed.e, c.c),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) + 1e-9, 6) AS dist
+        FROM ed, cent{p} c
+    ),
+    asgn{k} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{k}
+        ) WHERE rn = 1
+    ),
+    cm{k} AS (
+        SELECT a.cid, r.i AS dim, ROUND(AVG(ed.e[r.i]) + 1e-9, 6) AS v
+        FROM asgn{k} a JOIN ed USING (vec_id),
+             (SELECT unnest(range(1, {dim} + 1)) AS i) r
+        GROUP BY a.cid, r.i
+    ),
+    cent{k} AS (
+        SELECT cid, list(v ORDER BY dim) AS c
+        FROM cm{k} GROUP BY cid
+    )"""
+    steps = ",".join(
+        step.format(k=k, p=k - 1, dim=_KM_DIM)
+        for k in range(1, _KM_ITERS + 1)
+    )
+    return f"""
+    WITH ed AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, e AS c FROM ed WHERE vec_id < {_KM_K}),
+    {steps}
+    SELECT a.cid AS cluster_id, r.i AS dim,
+           ROUND(AVG(ed.e[r.i]) + 1e-9, 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM asgn{_KM_ITERS} a JOIN ed USING (vec_id),
+         (SELECT unnest(range(1, {_KM_DIM} + 1)) AS i) r
+    GROUP BY a.cid, r.i
+    """
+
+
+@register(
+    "kmeans_multi_iter",
+    oracle=_kmeans_oracle(),
+    doc=f"K-means to {_KM_ITERS} full Lloyd iterations (assign -> "
+        f"recompute, repeated) — extends kmeans_one_iter to the real "
+        f"IVF-index training loop. Portability per round: distances "
+        f"AND the re-estimated centroids are rounded at 1e-6, so both "
+        f"engines feed bit-identical centroids into the next round "
+        f"and every assignment matches. Scale shape per round: seeds "
+        f"broadcast; the argmin crosses a SKINNY (vec_id, cid, dist) "
+        f"shuffle; the centroid recompute is {_KM_DIM} partial means "
+        f"per cluster. The corpus is re-read per round but never "
+        f"shuffled; clusters that lose all members drop out on both "
+        f"engines.",
+)
+def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).persist()
+    cent = ed.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("c"),
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (a, b) -> a + b)"
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asgn = None
+    for _ in range(_KM_ITERS):
+        d = ed.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", dist.alias("dist")
+        )
+        asgn = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        joined = asgn.join(ed, "vec_id")
+        cent = joined.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col("e")[i]) + 1e-9, 6)
+                    for i in range(_KM_DIM)
+                ]
+            ).alias("c")
+        )
+    final = asgn.join(ed, "vec_id")
+    dims = F.explode(
+        F.expr(
+            f"transform(sequence(1, {_KM_DIM}), "
+            f"i -> struct(i AS dim, element_at(e, i) AS x))"
+        )
+    )
+    return (
+        final.select("cid", dims.alias("dx"))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("dx.dim").alias("dim"),
+            F.col("dx.x").alias("x"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg("x") + 1e-9, 6).alias("centroid_val"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )

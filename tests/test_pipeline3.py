@@ -379,3 +379,44 @@ def test_history_compaction_drops_only_noop_updates(spark, sf_dir):
             assert a.value != b.value, "no-op update survived"
             assert a.valid_to_lsn == b.version_lsn - 1, "interval gap"
         assert rows[-1].valid_to_lsn == 9223372036854775807
+
+
+def test_scd3_current_previous_shape(spark, sf_dir):
+    out = all_queries()["scd2_type3_current_previous"].fn(spark, sf_dir)
+    rows = out.collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    assert len(rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.current_lsn is not None
+        if r.previous_lsn is not None:
+            assert r.previous_lsn < r.current_lsn
+
+
+def test_kmeans_multi_iter_improves_on_one_iter(spark, sf_dir):
+    """3 Lloyd iterations never increase within-cluster SSE vs 1
+    (Lloyd's algorithm is monotone; rounding noise gets a margin)."""
+    import math
+
+    def sse(centroid_rows):
+        # rebuild centroids, assign all vectors, sum distances
+        cents = {}
+        for r in centroid_rows:
+            cents.setdefault(r.cluster_id, {})[r.dim] = r.centroid_val
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        total = 0.0
+        for v in emb:
+            e = [float(x) for x in v.embedding]
+            best = min(
+                sum(
+                    (e[i - 1] - c[i]) ** 2 for i in range(1, len(e) + 1)
+                )
+                for c in cents.values()
+            )
+            total += best
+        return total
+
+    one = all_queries()["kmeans_one_iter"].fn(spark, sf_dir).collect()
+    multi = all_queries()["kmeans_multi_iter"].fn(spark, sf_dir).collect()
+    assert sse(multi) <= sse(one) * 1.001

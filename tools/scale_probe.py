@@ -89,6 +89,8 @@ PROBES = (
     "scd2_history_compaction",
     "dedup_containment_survivors",
     "corpus_cross_source_dup_report",
+    "kmeans_multi_iter",
+    "scd2_type3_current_previous",
 )
 
 
