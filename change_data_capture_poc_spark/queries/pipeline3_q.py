@@ -1351,3 +1351,112 @@ def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Dup-graph statistics & shard manifests
+# --------------------------------------------------------------------
+
+def _cluster_size_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comps AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM comps GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_cluster_size_oracle(),
+    doc="Duplicate-cluster size distribution: how many near-dup "
+        "clusters of each size the corpus contains — the QA readout "
+        "that distinguishes benign pairwise near-dups from a "
+        "template-farm pathology (one giant cluster), and sizes the "
+        "savings full dedup will buy. Connected components over the "
+        "LSH pair graph, then two dashboard-sized aggs; the histogram "
+        "adds nothing to the CC plan's shuffle budget.",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        dedup_cluster_label_propagation,
+    )
+
+    comps = dedup_cluster_label_propagation(spark, sf_dir)
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH o AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal
+        FROM documents
+    )
+    SELECT CAST((ordinal - 1) % 16 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM o GROUP BY 1
+    """,
+    doc="Shard manifest for dataset publishing: per round-robin shard "
+        "(the global_ordinal_ids assignment), document / token / byte "
+        "totals and the doc-id range — the metadata file a training "
+        "loader reads to plan epochs without touching data. Reuses "
+        "the banded-ordinal plan (no global window) + one agg on the "
+        "16-value shard key. Round-robin keeps every shard within one "
+        "document of even, so the manifest doubles as the balance "
+        "check.",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.operators_q import (
+        global_ordinal_ids,
+    )
+
+    ords = global_ordinal_ids(spark, sf_dir).select("doc_id", "shard")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        ords.join(d, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )

@@ -420,3 +420,25 @@ def test_kmeans_multi_iter_improves_on_one_iter(spark, sf_dir):
     one = all_queries()["kmeans_one_iter"].fn(spark, sf_dir).collect()
     multi = all_queries()["kmeans_multi_iter"].fn(spark, sf_dir).collect()
     assert sse(multi) <= sse(one) * 1.001
+
+
+def test_cluster_histogram_conserves_docs(spark, sf_dir):
+    """Histogram mass equals the clustered-doc count; min size 2."""
+    hist = all_queries()["dedup_cluster_size_histogram"].fn(spark, sf_dir)
+    rows = hist.collect()
+    comps = all_queries()["dedup_cluster_label_propagation"].fn(
+        spark, sf_dir
+    )
+    assert sum(r.n_docs for r in rows) == comps.count()
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_shard_manifest_balanced_and_complete(spark, sf_dir):
+    out = all_queries()["corpus_shard_manifest"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1, "round-robin imbalance"
