@@ -1460,3 +1460,62 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "text_boilerplate_top_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id,
+               array_to_string(w[s.pos * {_SPAN_N} + 1 :
+                                 s.pos * {_SPAN_N} + {_SPAN_N}], ' ')
+                   AS span
+        FROM t, LATERAL (
+            SELECT unnest(range((len(w) + {_SPAN_N} - 1) // {_SPAN_N}))
+                   AS pos
+        ) s
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM spans GROUP BY span
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, span
+    LIMIT 20
+    """,
+    doc=f"Top repeated {_SPAN_N}-token spans across the corpus — the "
+        f"boilerplate leaderboard (cookie banners, nav bars, license "
+        f"headers) that tells you WHAT text_span_dedup_c4 will remove "
+        f"before you run it. One span-key shuffle + TakeOrdered "
+        f"top-20 (partial per partition, no full sort); singleton "
+        f"spans are filtered before the limit so the heavy tail never "
+        f"ranks.",
+)
+def text_boilerplate_top_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform("
+                f"  sequence(0, (size(split(text, ' ')) + {_SPAN_N} - 1) "
+                f"              DIV {_SPAN_N} - 1),"
+                f"  p -> array_join(slice(split(text, ' '), "
+                f"                        p * {_SPAN_N} + 1, {_SPAN_N}), "
+                f"                  ' '))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "span")
+        .limit(20)
+    )
