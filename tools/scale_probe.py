@@ -91,6 +91,7 @@ PROBES = (
     "corpus_cross_source_dup_report",
     "kmeans_multi_iter",
     "scd2_type3_current_previous",
+    "text_boilerplate_top_spans",
 )
 
 
