@@ -993,3 +993,114 @@ def scd2_type3_current_previous(
         .cast("long")
         .alias("previous_lsn"),
     )
+
+
+@register(
+    "events_ks_drift_halves",
+    oracle="""
+    WITH b AS (SELECT max(event_id) // 2 AS mid FROM events),
+    v AS (
+        SELECT value,
+               CASE WHEN event_id <= mid THEN 0 ELSE 1 END AS grp
+        FROM events, b WHERE value IS NOT NULL
+    ),
+    n AS (SELECT grp, COUNT(*) AS cnt FROM v GROUP BY grp),
+    c AS (SELECT value, grp, COUNT(*) AS k FROM v GROUP BY value, grp),
+    w AS (
+        SELECT value,
+               SUM(CASE WHEN grp = 0 THEN k ELSE 0 END) AS k0,
+               SUM(CASE WHEN grp = 1 THEN k ELSE 0 END) AS k1
+        FROM c GROUP BY value
+    ),
+    cdf AS (
+        SELECT value,
+               SUM(k0) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS c0,
+               SUM(k1) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS c1
+        FROM w
+    )
+    SELECT ROUND(MAX(ABS(c0 * 1.0 / (SELECT cnt FROM n WHERE grp = 0)
+                        - c1 * 1.0 / (SELECT cnt FROM n WHERE grp = 1)))
+                 + 1e-9, 6) AS ks_statistic,
+           CAST((SELECT cnt FROM n WHERE grp = 0) AS BIGINT) AS n_first,
+           CAST((SELECT cnt FROM n WHERE grp = 1) AS BIGINT) AS n_second
+    FROM cdf
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test between the first "
+        "and second half of the change log (split at the median LSN): "
+        "max CDF gap of the value distribution — the numeric twin of "
+        "text_js_divergence_sources for detecting payload drift "
+        "(schema abuse, unit changes, sensor failure) in a CDC feed. "
+        "The oracle states the naive global-ordered-CDF window; the "
+        "engine computes both CDFs with the banded-prefix-sum "
+        "skeleton over the DISTINCT-value table (value bands from "
+        "broadcast min/max, per-band counts, bounded offset window, "
+        "band-local running sums) — the value axis is never "
+        "single-partitioned.",
+)
+def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bands = 32
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    mid = ev.agg(F.expr("max(event_id) div 2").alias("mid"))
+    v = ev.crossJoin(F.broadcast(mid)).select(
+        "value",
+        F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1)
+        .alias("grp"),
+    )
+    n = v.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+    n0 = n.where(F.col("grp") == 0).select(F.col("cnt").alias("n0"))
+    n1 = n.where(F.col("grp") == 1).select(F.col("cnt").alias("n1"))
+    w = v.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
+    )
+    # Banded prefix over the distinct-value axis.
+    rng = w.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    banded = w.crossJoin(F.broadcast(rng)).withColumn(
+        "band",
+        F.least(
+            F.lit(n_bands - 1),
+            (
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bands + 1e-12)
+            ).cast("int"),
+        ),
+    ).drop("lo", "hi")
+    bsum = banded.groupBy("band").agg(
+        F.sum("k0").alias("b0"), F.sum("k1").alias("b1")
+    )
+    from pyspark.sql.window import Window
+
+    w_off = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsum.select(
+        "band",
+        F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("off0"),
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+    )
+    w_run = (
+        Window.partitionBy("band")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = banded.join(F.broadcast(offs), "band").select(
+        (F.col("off0") + F.sum("k0").over(w_run)).alias("c0"),
+        (F.col("off1") + F.sum("k1").over(w_run)).alias("c1"),
+    )
+    gap = cdf.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(n1)).select(
+        F.abs(
+            F.col("c0") * 1.0 / F.col("n0")
+            - F.col("c1") * 1.0 / F.col("n1")
+        ).alias("g"),
+        "n0",
+        "n1",
+    )
+    return gap.groupBy().agg(
+        F.round(F.max("g") + 1e-9, 6).alias("ks_statistic"),
+        F.max("n0").cast("long").alias("n_first"),
+        F.max("n1").cast("long").alias("n_second"),
+    )

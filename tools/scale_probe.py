@@ -92,6 +92,7 @@ PROBES = (
     "kmeans_multi_iter",
     "scd2_type3_current_previous",
     "text_boilerplate_top_spans",
+    "events_ks_drift_halves",
 )
 
 
