@@ -442,3 +442,24 @@ def test_shard_manifest_balanced_and_complete(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     counts = [r.n_docs for r in rows]
     assert max(counts) - min(counts) <= 1, "round-robin imbalance"
+
+
+def test_ks_drift_statistic_bounds(spark, sf_dir):
+    out = all_queries()["events_ks_drift_halves"].fn(spark, sf_dir)
+    r = out.collect()[0]
+    assert 0 <= r.ks_statistic <= 1 + 1e-6
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    assert r.n_first + r.n_second == ev.count()
+
+
+def test_boilerplate_spans_are_really_repeated(spark, sf_dir):
+    out = all_queries()["text_boilerplate_top_spans"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) <= 20
+    for r in rows:
+        assert r.n_occurrences >= 2
+        assert 1 <= r.n_docs <= r.n_occurrences
+    occ = [r.n_occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
