@@ -1104,3 +1104,39 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n0").cast("long").alias("n_first"),
         F.max("n1").cast("long").alias("n_second"),
     )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               LAG(value) OVER (PARTITION BY event_type
+                                ORDER BY event_id) AS prev
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           ROUND(corr(value, prev) + 1e-9, 6) AS autocorr_lag1,
+           CAST(COUNT(prev) AS BIGINT) AS n_pairs
+    FROM s GROUP BY event_type
+    """,
+    doc="Lag-1 autocorrelation of the payload value per event type "
+        "(LSN order): the time-series health check that separates "
+        "independent readings from stuck-sensor / retry-storm "
+        "signatures (autocorr -> 1) in a CDC feed. One keyed window "
+        "to pair each value with its predecessor, then Pearson corr "
+        "as a single-pass aggregate — corr's running-moment form is "
+        "exactly what map-side partial aggregation wants at 100 TB.",
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    s = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    return s.groupBy("event_type").agg(
+        F.round(F.corr("value", "prev") + 1e-9, 6).alias("autocorr_lag1"),
+        F.count("prev").cast("long").alias("n_pairs"),
+    )

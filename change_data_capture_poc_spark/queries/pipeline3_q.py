@@ -1519,3 +1519,52 @@ def text_boilerplate_top_spans(
         .orderBy(F.col("n_occurrences").desc(), "span")
         .limit(20)
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM vocab
+    )
+    SELECT ROUND(regr_slope(ln(n), ln(rnk)) + 1e-9, 6) AS zipf_slope,
+           ROUND(regr_r2(ln(n), ln(rnk)) + 1e-9, 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+    doc="Zipf-law fit over the vocabulary: OLS slope of ln(frequency) "
+        "on ln(rank) plus R² — the tokenizer-health diagnostic (a "
+        "healthy natural-language corpus fits slope ≈ -1; boilerplate "
+        "floods or synthetic junk bend the curve). The global rank "
+        "window runs over the VOCABULARY table, which is Zipf-small "
+        "relative to any corpus (the corpus-sized work is the one "
+        "token-count shuffle) — the single-partition window is "
+        "bounded by vocabulary growth ~O(corpus^0.5), not data size. "
+        "Slope/R² are single-pass regr_* accumulators.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = vocab.select(
+        F.log("n").alias("ln_n"),
+        F.log(F.row_number().over(w).cast("double")).alias("ln_rnk"),
+    )
+    return ranked.agg(
+        F.round(
+            F.expr("regr_slope(ln_n, ln_rnk)") + 1e-9, 6
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln_n, ln_rnk)") + 1e-9, 6).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )

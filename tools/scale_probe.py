@@ -93,6 +93,8 @@ PROBES = (
     "scd2_type3_current_previous",
     "text_boilerplate_top_spans",
     "events_ks_drift_halves",
+    "events_autocorr_lag1",
+    "text_zipf_fit",
 )
 
 
