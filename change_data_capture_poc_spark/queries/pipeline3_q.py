@@ -1568,3 +1568,147 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(ln_n, ln_rnk)") + 1e-9, 6).alias("r2"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM vocab
+    ),
+    tot AS (SELECT SUM(n) AS t FROM ranked),
+    k AS (SELECT unnest([100, 500, 1000, 5000]) AS vocab_k)
+    SELECT k.vocab_k,
+           ROUND(SUM(CASE WHEN r.rnk <= k.vocab_k THEN r.n ELSE 0 END)
+                 * 1.0 / tot.t + 1e-9, 6) AS coverage
+    FROM ranked r, k, tot
+    GROUP BY k.vocab_k, tot.t
+    """,
+    doc="Vocabulary-size selection curve: fraction of all token "
+        "occurrences covered by the top-k vocabulary for k in "
+        "{100, 500, 1000, 5000} — the readout that picks a tokenizer "
+        "budget (where the coverage curve flattens, stop paying for "
+        "vocab). One corpus-sized token-count shuffle; the ranking "
+        "window runs over the Zipf-small vocabulary and the four "
+        "coverage points are conditional sums in ONE aggregate pass, "
+        "not four scans.",
+)
+def text_vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = vocab.select(
+        "n", F.row_number().over(w).alias("rnk")
+    ).persist()
+    tot = ranked.agg(F.sum("n").alias("t"))
+    ks = spark.createDataFrame(
+        [(100,), (500,), (1000,), (5000,)], "vocab_k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_k")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("vocab_k"), F.col("n"))
+                    .otherwise(0)
+                )
+                * 1.0
+                / F.max("t")
+                + 1e-9,
+                6,
+            ).alias("coverage")
+        )
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    mid AS (SELECT max(vec_id) // 2 AS m FROM e),
+    halves AS (
+        SELECT label, CASE WHEN vec_id <= m THEN 0 ELSE 1 END AS half,
+               generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM e, mid
+    ),
+    cents AS (
+        SELECT label, half, i, AVG(x) AS c
+        FROM halves GROUP BY label, half, i
+    ),
+    paired AS (
+        SELECT a.label, a.i, a.c AS c0, b.c AS c1
+        FROM cents a JOIN cents b
+          ON a.label = b.label AND a.i = b.i
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ROUND(sqrt(SUM((c0 - c1) * (c0 - c1))) + 1e-9, 6)
+               AS centroid_l2_drift,
+           CAST(COUNT(*) AS BIGINT) AS dim
+    FROM paired GROUP BY label
+    """,
+    doc="Embedding drift per class: L2 distance between each label's "
+        "centroid computed over the first and second half of the "
+        "vector ids — the embedding-space twin of events_ks_drift "
+        "(a re-embedding run or upstream model change moves class "
+        "centroids; stable pipelines don't). Per-(label, half, dim) "
+        "means via one skinny shuffle of exploded components; the "
+        "centroid pairing joins 2·labels·64 rows — dashboard-sized.",
+)
+def embedding_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    mid = e.agg(F.expr("max(vec_id) div 2").alias("m"))
+    halves = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            "label",
+            F.when(F.col("vec_id") <= F.col("m"), 0).otherwise(1)
+            .alias("half"),
+            F.posexplode("v").alias("i0", "x"),
+        )
+        .select("label", "half", (F.col("i0") + 1).alias("i"), "x")
+    )
+    cents = halves.groupBy("label", "half", "i").agg(
+        F.avg("x").alias("c")
+    )
+    a = cents.where(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("c0")
+    )
+    b = cents.where(F.col("half") == 1).select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("i_b"),
+        F.col("c").alias("c1"),
+    )
+    paired = a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("i") == F.col("i_b")),
+    )
+    return paired.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("c0") - F.col("c1")) ** 2)) + 1e-9, 6
+        ).alias("centroid_l2_drift"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+    )

@@ -95,6 +95,8 @@ PROBES = (
     "events_ks_drift_halves",
     "events_autocorr_lag1",
     "text_zipf_fit",
+    "text_vocab_coverage_curve",
+    "embedding_centroid_drift",
 )
 
 
