@@ -1023,3 +1023,65 @@ def events_rolling_wau(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("wau"))
         .orderBy("window_end")
     )
+
+
+@register(
+    "orders_open_backlog_curve",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(MAX(l.l_shipdate) AS DATE) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM span
+        UNION ALL
+        SELECT d1 + INTERVAL 1 DAY, -1 FROM span
+    ),
+    byday AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY day)
+    SELECT CAST(day AS DATE) AS day,
+           CAST(SUM(d) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM byday
+    """,
+    doc="Concurrent-interval counting: how many orders are OPEN "
+        "(placed, not yet fully shipped) on each day — the classic "
+        "backlog/occupancy curve (staffing, capacity, WIP limits). "
+        "The naive per-day interval join is quadratic; this plan "
+        "emits +1/-1 boundary deltas per order, aggregates per day, "
+        "and prefix-sums over the DAY axis — which is bounded by the "
+        "calendar (~2.5k rows for TPC-H's 7 years), not by data "
+        "volume, so the running-sum window never sees the fact "
+        "table. One join + two agg shuffles at corpus scale.",
+)
+def orders_open_backlog_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    span = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").cast("date").alias("d1"))
+    )
+    deltas = span.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        span.select(
+            F.date_add(F.col("d1"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    byday = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        F.col("day").cast("date").alias("day"),
+        F.sum("d").over(w).cast("long").alias("open_orders"),
+    )

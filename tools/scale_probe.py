@@ -97,6 +97,7 @@ PROBES = (
     "text_zipf_fit",
     "text_vocab_coverage_curve",
     "embedding_centroid_drift",
+    "orders_open_backlog_curve",
 )
 
 
