@@ -146,12 +146,14 @@ def cdc_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR a.lval IS DISTINCT FROM b.lval
     """,
     doc="Snapshot diff: reconstruct the keyed state at LSN T1 and at "
-        "head (a key exists iff its latest op is not a delete), full "
-        "outer join the two states, classify insert/update/delete — "
-        "the audit query run to verify a CDC target against its "
-        "source. Both states aggregate on user_id, so the full outer "
-        "join reuses the hash partitioning: two shuffles total, no "
-        "third exchange for the join.",
+        "head (a key exists iff its latest op is not a delete) and "
+        "classify insert/update/delete — the audit query run to "
+        "verify a CDC target against its source. Both states fold "
+        "into ONE aggregation via conditional max_by (max_by skips "
+        "rows whose ordering expression is NULL, so when(lsn<=t1, "
+        "lsn) restricts the prefix state for free): one scan, one "
+        "map-side-partial shuffle, no full-outer join at all — the "
+        "oracle states the textbook two-state full-outer formulation.",
 )
 def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -163,34 +165,35 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("u"))
         .alias("op"),
     )
-
-    def state(df: DataFrame) -> DataFrame:
-        agg = df.groupBy("user_id").agg(
-            F.max_by("op", "event_id").alias("lop"),
-            F.max_by("value", "event_id").alias("lval"),
-        )
-        return agg.where(F.col("lop") != "d").drop("lop")
-
-    # Only the prefix branch needs the T1 scalar — attaching it to both
-    # branches would leave a vestigial empty-row broadcast join in the
-    # head branch after column pruning.
-    a = state(_with_split_lsn(ops).where(F.col("event_id") <= F.col("t1")))
-    b = state(ops)
-    joined = a.alias("a").join(
-        b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer"
+    pre = F.col("event_id") <= F.col("t1")
+    agg = _with_split_lsn(ops).groupBy("user_id").agg(
+        F.max_by(F.when(pre, F.col("op")),
+                 F.when(pre, F.col("event_id"))).alias("a_lop"),
+        F.max_by(F.when(pre, F.col("value")),
+                 F.when(pre, F.col("event_id"))).alias("a_lval"),
+        F.max_by("op", "event_id").alias("b_lop"),
+        F.max_by("value", "event_id").alias("b_lval"),
     )
-    return joined.where(
-        F.col("a.user_id").isNull()
-        | F.col("b.user_id").isNull()
-        | ~F.col("a.lval").eqNullSafe(F.col("b.lval"))
-    ).select(
-        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
-        F.when(F.col("a.user_id").isNull(), F.lit("i"))
-        .when(F.col("b.user_id").isNull(), F.lit("d"))
-        .otherwise(F.lit("u"))
-        .alias("change_op"),
-        F.round(F.col("a.lval") + F.lit(1e-9), 6).alias("old_value"),
-        F.round(F.col("b.lval") + F.lit(1e-9), 6).alias("new_value"),
+    a_present = F.col("a_lop").isNotNull() & (F.col("a_lop") != "d")
+    b_present = F.col("b_lop") != "d"  # b_lop never null: >=1 row per key
+    return (
+        agg.where(a_present | b_present)
+        .where(
+            (~a_present)
+            | (~b_present)
+            | ~F.col("a_lval").eqNullSafe(F.col("b_lval"))
+        )
+        .select(
+            "user_id",
+            F.when(~a_present, F.lit("i"))
+            .when(~b_present, F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("change_op"),
+            F.when(a_present, F.round(F.col("a_lval") + F.lit(1e-9), 6))
+            .alias("old_value"),
+            F.when(b_present, F.round(F.col("b_lval") + F.lit(1e-9), 6))
+            .alias("new_value"),
+        )
     )
 
 
@@ -686,14 +689,19 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).drop("lo", "hi")
     # Band edge stitching: the LAG of each band's first row lives in the
-    # previous band — one summary row per band carries it over.
+    # last preceding NON-empty band — a running max of band_max over the
+    # (bounded, <= n_bands rows) summary handles empty bands, which the
+    # naive band-1 lookup would skip, fabricating a spurious tx start.
     summary = banded.groupBy("band").agg(
         F.max("event_id").alias("band_max"),
         F.count(F.lit(1)).alias("band_rows"),
     )
+    w_prev_band = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     prev_max = summary.select(
-        (F.col("band") + 1).alias("band"),
-        F.col("band_max").alias("prev_band_max"),
+        "band",
+        F.max("band_max").over(w_prev_band).alias("prev_band_max"),
     )
     w_local = Window.partitionBy("band").orderBy("event_id")
     flagged = (

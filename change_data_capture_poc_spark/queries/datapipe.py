@@ -1588,8 +1588,12 @@ def text_tfidf_top_terms(spark, sf_dir):
     # both branches (ReusedExchange in the plan).
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
+    # No forced broadcast on dfreq: the vocabulary is Zipf-skewed but
+    # NOT constant-bounded (it grows with the corpus), so the hint is
+    # AQE's call — it broadcasts when the runtime size fits and falls
+    # back to a shuffle hash join on tok otherwise.
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2299,12 +2303,14 @@ def validate_events_expectations(spark, sf_dir):
         "decontamination (broadcast gram semi-join, drop docs with "
         ">= 8% benchmark 3-gram overlap and the benchmark slice "
         "itself), (4) contiguous shard ordinals via deterministic "
-        "range banding. Stage boundaries persist their frontier "
-        "because each feeds multiple consumers. The corpus-sized "
-        "data crosses exactly three shuffles end-to-end (dup window, "
-        "hit-count groupBy, band partition) — everything else is "
-        "map-side or broadcast; at 100 TB each stage's shape is the "
-        "one its standalone query already probes at 8x.",
+        "range banding. Gram total and benchmark-hit count fold into "
+        "ONE groupBy(doc_id) over the exploded gram stream (a left "
+        "broadcast flag instead of a count-then-join-back), so the "
+        "corpus-sized data crosses exactly two shuffles end-to-end "
+        "(dup window, gram groupBy) and the surviving doc_id list — "
+        "skinny — takes one more for band-local ordinal sorts; at "
+        "100 TB each stage's shape is the one its standalone query "
+        "already probes at 8x.",
 )
 def corpus_build_e2e(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -2318,11 +2324,7 @@ def corpus_build_e2e(spark, sf_dir):
     k = (
         q.withColumn("rn", F.row_number().over(w_dup))
         .where(F.col("rn") == 1)
-        .repartition(32, "doc_id")
     )
-    g = k.select(
-        "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
-    ).persist()
     bench = (
         base.where(
             (F.col("doc_id") % _DECON_MOD == 0)
@@ -2331,19 +2333,23 @@ def corpus_build_e2e(spark, sf_dir):
         )
         .select(F.explode(ngram_shingles(F.col("w"), _DECON_N)).alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    e = g.select("doc_id", F.explode("grams").alias("gram"))
-    hits = (
-        e.join(F.broadcast(bench), "gram")
+    e = k.select(
+        "doc_id",
+        F.explode(ngram_shingles(F.col("w"), _DECON_N)).alias("gram"),
+    )
+    per_doc = (
+        e.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("c"),
+        )
     )
-    ratio = F.round(
-        F.coalesce(F.col("c"), F.lit(0)) / F.size("grams") + F.lit(1e-9), 6
-    )
+    ratio = F.round(F.col("c") / F.col("n_grams") + F.lit(1e-9), 6)
     surv = (
-        g.join(hits, "doc_id", "left")
-        .where(
+        per_doc.where(
             ~((F.col("doc_id") % _DECON_MOD == 0)
               & (F.col("doc_id") < _DECON_BENCH_MAX))
             & (ratio < 0.08)
@@ -2618,9 +2624,11 @@ def text_token_pmi(spark, sf_dir):
     db = dfreq.select(
         F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
     )
+    # df tables are vocabulary-sized (corpus-growing, not constant-
+    # bounded) — broadcast is AQE's runtime decision, not a forced hint.
     return (
-        pairs.join(F.broadcast(da), "tok_a")
-        .join(F.broadcast(db), "tok_b")
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
         .crossJoin(F.broadcast(n_docs_df))
         .select(
             "tok_a",
@@ -2874,12 +2882,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 8x probe caught as the worst ratio on the board).
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = vocab.agg(F.sum("c").alias("n"))
-    # Broadcast the vocab (Zipf vocabulary ≪ corpus at any scale) and
-    # keep the global total OUT of the per-token path entirely:
+    # Vocab join strategy is AQE's call (Zipf vocabulary ≪ corpus, but
+    # not constant-bounded, so no forced broadcast hint); the global
+    # total stays OUT of the per-token path entirely:
     # avg(ln(c/n)) = avg(ln c) - ln(n), so the scalar joins the
     # per-doc aggregate, not the token stream.
     per_doc = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -2969,10 +2978,11 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="One k-means iteration over the embedding corpus (assign to "
         "nearest of 8 seed centroids, recompute centroids) — the "
         "building block of embedding-space clustering and IVF index "
-        "training. Seeds broadcast against the corpus; the argmin "
-        "crosses a SKINNY (vec_id, cid, dist) shuffle — the 64-float "
-        "vectors rejoin the winning assignment afterwards, so arrays "
-        "cross the network once, not once per candidate. Distances "
+        "training. The 8x64 seed table is collected (bounded by the "
+        "constant k) and folded into the map stage as a "
+        "least(struct(dist, cid)) expression — the MLlib Lloyd shape: "
+        "assignment costs NO shuffle and the corpus never crosses the "
+        "network; only the 64 partial means per cluster do. Distances "
         "fold element-by-element in a fixed order and round at 1e-6, "
         "so both engines agree on every assignment (float-sign "
         "portability rule). Centroids emit as (cluster, dim, value) "
@@ -2984,28 +2994,29 @@ def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    seeds = ed.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
-    d = ed.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cid",
-        F.round(
-            F.expr(
-                "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
-                "0D, (a, b) -> a + b)"
+    seeds = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in ed.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .collect()
+    ]
+    cands = []
+    for cid, c in seeds:
+        carr = F.array(*[F.lit(x) for x in c])
+        sq = F.aggregate(
+            F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        cands.append(
+            F.struct(
+                F.round(sq + F.lit(1e-9), 6).alias("dist"),
+                F.lit(cid).cast("bigint").alias("cid"),
             )
-            + F.lit(1e-9),
-            6,
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    asgn = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    j = asgn.join(ed, "vec_id")
+        )
+    # Lexicographic least(struct) == ORDER BY dist, cid LIMIT 1 — the
+    # oracle's ROW_NUMBER tie-break, computed per-row with no shuffle.
+    j = ed.select(F.least(*cands).getField("cid").alias("cid"), "e")
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     return (
         j.crossJoin(F.broadcast(dims))

@@ -187,8 +187,9 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(captures word-order junk a unigram model cannot). Bigrams "
         "come from one pass over the token array (transform on "
         "adjacent positions — no positional self-join on the engine "
-        "side); the bigram and unigram count tables are Zipf-small "
-        "and broadcast back onto the bigram stream.",
+        "side); the bigram/unigram count tables join back onto the "
+        "bigram stream with AQE-chosen strategy (bigram cardinality "
+        "grows with the corpus, so no forced broadcast).",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -208,11 +209,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     tok = d.select(F.explode(F.split("text", " ")).alias("w1"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
-    v = c1.agg(F.count(F.lit(1)).alias("vsz"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.agg(F.countDistinct("w1").alias("vsz"))
+    # No broadcast hints on c1/c2: a bigram table grows near-linearly
+    # with corpus size (NOT Zipf-bounded like a unigram vocab), so a
+    # forced broadcast would OOM at the 100 TB design point. AQE picks
+    # broadcast when the runtime size allows and a shuffle hash join on
+    # (w1, w2) / (w1) otherwise — the scale-safe shape. Only the 1-row
+    # vocabulary-size aggregate keeps an explicit broadcast.
     scored = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -1284,54 +1291,69 @@ def _kmeans_oracle() -> str:
         f"IVF-index training loop. Portability per round: distances "
         f"AND the re-estimated centroids are rounded at 1e-6, so both "
         f"engines feed bit-identical centroids into the next round "
-        f"and every assignment matches. Scale shape per round: seeds "
-        f"broadcast; the argmin crosses a SKINNY (vec_id, cid, dist) "
-        f"shuffle; the centroid recompute is {_KM_DIM} partial means "
-        f"per cluster. The corpus is re-read per round but never "
-        f"shuffled; clusters that lose all members drop out on both "
-        f"engines.",
+        f"and every assignment matches. Scale shape per round "
+        f"(the MLlib Lloyd shape): the k*{_KM_DIM} centroid table is "
+        f"collected to the driver (bounded by the constant k, like the "
+        f"blessed 8-row ANN query set) and folded into the map stage "
+        f"as a least(struct(dist, cid)) expression, so assignment "
+        f"needs NO shuffle at all; the recompute is {_KM_DIM} partial "
+        f"means per cluster via map-side combine. The corpus is "
+        f"re-read per round but never crosses the network; clusters "
+        f"that lose all members drop out on both engines.",
 )
 def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ed = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-    ).persist()
-    cent = ed.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("c"),
     )
-    dist = F.round(
-        F.expr(
-            "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
-            "0D, (a, b) -> a + b)"
-        )
-        + F.lit(1e-9),
-        6,
-    )
-    from pyspark.sql.window import Window
+    ed.persist()
+    # Seed centroids = first K vectors. K is a compile-time constant, so
+    # this collect (and the per-round one below) is bounded at K rows.
+    cent = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in ed.where(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .collect()
+    ]
 
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    asgn = None
-    for _ in range(_KM_ITERS):
-        d = ed.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", dist.alias("dist")
+    def nearest(cent_rows):
+        """Map-side argmin over the collected centroids: one
+        struct(dist, cid) candidate per centroid, lexicographic least
+        == ORDER BY dist, cid LIMIT 1 — same tie-break as the oracle's
+        ROW_NUMBER, zero shuffles."""
+        cands = []
+        for cid, c in cent_rows:
+            carr = F.array(*[F.lit(x) for x in c])
+            sq = F.aggregate(
+                F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            cands.append(
+                F.struct(
+                    F.round(sq + F.lit(1e-9), 6).alias("dist"),
+                    F.lit(cid).cast("bigint").alias("cid"),
+                )
+            )
+        return F.least(*cands)
+
+    avg_aggs = [
+        F.round(F.avg(F.col("e")[i]) + 1e-9, 6).alias(f"c{i}")
+        for i in range(_KM_DIM)
+    ]
+    # First _KM_ITERS-1 rounds materialize re-estimated centroids on the
+    # driver (k rows each); the final round stays lazy as the returned
+    # plan, so round counts match the oracle's cent0..cent{n-1} chain.
+    for _ in range(_KM_ITERS - 1):
+        asgn = ed.select("e", nearest(cent).getField("cid").alias("cid"))
+        rows = asgn.groupBy("cid").agg(*avg_aggs).collect()
+        cent = sorted(
+            (int(r["cid"]), [float(r[f"c{i}"]) for i in range(_KM_DIM)])
+            for r in rows
         )
-        asgn = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-        joined = asgn.join(ed, "vec_id")
-        cent = joined.groupBy("cid").agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.col("e")[i]) + 1e-9, 6)
-                    for i in range(_KM_DIM)
-                ]
-            ).alias("c")
-        )
-    final = asgn.join(ed, "vec_id")
+    final = ed.select("e", nearest(cent).getField("cid").alias("cid"))
+    ed.unpersist()
     dims = F.explode(
         F.expr(
             f"transform(sequence(1, {_KM_DIM}), "

@@ -490,8 +490,13 @@ def streaming_centroid_assign_drain(
     cents = static.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    # Peek the batch-read schema once (as _stream_events does for
+    # events.parquet) instead of hardcoding it: if embeddings ever
+    # ships a second physical encoding (double embeddings, bigint
+    # label), the stream tracks the batch path automatically.
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        spark.readStream.schema(emb_schema)
         .parquet(_embeddings_stream_dir(sf_dir))
         .select(
             "vec_id",

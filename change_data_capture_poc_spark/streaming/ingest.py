@@ -83,14 +83,12 @@ def stream_envelope_kafka(
     downstream plan to the file-source path, so every SCD2/materialize
     stage composes unchanged.
 
-    Needs the spark-sql-kafka package on the classpath; not exercised
-    in this container (no broker) — the file-source path in tests
-    drives the same downstream operators.
+    Needs the spark-sql-kafka package on the classpath; the live load()
+    is not exercised in this container (no broker) — but the value
+    parse below it IS: ``parse_kafka_envelope`` is pinned by a
+    broker-less contract test against a hand-built Kafka-shaped frame
+    (tests/test_sources.py::test_kafka_value_parse_contract).
     """
-    from pyspark.sql import functions as F
-
-    from change_data_capture_poc_spark.cdc.envelope import envelope_schema
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -98,7 +96,25 @@ def stream_envelope_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
+    return parse_kafka_envelope(raw, row_fields)
+
+
+def parse_kafka_envelope(
+    records: DataFrame, row_fields: list[T.StructField]
+) -> DataFrame:
+    """Kafka record frame → typed envelope payload rows.
+
+    ``records`` carries the Kafka source contract columns (binary
+    ``key``/``value`` plus topic/partition/offset/timestamp metadata);
+    only ``value`` is consumed — Debezium's value envelope is
+    self-contained and the key struct repeats payload.*.id
+    (connectors/postgres-source.json: schemaless JSON converters).
+    Works identically on a streaming or a static frame, which is what
+    lets the contract test pin the parse path without a broker.
+    """
+    from pyspark.sql import functions as F
+
+    return records.select(
         F.from_json(
             F.col("value").cast("string"), envelope_schema(row_fields)
         ).alias("e")

@@ -57,8 +57,11 @@ def test_curriculum_phases_are_ordered_terciles(spark, sf_dir):
     ).collect()
     by_phase = {r.phase: r for r in rows}
     assert set(by_phase) == {0, 1, 2}
-    assert by_phase[0].hi <= by_phase[1].lo or by_phase[0].hi <= by_phase[1].hi
-    assert by_phase[1].hi <= by_phase[2].lo or by_phase[1].hi <= by_phase[2].hi
+    # Real ordered-range invariant: phase ranges are disjoint up to a
+    # shared boundary value (threshold assignment puts every tie in the
+    # lower phase, so equality is the only permitted overlap).
+    assert by_phase[0].hi <= by_phase[1].lo
+    assert by_phase[1].hi <= by_phase[2].lo
     total = sum(r.n for r in rows)
     for r in rows:
         assert abs(r.n - total / 3) < 0.1 * total + 2
@@ -111,6 +114,42 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for r in out:
         assert 0 < r.containment_a <= 1 + 1e-6
         assert 0 < r.containment_b <= 1 + 1e-6
+
+
+def test_lsn_gap_empty_band_does_not_split_transaction(spark, tmp_path):
+    """Regression: a band with NO rows (a <= _TX_GAP hole that happens
+    to swallow a whole LSN band on a tiny range) must NOT fabricate a
+    transaction boundary — the stitch has to carry the last PRECEDING
+    NON-EMPTY band's max, not just band-1's."""
+    import datetime as dt
+
+    # Segment A: 0..60, hole 61..79 (gap 80-60=20 == _TX_GAP, NOT a
+    # boundary), segment B: 80..140, hole 141..200 (gap 61 > _TX_GAP,
+    # real boundary), segment C: 201..210.
+    ids = list(range(0, 61)) + list(range(80, 141)) + list(range(201, 211))
+    lo, hi, n_bands = min(ids), max(ids), 32
+    bands = {((i - lo) * n_bands) // (hi - lo + 1) for i in ids}
+    assert len(bands) < n_bands  # the crafted hole really empties a band
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(i, ts, i % 7, "purchase", 1.0, "{}") for i in ids]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    d = str(tmp_path / "tiny")
+    df.write.parquet(f"{d}/events.parquet")
+
+    out = (
+        all_queries()["cdc_lsn_gap_transactions"]
+        .fn(spark, d)
+        .orderBy("tx_id")
+        .collect()
+    )
+    assert len(out) == 2  # A+B fused across the empty band; C split off
+    assert (out[0].first_lsn, out[0].last_lsn) == (0, 140)
+    assert (out[1].first_lsn, out[1].last_lsn) == (201, 210)
+    assert out[0].n_changes == 122 and out[1].n_changes == 10
 
 
 def test_lsn_gap_transactions_tile_the_log(spark, sf_dir):

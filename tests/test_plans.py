@@ -91,12 +91,12 @@ def test_cdc_net_effect_single_shuffle(spark, sf_dir, queries):
     assert shuffle_count(df) == 1
 
 
-def test_snapshot_diff_join_reuses_agg_partitioning(spark, sf_dir, queries):
-    """Both snapshot states aggregate on user_id, so the full outer
-    join must reuse their hash partitioning: exchanges = 2 state aggs
-    + 1 single-row T1 scalar, never a 4th for the join itself."""
+def test_snapshot_diff_single_state_shuffle(spark, sf_dir, queries):
+    """Both snapshot states fold into ONE conditional-max_by
+    aggregation: exchanges = the user_id agg + the single-row T1
+    scalar — no full-outer join, no second state aggregation."""
     df = queries["snapshot_diff_changes"].fn(spark, sf_dir)
-    assert shuffle_count(df) == 3
+    assert shuffle_count(df) == 2
 
 
 def test_table_checksum_single_shuffle(spark, sf_dir, queries):

@@ -200,6 +200,139 @@ def test_envelope_log_tolerant_quarantines_corrupt_lines(spark, tmp_path):
     assert "not json at all" in raws
 
 
+def test_gzip_tiny_file_ingest_at_reference_fidelity(spark, tmp_path):
+    """The reference's S3 sink flushes every 3 records (connectors/
+    s3-sink.json:24 flush.size=3), landing thousands of ~KB .json.gz
+    files under year=/month=/day=. Reproduce that exact pathology with
+    3-line gzip files, run the full ingest chain (read_ndjson_raw →
+    parse_envelope_json → decode_envelope → scd2_recompute), assert it
+    equals the parquet-path result, and pin that compaction collapses
+    the file count."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+    from change_data_capture_poc_spark.sources.writers import (
+        with_date_partitions,
+    )
+
+    gen = CdcGenerator(seed=13)
+    df = gen.products_df(spark, num_records=60)
+    rows = (
+        with_date_partitions(df)
+        .select(F.to_json(F.struct("payload")).alias("j"),
+                "year", "month", "day")
+        .collect()
+    )
+    # Bucket lines by date partition, then flush every 3 records into
+    # its own gzip file — the DailyPartitioner + flush.size=3 layout.
+    by_part: dict[tuple, list[str]] = {}
+    for r in rows:
+        by_part.setdefault((r.year, r.month, r.day), []).append(r.j)
+    log = tmp_path / "log"
+    n_files = 0
+    for (y, m, d), lines in by_part.items():
+        pdir = log / f"year={y}" / f"month={m}" / f"day={d}"
+        pdir.mkdir(parents=True)
+        for i in range(0, len(lines), 3):
+            with gzip.open(pdir / f"part-{i:05d}.json.gz", "wt") as f:
+                f.write("\n".join(lines[i:i + 3]) + "\n")
+            n_files += 1
+    assert n_files >= len(rows) // 3  # the tiny-file pathology is real
+
+    parsed = read_envelope_log(
+        spark, str(log) + "/*/*/*/*.json.gz", PRODUCT_FIELDS
+    )
+    assert parsed.count() == len(rows)
+    got = {tuple(r) for r in scd2_recompute(decode_envelope(parsed)).collect()}
+
+    pq_path = str(tmp_path / "pq")
+    compact_to_parquet(df, pq_path)
+    want = {
+        tuple(r)
+        for r in scd2_recompute(
+            decode_envelope(spark.read.parquet(pq_path))
+        ).collect()
+    }
+    assert got == want
+
+    # Compaction step: the gz shards collapse to a handful of parquet
+    # files (input is tiny, so one), killing the per-file open/footer
+    # overhead before any repeated analytics pass.
+    import glob as _glob
+
+    compacted = str(tmp_path / "compacted")
+    compact_to_parquet(parsed, compacted)
+    n_parquet = len(_glob.glob(f"{compacted}/*.parquet"))
+    assert 0 < n_parquet < n_files
+    assert spark.read.parquet(compacted).count() == len(rows)
+
+
+def test_kafka_value_parse_contract(spark):
+    """Broker-less pin of the Kafka branch (S2): a hand-built frame
+    with the Kafka source's exact column contract (binary key/value +
+    topic/partition/offset/timestamp) must decode byte-identically to
+    the file-source twin over the same JSON lines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.streaming.ingest import (
+        parse_kafka_envelope,
+    )
+
+    gen = CdcGenerator(seed=17)
+    lines = (
+        gen.products_df(spark, num_records=40)
+        .select(F.to_json(F.struct("payload")).alias("j"))
+        .collect()
+    )
+    kafka_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ])
+    records = spark.createDataFrame(
+        [
+            (
+                b'{"payload":{"id":%d}}' % i,
+                r.j.encode("utf-8"),
+                "cdc.commerce.products",
+                i % 3,
+                i,
+                None,
+                0,
+            )
+            for i, r in enumerate(lines)
+        ],
+        kafka_schema,
+    )
+    via_kafka = {
+        tuple(r)
+        for r in decode_envelope(
+            parse_kafka_envelope(records, PRODUCT_FIELDS)
+        ).collect()
+    }
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "log.json"), "w") as f:
+            f.write("\n".join(r.j for r in lines))
+        via_file = {
+            tuple(r)
+            for r in decode_envelope(
+                read_envelope_log(spark, d, PRODUCT_FIELDS)
+            ).collect()
+        }
+    assert via_kafka == via_file
+    assert len(via_kafka) == len(lines)
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many tiny files in, byte-identical rows out, file count sized
     from input bytes (>=1 even for tiny inputs)."""
