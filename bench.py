@@ -68,6 +68,8 @@ HEADLINE = (
     "ann_two_stage_rerank",         # pool + exact rerank serving shape
     "scd2_history_compaction",      # no-op update collapse
     "kmeans_multi_iter",            # 3-round Lloyd loop
+    "ann_mmr_diversified_rerank",   # MMR diversified serving shape
+    "corpus_ngram_novelty_curve",   # per-band first-occurrence curve
 )
 
 

@@ -920,6 +920,161 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "text_lang_confusion_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    s AS (SELECT lang,
+                 {_marker_sql('de')} AS s_de,
+                 {_marker_sql('en')} AS s_en,
+                 {_marker_sql('es')} AS s_es,
+                 {_marker_sql('fr')} AS s_fr
+          FROM t),
+    p AS (SELECT lang,
+                 CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                          THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS predicted_lang
+          FROM s)
+    SELECT lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang)
+                 + 1e-9, 6) AS share_of_lang
+    FROM p GROUP BY lang, predicted_lang
+    """,
+    doc="Language-ID QA: confusion matrix of the declared lang column "
+        "vs the marker-heuristic prediction (text_lang_id's exact "
+        "argmax), with each cell's share of its declared language — "
+        "the audit that catches a mislabeled crawl slice or a lang-id "
+        "model drifting on a minority language before corpus mixing "
+        "trusts the labels. Map-only scoring, one dashboard-sized "
+        "agg; the share window runs over at most |langs|^2 rows.",
+)
+def text_lang_confusion_matrix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.split("text", " ").alias("w"))
+    w = F.col("w")
+
+    def marker_count(markers):
+        # closure factory — see text_lang_id
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    s = t.select(
+        "lang",
+        marker_count(_LANG_MARKERS["de"]).alias("s_de"),
+        marker_count(_LANG_MARKERS["en"]).alias("s_en"),
+        marker_count(_LANG_MARKERS["es"]).alias("s_es"),
+        marker_count(_LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    p = s.select(
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+    c = p.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_lang = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(w_lang) + F.lit(1e-9), 6
+        ).alias("share_of_lang"),
+    )
+
+
+_NOVELTY_BANDS = 10
+
+
+@register(
+    "corpus_ngram_novelty_curve",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS gram
+          FROM t WHERE len(w) >= 3),
+    mx AS (SELECT max(doc_id) AS maxd FROM documents),
+    bg AS (SELECT DISTINCT
+                  CAST((doc_id * {_NOVELTY_BANDS}) // (maxd + 1) AS INT)
+                      AS band,
+                  gram
+           FROM g, mx),
+    fb AS (SELECT gram, MIN(band) AS band FROM bg GROUP BY gram),
+    db AS (SELECT band, COUNT(*) AS distinct_grams FROM bg GROUP BY band),
+    nb AS (SELECT band, COUNT(*) AS novel_grams FROM fb GROUP BY band)
+    SELECT db.band,
+           CAST(distinct_grams AS BIGINT) AS distinct_grams,
+           CAST(COALESCE(novel_grams, 0) AS BIGINT) AS novel_grams,
+           ROUND(COALESCE(novel_grams, 0) * 1.0 / distinct_grams + 1e-9, 6)
+               AS novelty_rate
+    FROM db LEFT JOIN nb USING (band)
+    """,
+    doc=f"Corpus novelty curve: the corpus in {_NOVELTY_BANDS} "
+        f"doc_id-range bands, and per band the fraction of its "
+        f"distinct 3-grams appearing for the FIRST time — the "
+        f"diminishing-returns readout that tells a data-acquisition "
+        f"loop when the next crawl slice stops adding information "
+        f"(novelty collapsing toward 0 = more of the same; dedup "
+        f"should run before training either way). Two corpus-sized "
+        f"shuffles — (band, gram) distinct and first-band-per-gram — "
+        f"then {_NOVELTY_BANDS}-row dashboard joins; banding is "
+        f"arithmetic on a broadcast max, never a global sort.",
+)
+def corpus_ngram_novelty_curve(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    g = base.select(
+        "doc_id", F.explode(ngram_shingles(F.col("w"), 3)).alias("gram")
+    )
+    mx = d.agg(F.max("doc_id").alias("maxd"))
+    bg = (
+        g.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST((doc_id * {_NOVELTY_BANDS}) DIV (maxd + 1) AS INT)")
+            .alias("band"),
+            "gram",
+        )
+        .distinct()
+    )
+    fb = bg.groupBy("gram").agg(F.min("band").alias("band"))
+    db = bg.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_grams")
+    )
+    nb = fb.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("novel_grams")
+    )
+    return db.join(F.broadcast(nb), "band", "left").select(
+        "band",
+        "distinct_grams",
+        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+        F.round(
+            F.coalesce("novel_grams", F.lit(0)) * 1.0
+            / F.col("distinct_grams")
+            + F.lit(1e-9),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
@@ -3000,23 +3155,18 @@ def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
         .collect()
     ]
-    cands = []
-    for cid, c in seeds:
-        carr = F.array(*[F.lit(x) for x in c])
-        sq = F.aggregate(
-            F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        cands.append(
-            F.struct(
-                F.round(sq + F.lit(1e-9), 6).alias("dist"),
-                F.lit(cid).cast("bigint").alias("cid"),
-            )
-        )
+    # One SQL string, not k*dim Column-object literals (each F.lit is a
+    # py4j round-trip; at 8x64 they dominate the build time).
+    cands = ", ".join(
+        "struct(round(aggregate(zip_with(e, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+        + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
+        for cid, c in seeds
+    )
     # Lexicographic least(struct) == ORDER BY dist, cid LIMIT 1 — the
     # oracle's ROW_NUMBER tie-break, computed per-row with no shuffle.
-    j = ed.select(F.least(*cands).getField("cid").alias("cid"), "e")
+    j = ed.select(F.expr(f"least({cands})").getField("cid").alias("cid"), "e")
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     return (
         j.crossJoin(F.broadcast(dims))

