@@ -70,6 +70,7 @@ HEADLINE = (
     "kmeans_multi_iter",            # 3-round Lloyd loop
     "ann_mmr_diversified_rerank",   # MMR diversified serving shape
     "corpus_ngram_novelty_curve",   # per-band first-occurrence curve
+    "dedup_incremental_delta_index",  # delta-vs-index incremental dedup
 )
 
 

@@ -255,6 +255,64 @@ def _minhash_sql():
 _MH_HX_SQL, _MH_MINS_SQL = _minhash_sql()
 
 
+def _spark_bands(g):
+    """(doc_id, grams) → exploded LSH band rows (doc_id, band_id,
+    band_key). Base hash per shingle (one md5), then ONE fold over the
+    hash array carrying all K running minima (zip_with against the
+    literal (a,b) coefficient array). K separate array_min(transform)
+    columns cost 36x more at 8x scale: interpreted HOFs have no
+    common-subexpression elimination, so per-permutation passes
+    re-walk (and re-allocate) the array per column. Shared by the
+    batch pair join (dedup_minhash_lsh) and the incremental
+    delta-vs-index gate (dedup_incremental_delta_index)."""
+    hx = g.select(
+        "doc_id",
+        F.transform(
+            "grams",
+            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _MH_P,
+        ).alias("hx"),
+    )
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for a, b in _MH_AB
+        ]
+    )
+    sig_arr = F.aggregate(
+        F.col("hx"),
+        F.array_repeat(F.lit(_MH_P).cast("long"), _MINHASH_K),
+        lambda acc, x: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, (c.getField("a") * x + c.getField("b")) % _MH_P
+            ),
+        ),
+    )
+    sig = hx.select("doc_id", sig_arr.alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.element_at("sig", b * 3 + j + 1) for j in range(3)]
+            ).alias("band_key"),
+        )
+        for b in range(_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -285,54 +343,7 @@ _MH_HX_SQL, _MH_MINS_SQL = _minhash_sql()
 def dedup_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    # Base hash per shingle (one md5), then ONE fold over the hash
-    # array carrying all K running minima (zip_with against the literal
-    # (a,b) coefficient array). K separate array_min(transform(...))
-    # columns cost 36x more at 8x scale: interpreted HOFs have no
-    # common-subexpression elimination, so per-permutation passes
-    # re-walk (and re-allocate) the array per column.
-    hx = g.select(
-        "doc_id",
-        F.transform(
-            "grams",
-            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
-            .cast("long")
-            % _MH_P,
-        ).alias("hx"),
-    )
-    ab = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"),
-                F.lit(b).cast("long").alias("b"),
-            )
-            for a, b in _MH_AB
-        ]
-    )
-    sig_arr = F.aggregate(
-        F.col("hx"),
-        F.array_repeat(F.lit(_MH_P).cast("long"), _MINHASH_K),
-        lambda acc, x: F.zip_with(
-            acc,
-            ab,
-            lambda m, c: F.least(
-                m, (c.getField("a") * x + c.getField("b")) % _MH_P
-            ),
-        ),
-    )
-    sig = hx.select("doc_id", sig_arr.alias("sig")).persist()
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[F.element_at("sig", b * 3 + j + 1) for j in range(3)]
-            ).alias("band_key"),
-        )
-        for b in range(_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    bands = _spark_bands(g).persist()
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -347,6 +358,101 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.col("y.doc_id").alias("doc_id_b"),
         )
         .distinct()
+    )
+
+
+@register(
+    "dedup_incremental_delta_index",
+    oracle=f"""
+    WITH g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    t AS (SELECT max(doc_id) // 2 AS split FROM documents),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS delta_doc_id, x.doc_id AS index_doc_id
+        FROM bands n JOIN bands x
+          ON n.band_id = x.band_id AND n.band_key = x.band_key, t
+        WHERE n.doc_id >= t.split AND x.doc_id < t.split
+    ),
+    v AS (
+        SELECT c.delta_doc_id, c.index_doc_id,
+               len(list_filter(ga.grams,
+                   s -> list_contains(gb.grams, s))) AS inter,
+               len(ga.grams) + len(gb.grams)
+                   - len(list_filter(ga.grams,
+                         s -> list_contains(gb.grams, s))) AS uni
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.delta_doc_id
+        JOIN g gb ON gb.doc_id = c.index_doc_id
+    )
+    SELECT delta_doc_id, index_doc_id,
+           ROUND(inter * 1.0 / uni + 1e-9, 6) AS jaccard,
+           2 * inter >= uni AS is_dup
+    FROM v
+    """,
+    doc="INCREMENTAL near-dup gate: a new delta batch (doc_id above "
+        "the corpus midpoint stands in for 'this week's crawl') is "
+        "checked against the EXISTING corpus's LSH band index only — "
+        "delta x index candidates, never delta x delta or a full "
+        "re-dedup. This is how dedup stays affordable once the corpus "
+        "is 100 TB: the persisted band table is the index, the "
+        "delta's band keys equi-join into it, and exact Jaccard "
+        "verification (array intersect over shingle sets, "
+        "integer-exact >= 0.5 test) touches candidate pairs only. "
+        "Same signatures/banding as dedup_minhash_lsh, so one index "
+        "serves both the batch and incremental paths.",
+)
+def dedup_incremental_delta_index(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    bands = _spark_bands(g).persist()
+    split = d.agg(F.expr("max(doc_id) div 2").alias("split"))
+    n = bands.alias("n")
+    x = bands.alias("x")
+    cand = (
+        n.join(
+            x,
+            (F.col("n.band_id") == F.col("x.band_id"))
+            & (F.col("n.band_key") == F.col("x.band_key")),
+        )
+        .crossJoin(F.broadcast(split))
+        .where(
+            (F.col("n.doc_id") >= F.col("split"))
+            & (F.col("x.doc_id") < F.col("split"))
+        )
+        .select(
+            F.col("n.doc_id").alias("delta_doc_id"),
+            F.col("x.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("delta_doc_id"), F.col("grams").alias("ga")
+    )
+    gb = g.select(
+        F.col("doc_id").alias("index_doc_id"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size("ga") + F.size("gb") - inter
+    return (
+        cand.join(ga, "delta_doc_id")
+        .join(gb, "index_doc_id")
+        .select(
+            "delta_doc_id",
+            "index_doc_id",
+            F.round(inter * 1.0 / uni + F.lit(1e-9), 6).alias("jaccard"),
+            (2 * inter >= uni).alias("is_dup"),
+        )
     )
 
 
@@ -995,6 +1101,72 @@ def text_lang_confusion_matrix(spark, sf_dir):
         F.round(
             F.col("n") * 1.0 / F.sum("n").over(w_lang) + F.lit(1e-9), 6
         ).alias("share_of_lang"),
+    )
+
+
+_QCLS_BUCKETS = 64
+
+
+@register(
+    "text_quality_classifier_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    f AS (SELECT doc_id,
+                 ('0x' || substring(md5(tok), 1, 8))::BIGINT % {_QCLS_BUCKETS}
+                     AS b
+          FROM tok),
+    w AS (SELECT range AS b, ((range * 37 + 11) % 21 - 10) / 10.0 AS wt
+          FROM range({_QCLS_BUCKETS})),
+    s AS (SELECT doc_id, COUNT(*) AS n_tokens, AVG(wt) AS m
+          FROM f JOIN w USING (b) GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(-m)) + 1e-9, 6) AS quality_score,
+           ROUND(1.0 / (1.0 + exp(-m)) + 1e-9, 6) >= 0.5 AS keep
+    FROM s
+    """,
+    doc=f"Model-based quality filtering, the fasttext-classifier shape "
+        f"every production pretraining pipeline runs (heuristic rules "
+        f"catch boilerplate; a learned classifier catches fluent spam): "
+        f"hashing-trick features (md5 token hash mod {_QCLS_BUCKETS}) "
+        f"looked up in a broadcast weight table, mean feature weight "
+        f"through a sigmoid, keep at 0.5. The weights here are a "
+        f"deterministic stand-in (a real model just swaps the table "
+        f"contents — the plumbing is identical); the weight table is "
+        f"constant-bounded ({_QCLS_BUCKETS} rows) so its broadcast is "
+        f"legitimate. One scan, one per-doc agg shuffle — the filter "
+        f"costs the same as a COUNT at 100 TB.",
+)
+def text_quality_classifier_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    f = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+         % _QCLS_BUCKETS).alias("b"),
+    )
+    w = spark.range(_QCLS_BUCKETS).select(
+        F.col("id").alias("b"),
+        (((F.col("id") * 37 + 11) % 21 - 10) / 10.0).alias("wt"),
+    )
+    s = (
+        f.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("wt").alias("m"),
+        )
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-F.col("m"))) + F.lit(1e-9), 6)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
     )
 
 

@@ -155,6 +155,91 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLDOUT_K = 50
+
+
+@register(
+    "eval_holdout_stratified_exact",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
+               GROUP BY source),
+    t AS (SELECT SUM(n_s) AS n FROM c),
+    quota AS (
+        SELECT source, n_s,
+               ({_HOLDOUT_K} * n_s) // n AS base,
+               ({_HOLDOUT_K} * n_s) % n AS rem
+        FROM c, t
+    ),
+    short AS (SELECT {_HOLDOUT_K} - SUM(base) AS extra FROM quota),
+    k AS (
+        SELECT source,
+               base + CASE WHEN ROW_NUMBER() OVER (
+                               ORDER BY rem DESC, source) <= extra
+                           THEN 1 ELSE 0 END AS k_s
+        FROM quota, short
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                   AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(k.k_s AS BIGINT) AS source_quota
+    FROM ranked r JOIN k USING (source)
+    WHERE r.rk <= k.k_s
+    """,
+    doc=f"Exact-count stratified eval holdout: {_HOLDOUT_K} docs "
+        f"allocated across sources by the largest-remainder method "
+        f"(floor quotas, leftovers to the largest fractional parts, "
+        f"source-name tie-break) — eval sets must mirror the corpus "
+        f"mix EXACTLY, and rate-based sampling "
+        f"(sample_stratified_hash) can miss a small source entirely. "
+        f"Within each source the held-out docs are the md5-smallest "
+        f"doc_ids: deterministic, stable under reshards, and unbiased "
+        f"w.r.t. any content attribute. Allocation arithmetic runs on "
+        f"the |sources|-row count table (integer-exact, no float "
+        f"quotas); the corpus crosses one window shuffle on source.",
+)
+def eval_holdout_stratified_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t = c.agg(F.sum("n_s").alias("n"))
+    quota = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.expr(f"({_HOLDOUT_K} * n_s) DIV n").alias("base"),
+        (F.lit(_HOLDOUT_K) * F.col("n_s") % F.col("n")).alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(_HOLDOUT_K) - F.sum("base")).alias("extra")
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    k = quota.crossJoin(F.broadcast(short)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem) <= F.col("extra"), 1
+            ).otherwise(0)
+        ).cast("long").alias("k_s"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(k), "source")
+        .where(F.col("rk") <= F.col("k_s"))
+        .select("doc_id", "source", F.col("k_s").alias("source_quota"))
+    )
+
+
 # --------------------------------------------------------------------
 # Language-model statistics
 # --------------------------------------------------------------------
@@ -1165,6 +1250,123 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "neighbor_id",
             F.round(F.col("cos") + 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
+_TRUNC_DIM = 16
+
+
+@register(
+    "eval_matryoshka_trunc_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_ANN_NQ}),
+    gt AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                           e.vec_id) AS rk
+            FROM e, q WHERE e.vec_id != q.q_id
+        ) WHERE rk <= {_ANN_K}
+    ),
+    tr AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e.v[1:{_TRUNC_DIM}],
+                                                 q.qv[1:{_TRUNC_DIM}]) /
+                           (sqrt(list_dot_product(e.v[1:{_TRUNC_DIM}],
+                                                  e.v[1:{_TRUNC_DIM}])) *
+                            sqrt(list_dot_product(q.qv[1:{_TRUNC_DIM}],
+                                                  q.qv[1:{_TRUNC_DIM}])))
+                           DESC, e.vec_id) AS rk
+            FROM e, q WHERE e.vec_id != q.q_id
+        ) WHERE rk <= {_ANN_K}
+    )
+    SELECT gt.q_id,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS hits,
+           ROUND(COUNT(tr.neighbor_id) * 1.0 / {_ANN_K} + 1e-9, 6)
+               AS recall_trunc{_TRUNC_DIM}_at_{_ANN_K}
+    FROM gt LEFT JOIN tr USING (q_id, neighbor_id)
+    GROUP BY gt.q_id
+    """,
+    doc=f"Matryoshka / truncated-dimension eval: recall@{_ANN_K} of "
+        f"cosine search over only the first {_TRUNC_DIM} of 64 "
+        f"dimensions vs full-dimension ground truth — the measurement "
+        f"that decides whether the serving index can store {_TRUNC_DIM}-"
+        f"dim prefixes (4x less memory/bandwidth) and rerank the rest, "
+        f"the standard MRL deployment question. Same plan shape as "
+        f"eval_ann_recall (broadcast query set, raw-cosine ranking "
+        f"with id tie-breaks, {_ANN_NQ}x{_ANN_K}-row comparison); "
+        f"truncation is a zero-cost array slice in the map stage.",
+)
+def eval_matryoshka_trunc_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
+    tv = F.expr(f"slice(v, 1, {_TRUNC_DIM})")
+    tnrm = F.sqrt(dot_product(tv, tv))
+    en = e.select(
+        "vec_id",
+        F.transform("v", lambda x: x / nrm).alias("nv"),
+        F.transform(tv, lambda x: x / tnrm).alias("tnv"),
+    )
+    q = en.where(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nv").alias("qnv"),
+        F.col("tnv").alias("qtnv"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _ANN_K)
+            .select("q_id", "neighbor_id")
+        )
+
+    joined = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    gt = topk(
+        joined.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+        )
+    )
+    tr = topk(
+        joined.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_product(F.col("tnv"), F.col("qtnv")).alias("cos"),
+        )
+    )
+    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
+    return (
+        gt.join(
+            tr.withColumn("hit_flag", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit) * 1.0 / _ANN_K + 1e-9, 6).alias(
+                f"recall_trunc{_TRUNC_DIM}_at_{_ANN_K}"
+            ),
         )
     )
 

@@ -528,3 +528,86 @@ def streaming_centroid_assign_drain(
         F.col("best.dist").alias("dist"),
     )
     return _drain(out, "streaming_centroid_assign_tbl", "complete")
+
+
+def _documents_stream_dir(sf_dir: str) -> str:
+    """Same symlink-directory trick as the events/embeddings streams,
+    for the documents table."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{sf_dir}/docs".encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream_docs_{key}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    return d
+
+
+def _minhash_band_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _BANDS,
+        _MH_HX_SQL,
+        _MH_MINS_SQL,
+        _NGRAM_SQL,
+    )
+
+    return f"""
+    WITH g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    )
+    SELECT band_id, band_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS earliest_doc
+    FROM bands GROUP BY band_id, band_key
+    HAVING COUNT(*) >= 2
+    """
+
+
+@register(
+    "streaming_minhash_band_drain",
+    oracle=_minhash_band_oracle(),
+    doc="STREAMING content dedup front line: documents arrive as a "
+        "stream, each is shingled + minhashed + banded IN THE MAP "
+        "STAGE (the signature fold is stateless, so the whole LSH "
+        "front end runs on a stream unchanged — same _spark_bands as "
+        "the batch path), and a running per-band aggregate maintains "
+        "bucket occupancy (earliest doc + count). Buckets with >= 2 "
+        "docs are the live collision set a dedup gate routes to exact "
+        "verification; state is one row per occupied bucket, the "
+        "band-key shuffle is the only shuffle. Complete-mode drain "
+        "equals the batch GROUP BY the oracle states.",
+)
+def streaming_minhash_band_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _spark_bands,
+        _spark_grams,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    bands = _spark_bands(_spark_grams(stream))
+    agg = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("earliest_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return _drain(agg, "streaming_minhash_band_tbl", "complete")

@@ -170,6 +170,61 @@ def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
     assert total_novel == n_distinct
 
 
+def test_incremental_dedup_is_cross_split_subset_of_full_lsh(spark, sf_dir):
+    """Delta-vs-index candidates: every pair straddles the split (delta
+    side >= split, index side < split), is_dup implies jaccard >= 0.5,
+    and the pair set equals the full LSH pair set restricted to
+    cross-split pairs — the incremental path finds exactly what a full
+    re-dedup would find for the delta."""
+    out = all_queries()["dedup_incremental_delta_index"].fn(spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = docs.agg(F.expr("max(doc_id) div 2").alias("s")).first().s
+    for r in rows:
+        assert r.delta_doc_id >= split > r.index_doc_id
+        if r.is_dup:
+            assert r.jaccard >= 0.5 - 1e-9
+    full = all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    cross = {
+        (max(p.doc_id_a, p.doc_id_b), min(p.doc_id_a, p.doc_id_b))
+        for p in full
+        if (p.doc_id_a < split) != (p.doc_id_b < split)
+    }
+    assert {(r.delta_doc_id, r.index_doc_id) for r in rows} == cross
+
+
+def test_stratified_holdout_exact_allocation(spark, sf_dir):
+    """Exactly K docs total; per-source counts equal the emitted quota;
+    every quota is within 1 of the exact proportional share (the
+    largest-remainder guarantee)."""
+    out = all_queries()["eval_holdout_stratified_exact"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 50
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r.source: r.cnt for r in docs.groupBy("source")
+              .agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        quota = rs[0].source_quota
+        assert len(rs) == quota
+        exact = 50 * counts[src] / n
+        assert abs(quota - exact) < 1 + 1e-9
+    assert sum(len(rs) for rs in per_src.values()) == 50
+
+
+def test_quality_classifier_scores_every_doc(spark, sf_dir):
+    out = all_queries()["text_quality_classifier_score"].fn(spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 < r.quality_score < 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+
+
 def test_lsn_gap_empty_band_does_not_split_transaction(spark, tmp_path):
     """Regression: a band with NO rows (a <= _TX_GAP hole that happens
     to swallow a whole LSN band on a tiny range) must NOT fabricate a

@@ -333,6 +333,47 @@ def test_kafka_value_parse_contract(spark):
     assert len(via_kafka) == len(lines)
 
 
+def test_publish_table_catalog_roundtrip(spark, sf_dir):
+    """The BI/serving read path: publish a result to the session
+    catalog, read it back with plain SQL (what a JDBC client would
+    issue), replace it, drop it."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_poc_spark.sources.serving import (
+        publish_table,
+        start_thrift_server,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    publish_table(src, "nation_published")
+    try:
+        back = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(n_nationkey) AS s FROM nation_published"
+        ).first()
+        assert back.n == src.count()
+        assert back.s == src.agg(F.sum("n_nationkey")).first()[0]
+        # Republish is a full replace (CREATE OR REPLACE semantics).
+        publish_table(src.limit(3), "nation_published")
+        assert spark.table("nation_published").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_published")
+    # Thrift-server gate: the availability probe must answer cleanly,
+    # and when the class is absent start_thrift_server must raise the
+    # documented error (not a deep py4j failure). Starting a real
+    # server (port bind + service threads) is out of scope for tests.
+    from change_data_capture_poc_spark.sources.serving import (
+        thrift_server_available,
+    )
+
+    avail = thrift_server_available(spark)
+    assert isinstance(avail, bool)
+    if not avail:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            start_thrift_server(spark)
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many tiny files in, byte-identical rows out, file count sized
     from input bytes (>=1 even for tiny inputs)."""

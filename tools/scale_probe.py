@@ -98,12 +98,22 @@ PROBES = (
     "text_vocab_coverage_curve",
     "embedding_centroid_drift",
     "orders_open_backlog_curve",
+    "ann_mmr_diversified_rerank",
+    "text_lang_confusion_matrix",
+    "corpus_ngram_novelty_curve",
+    "text_quality_classifier_score",
+    "eval_holdout_stratified_exact",
+    "dedup_incremental_delta_index",
 )
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # Optional query names after N: probe only those and APPEND a
+    # section instead of rewriting the whole table.
+    subset = sys.argv[3:]
+    probes = tuple(subset) if subset else PROBES
     spark = get_spark(app_name="scale_probe")
     qs = all_queries()
 
@@ -161,7 +171,7 @@ def main() -> None:
             m.load_table = fn
 
     rows = []
-    for name in PROBES:
+    for name in probes:
         set_loader(real_load)
         base = min(run(name) for _ in range(3))
         set_loader(scaled_load)
@@ -171,6 +181,28 @@ def main() -> None:
         rows.append((name, round(base, 2), round(scaled, 2), round(ratio, 1)))
         print(rows[-1])
 
+    if subset:
+        with open("SCALING.md", "a") as f:
+            f.write(
+                f"\n## Incremental probe at {n}x (same protocol)\n\n"
+                f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+            )
+            for r in rows:
+                f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        print("appended subset to SCALING.md")
+        return
+
+    # Preserve appended sections (skew probe, broadcast audit, subset
+    # probes) across a full-table rewrite.
+    tail = ""
+    try:
+        with open("SCALING.md") as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i != -1:
+            tail = old[i:]
+    except OSError:
+        pass
     with open("SCALING.md", "w") as f:
         f.write(
             "# SCALING — empirical scale probe (tools/scale_probe.py)\n\n"
@@ -185,6 +217,7 @@ def main() -> None:
         )
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        f.write(tail)
     print("wrote SCALING.md")
 
 
