@@ -1254,6 +1254,78 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP = 100
+
+
+@register(
+    "corpus_importance_sampling",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS cc,
+                 COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS ct
+          FROM tok GROUP BY tok),
+    s AS (SELECT SUM(cc) AS nc, SUM(ct) AS nt, COUNT(*) AS v FROM c),
+    sc AS (SELECT t.doc_id,
+                  ln((c.ct + 1.0) / (s.nt + s.v))
+                      - ln((c.cc + 1.0) / (s.nc + s.v)) AS lr
+           FROM tok t JOIN c USING (tok), s),
+    p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ROUND(AVG(lr) + 1e-9, 6) AS importance
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, importance
+    FROM p ORDER BY importance DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+    doc=f"DSIR-style importance sampling: each doc scored by the mean "
+        f"per-token log-likelihood ratio between a TARGET domain's "
+        f"unigram model (here the '{_DSIR_TARGET_LANG}' slice stands "
+        f"in for 'high-quality domain') and the whole-corpus model, "
+        f"add-one smoothed over the shared vocabulary — the standard "
+        f"recipe for upsampling web data that 'looks like' a trusted "
+        f"domain without training a classifier. Both count tables "
+        f"come from ONE groupBy over the token stream (conditional "
+        f"sum for the target side); totals/vocab-size ride a 1-row "
+        f"broadcast; the vocab join back onto the token stream is "
+        f"AQE-decided (corpus-growing table, no forced hint). "
+        f"Deterministic top-{_DSIR_TOP} on the rounded score with "
+        f"doc_id tie-break.",
+)
+def corpus_importance_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    s = c.agg(
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v"))) - F.log(
+        (F.col("cc") + 1.0) / (F.col("nc") + F.col("v"))
+    )
+    sc = (
+        tok.join(c, "tok")
+        .crossJoin(F.broadcast(s))
+        .select("doc_id", lr.alias("lr"))
+    )
+    p = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lr") + F.lit(1e-9), 6).alias("importance"),
+    )
+    return p.orderBy(F.col("importance").desc(), "doc_id").limit(_DSIR_TOP)
+
+
 _TRUNC_DIM = 16
 
 

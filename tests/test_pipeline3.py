@@ -170,6 +170,22 @@ def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
     assert total_novel == n_distinct
 
 
+def test_importance_sampling_prefers_target_domain(spark, sf_dir):
+    """Top-100 selection is sorted desc on the rounded score, and the
+    target language is overrepresented vs its corpus share — the
+    selection has to actually pull toward the target domain."""
+    out = all_queries()["corpus_importance_sampling"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 100
+    imps = [r.importance for r in rows]
+    assert imps == sorted(imps, reverse=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    sel_en = sum(1 for r in rows if lang[r.doc_id] == "en") / len(rows)
+    corpus_en = sum(1 for v in lang.values() if v == "en") / len(lang)
+    assert sel_en > corpus_en
+
+
 def test_incremental_dedup_is_cross_split_subset_of_full_lsh(spark, sf_dir):
     """Delta-vs-index candidates: every pair straddles the split (delta
     side >= split, index side < split), is_dup implies jaccard >= 0.5,

@@ -104,6 +104,7 @@ PROBES = (
     "text_quality_classifier_score",
     "eval_holdout_stratified_exact",
     "dedup_incremental_delta_index",
+    "corpus_importance_sampling",
 )
 
 
