@@ -626,6 +626,121 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_bitemporal_grid_audit",
+    oracle="""
+    WITH s AS (SELECT min(event_id) AS lo, max(event_id) AS hi,
+                      min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+               FROM events WHERE user_id IS NOT NULL),
+    g AS (SELECT CAST(i.i AS INT) AS qi, CAST(j.j AS INT) AS qj,
+                 s.lo + ((s.hi - s.lo) * i.i) // 4 AS l,
+                 s.tlo + ((s.thi - s.tlo) * j.j) // 4 AS v,
+                 s.tlo AS tlo
+          FROM s, (SELECT unnest(range(1, 4)) AS i) i,
+                  (SELECT unnest(range(1, 4)) AS j) j),
+    k AS (SELECT g.qi, g.qj, g.l, g.v, e.user_id,
+                 arg_max(CASE WHEN e.event_type = 'error' THEN 'd'
+                              ELSE 'u' END,
+                         (epoch_us(e.ts) - g.tlo) * 4194304 + e.event_id)
+                     AS lop,
+                 arg_max(e.value,
+                         (epoch_us(e.ts) - g.tlo) * 4194304 + e.event_id)
+                     AS lval
+          FROM events e JOIN g
+            ON e.event_id <= g.l AND epoch_us(e.ts) <= g.v
+          WHERE e.user_id IS NOT NULL
+          GROUP BY g.qi, g.qj, g.l, g.v, e.user_id)
+    SELECT qi, qj, CAST(l AS BIGINT) AS tx_lsn,
+           CAST(v AS BIGINT) AS valid_ts_us,
+           CAST(COUNT(*) FILTER (WHERE lop <> 'd') AS BIGINT)
+               AS n_live_users,
+           ROUND(SUM(lval) FILTER (WHERE lop <> 'd') + 1e-9, 6)
+               AS total_value
+    FROM k GROUP BY qi, qj, l, v
+    """,
+    doc="BITEMPORAL audit grid: state reconstructed at every point of "
+        "a 3x3 (transaction-time LSN, valid-time timestamp) grid — "
+        "'what did we KNOW at LSN L about the state EFFECTIVE at time "
+        "V'. LSN and event time genuinely diverge in this log "
+        "(cdc_out_of_order_report counts the inversions), which is "
+        "exactly when the two axes answer different questions: "
+        "scd2_rebuild_at_lsn fixes only tx-time, "
+        "scd2_point_in_time_lookup only valid-time; an audit/"
+        "compliance replay needs both. Per cell, per key: latest by "
+        "(valid_ts, lsn) among rows known at L and effective by V, "
+        "deletes excluded from the live set. The 9-row grid "
+        "broadcasts onto one pass over the log; two keyed shuffles "
+        "(per-cell-per-key state, per-cell rollup).",
+)
+def scd2_bitemporal_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("tus"),
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+        )
+    )
+    s = ev.agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.min("tus").alias("tlo"),
+        F.max("tus").alias("thi"),
+    )
+    grid = (
+        s.select(
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("qi"),
+            "lo", "hi", "tlo", "thi",
+        )
+        .select(
+            "qi",
+            F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("qj"),
+            "lo", "hi", "tlo", "thi",
+        )
+        .select(
+            F.col("qi").cast("int").alias("qi"),
+            F.col("qj").cast("int").alias("qj"),
+            F.expr("lo + ((hi - lo) * qi) DIV 4").alias("l"),
+            F.expr("tlo + ((thi - tlo) * qj) DIV 4").alias("v"),
+            "tlo",
+        )
+    )
+    # Combined (valid_ts, lsn) ordering as one BIGINT (DuckDB's arg_max
+    # has no composite-key form): relative µs since the log's first
+    # event, shifted by 2^22 — safe while event_id < 4.2M and the log
+    # spans < ~70 years, both true at every tested SF.
+    ordk = (F.col("tus") - F.col("tlo")) * 4194304 + F.col("event_id")
+    k = (
+        ev.join(
+            F.broadcast(grid),
+            (F.col("event_id") <= F.col("l")) & (F.col("tus") <= F.col("v")),
+        )
+        .groupBy("qi", "qj", "l", "v", "user_id")
+        .agg(
+            F.max_by("op", ordk).alias("lop"),
+            F.max_by("value", ordk).alias("lval"),
+        )
+    )
+    live = F.col("lop") != "d"
+    return k.groupBy("qi", "qj", "l", "v").agg(
+        F.sum(F.when(live, 1).otherwise(0)).cast("long").alias("n_live_users"),
+        F.round(F.sum(F.when(live, F.col("lval"))) + F.lit(1e-9), 6)
+        .alias("total_value"),
+    ).select(
+        "qi",
+        "qj",
+        F.col("l").cast("long").alias("tx_lsn"),
+        F.col("v").cast("long").alias("valid_ts_us"),
+        "n_live_users",
+        "total_value",
+    )
+
+
 _TX_GAP = 20
 
 

@@ -170,6 +170,43 @@ def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
     assert total_novel == n_distinct
 
 
+def test_bitemporal_grid_cell_matches_direct_recompute(spark, sf_dir):
+    """The 3x3 grid has 9 cells with axes increasing, and the middle
+    cell equals an independent direct reconstruction (filter the cone,
+    latest by (valid_ts, lsn) per key, deletes excluded)."""
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    out = all_queries()["scd2_bitemporal_grid_audit"].fn(spark, sf_dir)
+    rows = {(r.qi, r.qj): r for r in out.collect()}
+    assert len(rows) == 9
+    assert rows[(1, 1)].tx_lsn < rows[(2, 1)].tx_lsn < rows[(3, 1)].tx_lsn
+    assert (rows[(1, 1)].valid_ts_us < rows[(1, 2)].valid_ts_us
+            < rows[(1, 3)].valid_ts_us)
+
+    cell = rows[(2, 2)]
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u")).alias("op"),
+    )
+    cone = ev.where(
+        (F.col("event_id") <= cell.tx_lsn)
+        & (F.col("tus") <= cell.valid_ts_us)
+    )
+    last = cone.groupBy("user_id").agg(
+        F.max_by("op", F.struct("tus", "event_id")).alias("lop"),
+        F.max_by("value", F.struct("tus", "event_id")).alias("lval"),
+    ).where(F.col("lop") != "d")
+    direct = last.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("lval") + F.lit(1e-9), 6).alias("s"),
+    ).first()
+    assert direct.n == cell.n_live_users
+    assert abs(direct.s - cell.total_value) < 1e-6
+
+
 def test_importance_sampling_prefers_target_domain(spark, sf_dir):
     """Top-100 selection is sorted desc on the rounded score, and the
     target language is overrepresented vs its corpus share — the

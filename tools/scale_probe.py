@@ -105,6 +105,7 @@ PROBES = (
     "eval_holdout_stratified_exact",
     "dedup_incremental_delta_index",
     "corpus_importance_sampling",
+    "scd2_bitemporal_grid_audit",
 )
 
 
