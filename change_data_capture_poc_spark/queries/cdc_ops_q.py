@@ -641,11 +641,11 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k AS (SELECT g.qi, g.qj, g.l, g.v, e.user_id,
                  arg_max(CASE WHEN e.event_type = 'error' THEN 'd'
                               ELSE 'u' END,
-                         (epoch_us(e.ts) - g.tlo) * 4194304 + e.event_id)
-                     AS lop,
+                         CAST(epoch_us(e.ts) - g.tlo AS HUGEINT)
+                             * 1099511627776 + e.event_id) AS lop,
                  arg_max(e.value,
-                         (epoch_us(e.ts) - g.tlo) * 4194304 + e.event_id)
-                     AS lval
+                         CAST(epoch_us(e.ts) - g.tlo AS HUGEINT)
+                             * 1099511627776 + e.event_id) AS lval
           FROM events e JOIN g
             ON e.event_id <= g.l AND epoch_us(e.ts) <= g.v
           WHERE e.user_id IS NOT NULL
@@ -710,11 +710,18 @@ def scd2_bitemporal_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tlo",
         )
     )
-    # Combined (valid_ts, lsn) ordering as one BIGINT (DuckDB's arg_max
-    # has no composite-key form): relative µs since the log's first
-    # event, shifted by 2^22 — safe while event_id < 4.2M and the log
-    # spans < ~70 years, both true at every tested SF.
-    ordk = (F.col("tus") - F.col("tlo")) * 4194304 + F.col("event_id")
+    # Combined (valid_ts, lsn) ordering as ONE wide integer (DuckDB's
+    # arg_max has no composite-key form): relative µs since the log's
+    # first event, shifted by 2^40, in DECIMAL(38,0) / HUGEINT so the
+    # arithmetic is exact on both engines — no BIGINT overflow for any
+    # realistic log span (µs-span * 2^40 stays < 1e38 for ~3000 years)
+    # and event_id headroom to 2^40 (covers the 8x probe's +10M id
+    # shifts).
+    ordk = (
+        (F.col("tus") - F.col("tlo")).cast("decimal(38,0)")
+        * F.lit(1099511627776)
+        + F.col("event_id")
+    )
     k = (
         ev.join(
             F.broadcast(grid),

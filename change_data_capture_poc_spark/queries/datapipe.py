@@ -415,20 +415,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_incremental_delta_index(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    bands = _spark_bands(g).persist()
     split = d.agg(F.expr("max(doc_id) div 2").alias("split"))
-    n = bands.alias("n")
-    x = bands.alias("x")
+    # The split filters must sit BELOW the band self-join (filtering
+    # the join output would still generate every delta x delta and
+    # index x index pair first — the full-re-dedup cost this operator
+    # exists to avoid). Attaching the broadcast scalar to the band
+    # table BEFORE the join lets each side prune to its half.
+    bands = _spark_bands(g).crossJoin(F.broadcast(split)).persist()
+    n = bands.where(F.col("doc_id") >= F.col("split")).alias("n")
+    x = bands.where(F.col("doc_id") < F.col("split")).alias("x")
     cand = (
         n.join(
             x,
             (F.col("n.band_id") == F.col("x.band_id"))
             & (F.col("n.band_key") == F.col("x.band_key")),
-        )
-        .crossJoin(F.broadcast(split))
-        .where(
-            (F.col("n.doc_id") >= F.col("split"))
-            & (F.col("x.doc_id") < F.col("split"))
         )
         .select(
             F.col("n.doc_id").alias("delta_doc_id"),

@@ -295,7 +295,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(F.split("text", " ")).alias("w1"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = tok.agg(F.countDistinct("w1").alias("vsz"))
+    # Vocab size = row count of c1, NOT a second countDistinct over the
+    # token stream: this branch's exchange canonicalizes equal to the
+    # scored branch's c1 exchange, so runtime ReuseExchange dedups the
+    # corpus-sized shuffle instead of running it twice.
+    v = c1.agg(F.count(F.lit(1)).alias("vsz"))
     # No broadcast hints on c1/c2: a bigram table grows near-linearly
     # with corpus size (NOT Zipf-bounded like a unigram vocab), so a
     # forced broadcast would OOM at the 100 TB design point. AQE picks

@@ -37,22 +37,31 @@ _EVENTS_RAW_SCHEMA_MICROS = (
 )
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str, suffix: str = "") -> str:
     """The file stream source only accepts DIRECTORIES (it watches them
-    for new files); the testdata table is a single parquet file, so
-    expose it through a per-SF symlink directory under /tmp — zero
-    copy, and exactly how a production stream would watch a landing
-    directory."""
+    for new files); each testdata table is a single parquet file, so
+    expose it through a per-(SF, table) symlink directory under /tmp —
+    zero copy, and exactly how a production stream would watch a
+    landing directory. Shared by the events/embeddings/documents
+    streams (suffix keeps their historical directory names). A
+    dangling symlink left by a deleted sf_dir is replaced, not
+    silently kept."""
     import hashlib
     import os
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_stream_{key}"
+    key = hashlib.md5(f"{sf_dir}{suffix}".encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream{suffix.replace('/', '_')}_{key}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    link = os.path.join(d, f"{table}.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_dir(sf_dir, "events")
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,18 +445,7 @@ def streaming_interval_join_drain(
 
 
 def _embeddings_stream_dir(sf_dir: str) -> str:
-    """Same symlink-directory trick as the events stream, for the
-    embeddings table."""
-    import hashlib
-    import os
-
-    key = hashlib.md5(f"{sf_dir}/emb".encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_stream_emb_{key}"
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
-    return d
+    return _stream_dir(sf_dir, "embeddings", "/emb")
 
 
 @register(
@@ -531,18 +529,7 @@ def streaming_centroid_assign_drain(
 
 
 def _documents_stream_dir(sf_dir: str) -> str:
-    """Same symlink-directory trick as the events/embeddings streams,
-    for the documents table."""
-    import hashlib
-    import os
-
-    key = hashlib.md5(f"{sf_dir}/docs".encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_stream_docs_{key}"
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
-    return d
+    return _stream_dir(sf_dir, "documents", "/docs")
 
 
 def _minhash_band_oracle() -> str:

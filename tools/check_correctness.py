@@ -75,9 +75,13 @@ def compare(spark_rows, duck_rows, cols):
 def main():
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_correctness.py [--json OUT] [sf_dir] [q ...]")
+            return 2
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}

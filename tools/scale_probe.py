@@ -184,14 +184,36 @@ def main() -> None:
         print(rows[-1])
 
     if subset:
-        with open("SCALING.md", "a") as f:
+        # Merge into a SINGLE incremental section (new rows win over
+        # prior subset runs; queries already in the main table keep the
+        # incremental row only until the next full rewrite drops the
+        # section).
+        import re
+
+        with open("SCALING.md") as f:
+            doc = f.read()
+        merged: dict[str, tuple] = {}
+        sec_re = re.compile(
+            r"\n## Incremental probe at \d+x \(same protocol\)\n\n"
+            r"\| query \|[^\n]*\n\|[-| ]*\n((?:\|[^\n]*\n)*)"
+        )
+        for m in sec_re.finditer(doc):
+            for line in m.group(1).strip().splitlines():
+                parts = [p.strip() for p in line.strip("|").split("|")]
+                if len(parts) == 4:
+                    merged[parts[0]] = tuple(parts)
+        doc = sec_re.sub("", doc)
+        for r in rows:
+            merged[r[0]] = tuple(str(x) for x in r)
+        with open("SCALING.md", "w") as f:
+            f.write(doc.rstrip("\n") + "\n")
             f.write(
                 f"\n## Incremental probe at {n}x (same protocol)\n\n"
                 f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
             )
-            for r in rows:
-                f.write("| " + " | ".join(str(x) for x in r) + " |\n")
-        print("appended subset to SCALING.md")
+            for name in sorted(merged):
+                f.write("| " + " | ".join(merged[name]) + " |\n")
+        print("merged subset into SCALING.md")
         return
 
     # Preserve appended sections (skew probe, broadcast audit, subset
