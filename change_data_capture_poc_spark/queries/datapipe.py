@@ -1338,6 +1338,77 @@ def multimodal_decode_dims(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_feature_bucket_dedup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(string_split(text, ''),
+                              ch -> unicode(ch) % 16) AS codes
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n,
+               list_transform(range(16),
+                   b -> len(list_filter(codes, c -> c = b))) AS hist
+        FROM c
+    ),
+    k AS (
+        SELECT doc_id,
+               array_to_string(list_transform(hist,
+                   c -> CAST((c * 32) // n AS VARCHAR)), '|') AS bucket_key
+        FROM h
+    )
+    SELECT bucket_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM k GROUP BY bucket_key HAVING COUNT(*) >= 2
+    """,
+    doc="Multimodal near-dup via the Arrow feature extractor: payloads "
+        "run through the REAL mapInPandas embedding stage (operators/"
+        "multimodal.extract_features_batch — numpy byte-histogram "
+        "features, the stand-in for a vision/audio encoder), features "
+        "are quantized to 32 levels with INTEGER arithmetic (exact "
+        "counts recovered from the normalized float32 vector — "
+        "round(f*n) is exact while n < 2^24, then (c*32) DIV n "
+        "matches the oracle bit-for-bit with no float thresholds), "
+        "and identical quantized signatures bucket together — the "
+        "perceptual-bucket dedup shape (pHash-style) for binary "
+        "payloads. One groupBy on the signature; the decode/embed "
+        "stage is the only Python, Arrow-batched.",
+)
+def multimodal_feature_bucket_dedup(spark, sf_dir):
+    from change_data_capture_poc_spark.operators.multimodal import (
+        extract_features_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feat = extract_features_batch(d, "payload", dim=16).select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        "features",
+    )
+    key = F.concat_ws(
+        "|",
+        F.expr(
+            "transform(features, f -> "
+            "CAST((CAST(round(f * n_bytes) AS BIGINT) * 32) "
+            "DIV n_bytes AS STRING))"
+        ),
+    )
+    return (
+        feat.select(key.alias("bucket_key"), "doc_id")
+        .groupBy("bucket_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 # --------------------------------------------------------------------
 # Training-data sampling & corpus statistics
 # --------------------------------------------------------------------

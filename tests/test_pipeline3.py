@@ -170,6 +170,29 @@ def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
     assert total_novel == n_distinct
 
 
+def test_multimodal_bucket_dedup_signature_is_exact(spark, sf_dir):
+    """Buckets exist (>=2 docs each), and the emitted bucket key of the
+    keeper doc matches a direct Python recomputation of the quantized
+    byte-histogram from the raw text — pinning the whole Arrow-UDF +
+    integer-quantization chain end to end."""
+    out = all_queries()["multimodal_feature_bucket_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.n_docs >= 2 for r in rows)
+    biggest = max(rows, key=lambda r: (r.n_docs, -r.keeper_doc))
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") == biggest.keeper_doc)
+        .first()
+        .text
+    )
+    b = text.encode("utf-8")
+    hist = [0] * 16
+    for byte in b:
+        hist[byte % 16] += 1
+    key = "|".join(str((c * 32) // len(b)) for c in hist)
+    assert key == biggest.bucket_key
+
+
 def test_bitemporal_grid_cell_matches_direct_recompute(spark, sf_dir):
     """The 3x3 grid has 9 cells with axes increasing, and the middle
     cell equals an independent direct reconstruction (filter the cone,

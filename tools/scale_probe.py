@@ -106,6 +106,7 @@ PROBES = (
     "dedup_incremental_delta_index",
     "corpus_importance_sampling",
     "scd2_bitemporal_grid_audit",
+    "multimodal_feature_bucket_dedup",
 )
 
 
