@@ -190,6 +190,47 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_funcs",
+    oracle="""
+    WITH m AS (
+        SELECT c_custkey,
+               MAP(['seg', 'nat'],
+                   [c_mktsegment, CAST(c_nationkey AS VARCHAR)]) AS mp
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(cardinality(mp) AS BIGINT) AS n_keys,
+           map_extract(mp, 'seg')[1] AS seg,
+           map_extract(mp, 'nat')[1] AS nat_str,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_str,
+           array_to_string(list_sort(map_values(mp)), ',') AS vals_str
+    FROM m
+    """,
+    doc="Map-type scalar surface: construction (create_map), "
+        "cardinality, key lookup (element_at), map_keys/map_values — "
+        "the complex-type family the CDC payloads' key/value property "
+        "bags map onto (Debezium source blocks are exactly this "
+        "shape). Keys/values emit as SORTED joined strings so the "
+        "cross-engine comparison is order-insensitive where map "
+        "iteration order is unspecified.",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mp = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nat"), F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.size(mp).cast("long").alias("n_keys"),
+        F.element_at(mp, F.lit("seg")).alias("seg"),
+        F.element_at(mp, F.lit("nat")).alias("nat_str"),
+        F.array_join(F.array_sort(F.map_keys(mp)), ",").alias("keys_str"),
+        F.array_join(F.array_sort(F.map_values(mp)), ",").alias("vals_str"),
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
