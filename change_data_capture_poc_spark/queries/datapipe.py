@@ -3481,6 +3481,85 @@ def dedup_survivors(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_impact_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comps AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    drops AS (SELECT doc_id FROM comps WHERE cluster_id <> doc_id),
+    tc AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+    b AS (SELECT source, COUNT(*) AS nb, SUM(n_tok) AS tb
+          FROM tc GROUP BY source),
+    a AS (SELECT source, COUNT(*) AS na, SUM(n_tok) AS ta
+          FROM tc WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+          GROUP BY source)
+    SELECT b.source,
+           CAST(nb AS BIGINT) AS docs_before,
+           CAST(tb AS BIGINT) AS tokens_before,
+           CAST(COALESCE(na, 0) AS BIGINT) AS docs_after,
+           CAST(COALESCE(ta, 0) AS BIGINT) AS tokens_after,
+           ROUND(COALESCE(ta, 0) * 1.0 / tb + 1e-9, 6) AS token_retention
+    FROM b LEFT JOIN a USING (source)
+    """,
+    doc="Dedup impact report: per-source docs/tokens before vs after "
+        "near-dup removal (non-representative cluster members "
+        "dropped) — the accountability readout shipped WITH a "
+        "deduplicated corpus: a source whose retention collapses is "
+        "either a mirror of another crawl or a template farm, and "
+        "the mix-rebalancing step needs the AFTER numbers, not the "
+        "raw ones. Reuses the LSH connected-components plan; the "
+        "report itself adds one anti-join and two per-source "
+        "dashboard aggregates.",
+)
+def dedup_impact_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    comps = dedup_cluster_label_propagation(spark, sf_dir)
+    drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    before = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+    )
+    after = (
+        tc.join(drops, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_after"),
+            F.sum("n_tok").cast("long").alias("tokens_after"),
+        )
+    )
+    return before.join(F.broadcast(after), "source", "left").select(
+        "source",
+        "docs_before",
+        "tokens_before",
+        F.coalesce("docs_after", F.lit(0)).cast("long").alias("docs_after"),
+        F.coalesce("tokens_after", F.lit(0)).cast("long")
+        .alias("tokens_after"),
+        F.round(
+            F.coalesce("tokens_after", F.lit(0)) * 1.0
+            / F.col("tokens_before")
+            + F.lit(1e-9),
+            6,
+        ).alias("token_retention"),
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "window", "scan")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 

@@ -1258,6 +1258,77 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEN_THRESHOLDS = (0, 50, 100, 200, 400, 800)
+
+
+@register(
+    "corpus_length_filter_tradeoff",
+    oracle=f"""
+    WITH base AS (
+        SELECT n_chars, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+                 CAST(COUNT(*) AS BIGINT) AS tot_docs FROM base)
+    SELECT th.th AS min_chars,
+           CAST(COUNT(*) FILTER (WHERE n_chars >= th.th) AS BIGINT)
+               AS docs_kept,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE n_chars >= th.th), 0)
+               AS BIGINT) AS tokens_kept,
+           ROUND(COALESCE(SUM(n_tok) FILTER (WHERE n_chars >= th.th), 0)
+                 * 1.0 / t.tot_tok + 1e-9, 6) AS token_share
+    FROM base, t,
+         (SELECT unnest([{", ".join(str(t) for t in _LEN_THRESHOLDS)}])
+             AS th) th
+    GROUP BY th.th, t.tot_tok
+    """,
+    doc=f"Length-filter tradeoff curve: docs and tokens retained at "
+        f"each candidate min-length threshold {_LEN_THRESHOLDS} — the "
+        f"knob-tuning readout run BEFORE committing a quality gate "
+        f"(every pipeline drops short docs; this shows exactly how "
+        f"much of the token budget each cutoff costs). One corpus "
+        f"scan: the {len(_LEN_THRESHOLDS)}-row threshold list "
+        f"broadcasts onto the stream and map-side partial aggregation "
+        f"collapses the amplified rows to {len(_LEN_THRESHOLDS)} "
+        f"partials per partition; output is a dashboard-sized curve.",
+)
+def corpus_length_filter_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "n_chars", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    tot = base.agg(
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.count(F.lit(1)).cast("long").alias("tot_docs"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _LEN_THRESHOLDS], "th bigint"
+    )
+    keep = F.col("n_chars") >= F.col("th")
+    return (
+        base.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("th", "tot_tok")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+            .alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            F.col("th").alias("min_chars"),
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept") * 1.0 / F.col("tot_tok") + F.lit(1e-9),
+                6,
+            ).alias("token_share"),
+        )
+    )
+
+
 _DSIR_TARGET_LANG = "en"
 _DSIR_TOP = 100
 

@@ -170,6 +170,32 @@ def test_ngram_novelty_first_band_is_all_novel(spark, sf_dir):
     assert total_novel == n_distinct
 
 
+def test_length_tradeoff_curve_is_monotone(spark, sf_dir):
+    """Higher threshold never keeps more: docs/tokens/share all
+    non-increasing in min_chars, and threshold 0 keeps everything."""
+    out = all_queries()["corpus_length_filter_tradeoff"].fn(spark, sf_dir)
+    rows = sorted(out.collect(), key=lambda r: r.min_chars)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows[0].min_chars == 0 and rows[0].docs_kept == docs.count()
+    assert abs(rows[0].token_share - 1.0) < 1e-5
+    for a, b in zip(rows, rows[1:]):
+        assert b.docs_kept <= a.docs_kept
+        assert b.tokens_kept <= a.tokens_kept
+
+
+def test_dedup_impact_totals_match_survivors(spark, sf_dir):
+    """Per-source afters sum to the survivor count; retention <= 1 and
+    before >= after everywhere."""
+    out = all_queries()["dedup_impact_by_source"].fn(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert r.docs_after <= r.docs_before
+        assert r.tokens_after <= r.tokens_before
+        assert r.token_retention <= 1.0 + 1e-6
+    survivors = all_queries()["dedup_survivors"].fn(spark, sf_dir).count()
+    assert sum(r.docs_after for r in rows) == survivors
+
+
 def test_multimodal_bucket_dedup_signature_is_exact(spark, sf_dir):
     """Buckets exist (>=2 docs each), and the emitted bucket key of the
     keeper doc matches a direct Python recomputation of the quantized
