@@ -405,3 +405,50 @@ def test_net_effect_equals_replay(spark, ops):
     assert len(out) == sum(
         1 for f, l, *_ in expected.values() if not (f == "c" and l == "d")
     )
+
+
+_lsn_ids = st.lists(
+    st.integers(0, 2000), min_size=5, max_size=60, unique=True
+)
+
+
+@given(ids=_lsn_ids)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsn_gap_transactions_match_model(spark, ids):
+    """The banded-prefix-sum transaction inference must equal the naive
+    global model (sort ids, split where the gap exceeds _TX_GAP) for
+    ANY id pattern — including the adversarial tiny/sparse ranges where
+    whole bands go empty (the round-4 stitch regression)."""
+    import datetime as dt
+    import tempfile
+
+    from change_data_capture_poc_spark.queries.cdc_ops_q import _TX_GAP
+    from change_data_capture_poc_spark.registry import all_queries
+
+    sids = sorted(ids)
+    groups, cur = [], [sids[0]]
+    for a, b in zip(sids, sids[1:]):
+        if b - a > _TX_GAP:
+            groups.append(cur)
+            cur = [b]
+        else:
+            cur.append(b)
+    groups.append(cur)
+    expected = {
+        (g[0], g[-1], len(g), len({i % 5 for i in g})) for g in groups
+    }
+
+    ts = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, ts, i % 5, "purchase", 1.0, "{}") for i in sids],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="lsn_prop_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = all_queries()["cdc_lsn_gap_transactions"].fn(spark, d).collect()
+    got = {
+        (r.first_lsn, r.last_lsn, r.n_changes, r.n_keys) for r in out
+    }
+    assert got == expected
