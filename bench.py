@@ -1,7 +1,14 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line LAST on stdout: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The driver captures only a bounded tail of stdout, so the final line is
+kept deliberately small (the 54-query detail dict blew past the capture
+window in rounds 3-4 and recorded as ``parsed: null``). The full
+per-query timing + variance record is written to ``BENCH_DETAIL.json``
+next to this file (committed per round), and the final stdout line
+carries the headline metric plus a pointer to that file.
 
 Each query is materialized via a cheap full-evaluation action
 (``count`` on the final plan would let Catalyst prune work, so we use
@@ -170,14 +177,45 @@ def main() -> None:
                     f"{r['baseline']}s baseline ({r['ratio']}x)",
                     file=sys.stderr,
                 )
-    print(json.dumps(out))
+
+    # Full record -> side file (committed); compact line -> stdout LAST.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {n: timings[n] for n in HEADLINE[:5] if n in timings},
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "vs_baseline" in out:
+        compact["vs_baseline"] = out["vs_baseline"]
+    if "regressed" in out:
+        compact["regressed_count"] = len(out["regressed"])
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _load_baseline() -> dict | None:
-    """Newest BENCH_r{N}.json's parsed metrics, if any."""
+    """Per-query baseline: the committed BENCH_DETAIL.json from the
+    previous round (read before this run overwrites it), falling back
+    to the newest driver BENCH_r{N}.json that parsed."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    detail = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(detail) as f:
+            rec = json.load(f)
+        if isinstance(rec, dict) and rec.get("queries"):
+            return rec
+    except (OSError, ValueError):
+        pass
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(paths):
         try:

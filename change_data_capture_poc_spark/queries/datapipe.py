@@ -1342,16 +1342,30 @@ def multimodal_decode_dims(spark, sf_dir):
     "multimodal_feature_bucket_dedup",
     oracle="""
     WITH c AS (
-        SELECT doc_id, length(text) AS n,
-               list_transform(string_split(text, ''),
-                              ch -> unicode(ch) % 16) AS codes
+        -- UTF-8 BYTE histogram, same as the Spark/numpy extractor:
+        -- byte mod 16 is the low nibble, i.e. the 2nd hex digit of each
+        -- byte in hex(encode(text)). Codepoint-based histograms only
+        -- agree with the byte path on pure-ASCII text, so the oracle
+        -- works on bytes too. Empty payloads are excluded on BOTH
+        -- engines (division by n=0 otherwise).
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               hex(encode(text)) AS hx
         FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    co AS (
+        SELECT doc_id, n,
+               list_transform(range(n),
+                   i -> strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*i+2 AS INT), 1)) - 1
+               ) AS codes
+        FROM c
     ),
     h AS (
         SELECT doc_id, n,
                list_transform(range(16),
                    b -> len(list_filter(codes, c -> c = b))) AS hist
-        FROM c
+        FROM co
     ),
     k AS (
         SELECT doc_id,
@@ -1385,10 +1399,14 @@ def multimodal_feature_bucket_dedup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    feat = extract_features_batch(d, "payload", dim=16).select(
-        "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
-        "features",
+    feat = (
+        extract_features_batch(d, "payload", dim=16)
+        .select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            "features",
+        )
+        .where(F.col("n_bytes") > 0)
     )
     key = F.concat_ws(
         "|",

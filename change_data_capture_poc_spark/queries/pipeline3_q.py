@@ -1411,12 +1411,16 @@ _TRUNC_DIM = 16
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_ANN_NQ}),
     gt AS (
         SELECT q_id, neighbor_id FROM (
+            -- cosine rounded at 1e-6 BEFORE ranking on both engines:
+            -- Spark normalizes then dots, DuckDB dots then divides by
+            -- norms — epsilon-close scores must not flip rank across
+            -- the two float paths (repo float-sign portability rule).
             SELECT q.q_id, e.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_dot_product(e.v, q.qv) /
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
                            e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
@@ -1426,12 +1430,12 @@ _TRUNC_DIM = 16
             SELECT q.q_id, e.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_dot_product(e.v[1:{_TRUNC_DIM}],
+                       ORDER BY ROUND(list_dot_product(e.v[1:{_TRUNC_DIM}],
                                                  q.qv[1:{_TRUNC_DIM}]) /
                            (sqrt(list_dot_product(e.v[1:{_TRUNC_DIM}],
                                                   e.v[1:{_TRUNC_DIM}])) *
                             sqrt(list_dot_product(q.qv[1:{_TRUNC_DIM}],
-                                                  q.qv[1:{_TRUNC_DIM}])))
+                                                  q.qv[1:{_TRUNC_DIM}]))), 6)
                            DESC, e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
@@ -1487,18 +1491,23 @@ def eval_matryoshka_trunc_recall(
         )
 
     joined = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    # Ranking cosine rounded at 1e-6 — mirrors the oracle's ROUND so
+    # different float paths can't flip epsilon-close ranks (same rule
+    # as MMR/kmeans).
     gt = topk(
         joined.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
         )
     )
     tr = topk(
         joined.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot_product(F.col("tnv"), F.col("qtnv")).alias("cos"),
+            F.round(dot_product(F.col("tnv"), F.col("qtnv")), 6).alias(
+                "cos"
+            ),
         )
     )
     hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)

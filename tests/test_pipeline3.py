@@ -219,6 +219,45 @@ def test_multimodal_bucket_dedup_signature_is_exact(spark, sf_dir):
     assert key == biggest.bucket_key
 
 
+def test_multimodal_bucket_dedup_oracle_agrees_on_non_ascii(
+    spark, tmp_path
+):
+    """The driver fixtures are pure ASCII, where codepoint and byte
+    histograms coincide — so run the Spark path AND the DuckDB oracle
+    on a corpus with multi-byte UTF-8 (and an empty doc) and require
+    identical buckets. Guards the byte-vs-codepoint oracle pairing and
+    the n=0 division guard on both engines."""
+    import duckdb
+
+    texts = [
+        (1, "héllo wörld ñ"),          # latin-1 accents, 2-byte UTF-8
+        (2, "héllo wörld ñ"),          # exact dup of 1
+        (3, "日本語テキスト"),            # CJK, 3-byte UTF-8
+        (4, "日本語テキスト"),            # exact dup of 3
+        (5, ""),                        # empty: excluded on both sides
+        (6, "plain ascii text"),        # singleton: filtered by HAVING
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    q = all_queries()["multimodal_feature_bucket_dedup"]
+    got = sorted(
+        (r.bucket_key, r.n_docs, r.keeper_doc)
+        for r in q.fn(spark, sf_dir).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert len(got) == 2 and all(n == 2 for _, n, _ in got)
+
+
 def test_bitemporal_grid_cell_matches_direct_recompute(spark, sf_dir):
     """The 3x3 grid has 9 cells with axes increasing, and the middle
     cell equals an independent direct reconstruction (filter the cone,

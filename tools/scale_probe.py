@@ -117,8 +117,14 @@ def main() -> None:
     # section instead of rewriting the whole table.
     subset = sys.argv[3:]
     probes = tuple(subset) if subset else PROBES
-    spark = get_spark(app_name="scale_probe")
     qs = all_queries()
+    unknown = [p for p in probes if p not in qs]
+    if unknown:
+        sys.exit(
+            f"unknown query name(s) {unknown}; "
+            "valid names come from registry.all_queries()"
+        )
+    spark = get_spark(app_name="scale_probe")
 
     real_load = tables_mod.load_table
 
@@ -203,6 +209,12 @@ def main() -> None:
                 parts = [p.strip() for p in line.strip("|").split("|")]
                 if len(parts) == 4:
                     merged[parts[0]] = tuple(parts)
+                elif line.strip():
+                    print(
+                        "WARN scale_probe merge: dropping malformed "
+                        f"incremental-section row: {line.strip()!r}",
+                        file=sys.stderr,
+                    )
         doc = sec_re.sub("", doc)
         for r in rows:
             merged[r[0]] = tuple(str(x) for x in r)
