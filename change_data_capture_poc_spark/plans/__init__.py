@@ -5,4 +5,5 @@ from change_data_capture_poc_spark.plans.inspect import (  # noqa: F401
     pushed_filters,
     read_schemas,
     shuffle_count,
+    window_count,
 )

@@ -45,6 +45,19 @@ def broadcast_count(df: DataFrame) -> int:
     return sum(1 for op in plan_ops(df) if op == "BroadcastExchange")
 
 
+def window_count(df: DataFrame) -> int:
+    """Window execs in the plan. Each one fully sorts every row of its
+    partition inside one task — fine over constant-bounded frames
+    (quota tables, band summaries), a scale hazard over corpus-sized
+    input keyed by a constant-cardinality column (the shape
+    operators/topk.grouped_topk replaces)."""
+    return sum(
+        1
+        for op in plan_ops(df)
+        if op == "Window" or op.startswith("WindowGroupLimit")
+    )
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists for each scan, in plan order."""
     return [

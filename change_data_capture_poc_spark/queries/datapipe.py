@@ -544,13 +544,18 @@ _TOP_K = 5
         "corpus — one scan, no corpus shuffle; the baseline ANN. "
         "Vectors are unit-normalized once per row behind a projection "
         "boundary, so each pair costs one dot fold instead of "
-        "dot + two norms (3x fewer interpreted HOF steps).",
+        "dot + two norms (3x fewer interpreted HOF steps). The per-"
+        "query cut is two-phase grouped top-k (operators/topk.py): a "
+        "window over 8 constant q_ids would funnel every scored row "
+        "into 8 hot reducer sorts; the partial heap keeps the only "
+        "exchange at k x n_partitions rows.",
 )
 def ann_cosine_bruteforce(spark, sf_dir):
     from change_data_capture_poc_spark.functions.vectors import (
         dot_product,
         l2_norm,
     )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -574,10 +579,9 @@ def ann_cosine_bruteforce(spark, sf_dir):
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= _TOP_K
-    ).drop("rn")
+    return grouped_topk(
+        scored, ["q_id"], [("cosine", False), ("neighbor_id", True)], _TOP_K
+    )
 
 
 @register(
@@ -622,10 +626,11 @@ def ann_cosine_ivf_partition(spark, sf_dir):
             F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= _TOP_K
-    ).drop("rn")
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        scored, ["q_id"], [("cosine", False), ("neighbor_id", True)], _TOP_K
+    )
 
 
 @register(
@@ -897,13 +902,10 @@ def ann_cosine_lsh_hyperplane(spark, sf_dir):
             F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _TOP_K)
-        .drop("rn")
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        scored, ["q_id"], [("cosine", False), ("neighbor_id", True)], _TOP_K
     )
 
 

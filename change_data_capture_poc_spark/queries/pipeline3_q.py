@@ -227,10 +227,22 @@ def eval_holdout_stratified_exact(
             ).otherwise(0)
         ).cast("long").alias("k_s"),
     )
-    w_src = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    # Keep the md5-smallest k_s docs per source WITHOUT ranking the
+    # whole corpus in one window task per source: two-phase grouped
+    # top-k (operators/topk.py) cuts each source to the overall cap
+    # K >= k_s map-side, then the exact rank runs over the <= K x
+    # |sources| survivors — constant-sized, not corpus-sized.
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    keyed = d.select(
+        "doc_id", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    ranked = d.select(
+    survivors = grouped_topk(
+        keyed, ["source"], [("h", True), ("doc_id", True)], _HOLDOUT_K
+    )
+    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = survivors.select(
         "doc_id", "source", F.row_number().over(w_src).alias("rk")
     )
     return (
@@ -437,7 +449,6 @@ _ANN_NQ = 8
 )
 def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.functions.vectors import dot_product
-    from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -451,16 +462,13 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     def topk(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= _ANN_K)
-            .select("q_id", "neighbor_id")
-        )
+        return grouped_topk(
+            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
+            _ANN_K,
+        ).select("q_id", "neighbor_id")
 
     gt = topk(
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
@@ -1229,23 +1237,27 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    stage1 = (
+    # Stage-1 probe cut over the corpus-growing candidate set runs as
+    # two-phase grouped top-k (operators/topk.py); the final rerank cut
+    # keeps its window — its input is already <= probe_k rows per query.
+    stage1 = grouped_topk(
         en.join(
             F.broadcast(q),
             (F.col("label") == F.col("q_label"))
             & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select(
+        ).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _RERANK_PROBE_K)
-        .drop("rk")
+        ),
+        ["q_id"],
+        [("cos", False), ("neighbor_id", True)],
+        _RERANK_PROBE_K,
     )
     return (
         stage1.withColumn("rk", F.row_number().over(w))
@@ -1461,7 +1473,6 @@ def eval_matryoshka_trunc_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from change_data_capture_poc_spark.functions.vectors import dot_product
-    from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1479,16 +1490,13 @@ def eval_matryoshka_trunc_recall(
         F.col("nv").alias("qnv"),
         F.col("tnv").alias("qtnv"),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     def topk(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= _ANN_K)
-            .select("q_id", "neighbor_id")
-        )
+        return grouped_topk(
+            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
+            _ANN_K,
+        ).select("q_id", "neighbor_id")
 
     joined = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     # Ranking cosine rounded at 1e-6 — mirrors the oracle's ROUND so
@@ -1620,26 +1628,29 @@ def ann_mmr_diversified_rerank(
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
-    w_cos = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("nid")
-    )
-    # Pool: the only corpus-touching stage. Persisted because the three
-    # unrolled greedy steps each re-reference it (8 x pool_k rows;
+    # Pool: the only corpus-touching stage. The per-query cut is
+    # two-phase grouped top-k (operators/topk.py) — a window over 8
+    # constant q_ids would sort every label-matched candidate in 8 hot
+    # reducers; the partial heap bounds the exchange at
+    # pool_k x n_partitions rows. Persisted because the three unrolled
+    # greedy steps each re-reference it (8 x pool_k rows;
     # bench/correctness harnesses clearCache between queries).
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    scored = en.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("nid"),
+        "nv",
+        dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+    )
     pool = (
-        en.join(
-            F.broadcast(q),
-            (F.col("label") == F.col("q_label"))
-            & (F.col("vec_id") != F.col("q_id")),
+        grouped_topk(
+            scored, ["q_id"], [("cos", False), ("nid", True)], _MMR_POOL_K
         )
-        .select(
-            "q_id",
-            F.col("vec_id").alias("nid"),
-            "nv",
-            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
-        )
-        .withColumn("rk", F.row_number().over(w_cos))
-        .where(F.col("rk") <= _MMR_POOL_K)
         .select(
             "q_id", "nid", "nv",
             F.round(F.col("cos") + 1e-9, 6).alias("cos6"),

@@ -1,0 +1,125 @@
+"""grouped_topk (operators/topk.py) — the two-phase partial top-k that
+replaces constant-cardinality window rankings in the ANN/holdout paths.
+
+Pin: row-identical to the row_number() window form under a total
+ordering, across multiple input partitions, for k under / at / over
+group size, for desc-numeric and asc-string sort keys, and with
+pass-through payload columns (arrays included).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+
+def _window_topk(df, keys, order_cols, k):
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def test_grouped_topk_equals_window_form(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(5), round(rng.random(), 6))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, grp int, score double"
+    ).repartition(13)
+
+    for k in (1, 7, 500):
+        got = sorted(
+            map(
+                tuple,
+                grouped_topk(
+                    df, ["grp"], [("score", False), ("id", True)], k
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                _window_topk(
+                    df, ["grp"], [F.col("score").desc(), F.col("id")], k
+                ).collect(),
+            )
+        )
+        assert got == want, f"k={k}"
+
+
+def test_grouped_topk_string_ascending_and_payload(spark):
+    """The holdout shape: ascending md5-string sort key, payload
+    columns (including an array) carried through untouched."""
+    rows = [
+        (
+            i,
+            f"src{i % 3}",
+            hashlib.md5(str(i).encode()).hexdigest(),
+            [float(i), float(i) * 0.5],
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, src string, h string, vec array<double>"
+    ).repartition(7)
+    got = grouped_topk(
+        df, ["src"], [("h", True), ("id", True)], 4
+    ).collect()
+    assert len(got) == 12
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        expect = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (r[2], r[0])
+        )[:4]
+        assert sorted((r.h, r.id) for r in rs) == [
+            (e[2], e[0]) for e in expect
+        ]
+        for r in rs:
+            assert r.vec == [float(r.id), float(r.id) * 0.5]
+
+
+def test_grouped_topk_multi_key_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 0.5)], "id long, s string, g int, v double"
+    )
+    out = grouped_topk(
+        df, ["s", "g"], [("v", False), ("id", True)], 3
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "a", 1, 0.5)]
+    empty = df.where(F.col("id") < 0)
+    assert (
+        grouped_topk(
+            empty, ["s", "g"], [("v", False), ("id", True)], 3
+        ).count()
+        == 0
+    )
+
+
+def test_grouped_topk_plan_has_no_window(spark):
+    """The point of the rewrite: the physical plan must contain no
+    Window exec — the cut is a partial Arrow stage plus one bounded
+    aggregation."""
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i % 17)) for i in range(100)],
+        "id long, grp int, score double",
+    )
+    plan = (
+        grouped_topk(df, ["grp"], [("score", False), ("id", True)], 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
