@@ -33,11 +33,20 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from change_data_capture_poc_spark.cdc.envelope import decode_envelope
+from change_data_capture_poc_spark.cdc.merge_backend import (
+    get_merge_backend,
+)
 from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
 
 
 class IncrementalScd2:
-    """State lives in two parquet tables, not in memory."""
+    """State lives in two parquet tables, not in memory.
+
+    Durable writes go through the pluggable merge backend
+    (cdc/merge_backend.py): replace-partitions semantics, parquet
+    dynamic overwrite by default, Delta's transactional replaceWhere
+    when the deployment selects it via $SPARK_GRAFT_MERGE_BACKEND.
+    """
 
     def __init__(
         self,
@@ -46,12 +55,14 @@ class IncrementalScd2:
         scd2_path: str,
         attr_fields: list[str] | None = None,
         n_buckets: int = 16,
+        merge_backend=None,
     ) -> None:
         self.spark = spark
         self.log_path = log_path
         self.scd2_path = scd2_path
         self.attr_fields = attr_fields
         self.n_buckets = n_buckets
+        self.backend = merge_backend or get_merge_backend()
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -73,14 +84,12 @@ class IncrementalScd2:
         log = self.spark.read.parquet(self.log_path).where(
             F.col("bucket").isin(touched)
         )
-        # Partition-overwrite only the touched buckets (Spark's
-        # replacement for UPDATE-in-place, SURVEY.md D2). Scoped to this
-        # write — setting it session-wide would silently change
-        # overwrite semantics for every other write in the session.
+        # Replace only the touched buckets (Spark's replacement for
+        # UPDATE-in-place, SURVEY.md D2) via the merge backend seam.
         out = scd2_recompute(log.drop("bucket"), self.attr_fields)
-        self._bucket(out).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(self.scd2_path)
+        self.backend.apply(
+            self.spark, self.scd2_path, self._bucket(out), "bucket"
+        )
 
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.scd2_path).drop("bucket")
@@ -97,9 +106,9 @@ class IncrementalScd2:
         path."""
         log = self.spark.read.parquet(self.log_path)
         out = scd2_recompute(log.drop("bucket"), self.attr_fields)
-        self._bucket(out).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(self.scd2_path)
+        self.backend.apply(
+            self.spark, self.scd2_path, self._bucket(out), "bucket"
+        )
 
 
 def run_incremental_scd2(

@@ -1,0 +1,113 @@
+"""Merge-backend seam (cdc/merge_backend.py) — the contract every
+backend must meet so the SCD2 stream stays exactly-once replayable:
+replace exactly the partitions present in the applied rows, leave the
+rest untouched, and be idempotent under re-apply. Tombstone rows
+(delete after-images with NULL attributes — SURVEY.md T3,
+init_duckdb.sh:56-68 parity) must survive both."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.cdc.merge_backend import (
+    DeltaReplaceWhereBackend,
+    ParquetOverwriteBackend,
+    get_merge_backend,
+)
+
+
+def _read(spark, path):
+    return {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("bucket", "id", "val")
+        .collect()
+    }
+
+
+def test_parquet_backend_replaces_only_touched_partitions(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    be = ParquetOverwriteBackend()
+    base = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (2, 4, "d")],
+        "bucket int, id int, val string",
+    )
+    be.apply(spark, path, base, "bucket")
+    assert _read(spark, path) == {
+        (0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (2, 4, "d")
+    }
+
+    # Replace bucket 0 only; buckets 1 and 2 must be untouched.
+    repl = spark.createDataFrame(
+        [(0, 1, "a2")], "bucket int, id int, val string"
+    )
+    be.apply(spark, path, repl, "bucket")
+    after = _read(spark, path)
+    assert after == {(0, 1, "a2"), (1, 3, "c"), (2, 4, "d")}
+
+    # Idempotence: re-applying the same rows changes nothing.
+    be.apply(spark, path, repl, "bucket")
+    assert _read(spark, path) == after
+
+
+def test_backend_preserves_delete_tombstones(spark, tmp_path):
+    """A delete's version row carries NULL attributes and stays open;
+    the storage layer must round-trip it bit-for-bit through apply and
+    re-apply (idempotent replay after a checkpoint restart)."""
+    path = str(tmp_path / "scd2")
+    be = get_merge_backend()  # env default = parquet in this sandbox
+    rows = spark.createDataFrame(
+        [
+            (0, 10, "widget", "u", False),
+            (0, 10, None, "d", True),  # tombstone: NULL attrs, open
+        ],
+        "bucket int, id int, name string, operation_type string, "
+        "is_open boolean",
+    )
+    be.apply(spark, path, rows, "bucket")
+    be.apply(spark, path, rows, "bucket")  # replay
+    got = spark.read.parquet(path)
+    tomb = got.where(F.col("operation_type") == "d").collect()
+    assert len(tomb) == 1
+    assert tomb[0].name is None and tomb[0].is_open
+    assert got.count() == 2
+
+
+def test_backend_selection_and_env_gate(monkeypatch):
+    assert isinstance(get_merge_backend(), ParquetOverwriteBackend)
+    assert isinstance(get_merge_backend("parquet"), ParquetOverwriteBackend)
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_BACKEND", "parquet")
+    assert get_merge_backend().name == "parquet"
+    with pytest.raises(KeyError):
+        get_merge_backend("iceberg-typo")
+    # delta-spark is absent in this container: the Delta backend is an
+    # env-gated deployment tier and must fail loudly, not silently.
+    with pytest.raises(ImportError):
+        DeltaReplaceWhereBackend()
+
+
+def test_incremental_scd2_uses_backend(spark, tmp_path):
+    """The stream materializer routes every durable write through the
+    seam — swap in a recording backend and watch it being called."""
+    from change_data_capture_poc_spark.streaming.scd2_stream import (
+        IncrementalScd2,
+    )
+
+    calls = []
+
+    class Recording(ParquetOverwriteBackend):
+        def apply(self, spark_, path, rows, partition_col="bucket"):
+            calls.append(path)
+            super().apply(spark_, path, rows, partition_col)
+
+    inc = IncrementalScd2(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "scd2"),
+        merge_backend=Recording(),
+    )
+    assert isinstance(inc.backend, Recording)
