@@ -7,9 +7,11 @@ The reference has two formulations: full recompute over the whole log
 the one that stays exact:
 
 per micro-batch:
-  1. append the batch's decoded events to a columnar compacted log,
-     hash-bucketed by key (``bucket = pmod(hash(id), n)``) so step 2
-     prunes IO;
+  1. land the batch's decoded events in a columnar compacted log,
+     partitioned by (batch_id, bucket) with ``bucket = pmod(hash(id),
+     n)`` — batch_id makes a foreachBatch REPLAY overwrite its own
+     partitions instead of appending duplicates (exactly-once on
+     at-least-once delivery), bucket lets step 2 prune IO;
   2. recompute SCD2 for ONLY the buckets containing touched keys and
      overwrite just those partitions (dynamic partition overwrite).
 
@@ -70,10 +72,20 @@ class IncrementalScd2:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch offers at-least-once: offsets commit AFTER this
+        # function returns, so a crash mid-batch REPLAYS the whole batch
+        # on restart. Every write here must therefore be idempotent. A
+        # plain append would duplicate the replayed events in the log;
+        # partitioning by (batch_id, bucket) and dynamically overwriting
+        # makes the replay rewrite its own partitions with identical
+        # rows instead (the standard foreachBatch exactly-once recipe —
+        # Structured Streaming guide, "foreachBatch" idempotence note).
         events = decode_envelope(batch_df)
-        self._bucket(events).write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(self.log_path)
+        self._bucket(events).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id", "bucket").parquet(self.log_path)
 
         touched = [
             r.bucket
@@ -85,8 +97,11 @@ class IncrementalScd2:
             F.col("bucket").isin(touched)
         )
         # Replace only the touched buckets (Spark's replacement for
-        # UPDATE-in-place, SURVEY.md D2) via the merge backend seam.
-        out = scd2_recompute(log.drop("bucket"), self.attr_fields)
+        # UPDATE-in-place, SURVEY.md D2) via the merge backend seam —
+        # replace-partitions, so the replayed batch is a no-op rewrite.
+        out = scd2_recompute(
+            log.drop("bucket", "batch_id"), self.attr_fields
+        )
         self.backend.apply(
             self.spark, self.scd2_path, self._bucket(out), "bucket"
         )
@@ -105,7 +120,9 @@ class IncrementalScd2:
         cadence; cost is one pass over the log, same as the batch
         path."""
         log = self.spark.read.parquet(self.log_path)
-        out = scd2_recompute(log.drop("bucket"), self.attr_fields)
+        out = scd2_recompute(
+            log.drop("bucket", "batch_id"), self.attr_fields
+        )
         self.backend.apply(
             self.spark, self.scd2_path, self._bucket(out), "bucket"
         )
