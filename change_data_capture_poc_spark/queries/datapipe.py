@@ -2297,7 +2297,7 @@ def sample_fixed_per_stratum(spark, sf_dir):
     reach(a, b, lvl) AS (
         SELECT a, b, 1 FROM edges
         UNION ALL
-        SELECT r.a, e.b, r.lvl + 1
+        SELECT DISTINCT r.a, e.b, r.lvl + 1
         FROM reach r JOIN edges e ON r.b = e.a
         WHERE r.lvl < 5
     )
@@ -2307,14 +2307,18 @@ def sample_fixed_per_stratum(spark, sf_dir):
     doc="Recursive CTE on the SPARK SQL surface (Spark 4 WITH "
         "RECURSIVE): 5-hop bounded reachability over the minhash "
         "near-dup graph, reduced to per-node minimum reachable id. "
-        "Spark's recursion supports UNION ALL only, so cycles are "
-        "bounded by an explicit level guard — both engines run the "
-        "IDENTICAL bounded recursion. Depth 5 >= the dup-graph "
-        "diameter here, so this equals the full closure; unbounded "
-        "walk counting grows exponentially with clique size, which "
-        "is why the ENGINE path for clustering is label propagation "
-        "(dedup_cluster_label_propagation), not recursion — this "
-        "query exists to prove the SQL feature end-to-end.",
+        "Spark's recursion supports UNION ALL only "
+        "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the recursive "
+        "step dedups its own frontier with SELECT DISTINCT: each "
+        "level is bounded by the distinct reachable-pair count "
+        "(<= closure size) instead of the WALK count, which grows "
+        "multiplicatively with clique size — a dense dup-clique can "
+        "no longer blow the recursion up. The explicit level guard "
+        "stays; both engines run the IDENTICAL bounded recursion. "
+        "Depth 5 >= the dup-graph diameter here, so this equals the "
+        "full closure. The ENGINE path for clustering remains label "
+        "propagation (dedup_cluster_label_propagation) — this query "
+        "exists to prove the SQL feature end-to-end.",
 )
 def sql_recursive_reachability(spark, sf_dir):
     pairs = dedup_minhash_lsh(spark, sf_dir)
@@ -2327,7 +2331,7 @@ def sql_recursive_reachability(spark, sf_dir):
         reach(a, b, lvl) AS (
             SELECT a, b, 1 FROM edges
             UNION ALL
-            SELECT r.a, e.b, r.lvl + 1
+            SELECT DISTINCT r.a, e.b, r.lvl + 1
             FROM reach r JOIN edges e ON r.b = e.a
             WHERE r.lvl < 5
         )

@@ -131,25 +131,123 @@ def main() -> None:
         rows.append((name, round(base, 2), round(big, 2), ratio))
         print(rows[-1])
 
-    with open("SCALING.md", "a") as f:
-        f.write(
-            f"\n## Skew probe (tools/skew_probe.py)\n\n"
-            f"Zipf-skewed join key (60% of rows on one key, 20% on a "
-            f"second, uniform {_TAIL_KEYS}-key tail) joined to a "
-            f"{_TAIL_KEYS + 2}-row dim with broadcast DISABLED, at 1x and "
-            f"{n}x fact size (base `{sf_dir}`, best-of-3, local[32]). "
-            f"`smj_no_aqe` is the hazard (hot key on one reducer); "
-            f"`smj_aqe` (AQE skew-join split, skew thresholds scaled "
-            f"to the toy data's ~50 MB hot partition — the 256 MB "
-            f"defaults fire the same split at real scale) and `salted` "
-            f"(salt-{_SALT_N} + exploded dim, the join_skew_salted "
-            f"pattern) are the engine's two answers — both must stay "
-            f"sub-linear (ratio < {n}) as the hot key grows {n}x.\n\n"
-            f"| strategy | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+    # ---- Window path: the same hot key under a per-key ranking ----
+    # AQE's skew handling is JOIN-only: a Window's hash-partitioned
+    # exchange cannot be split (every row of a partition key must land
+    # in one task for the sort to be correct), so the hot key's rows
+    # always sort in one task no matter the cluster size. The probe
+    # times three shapes for "top-10 rows per key by value":
+    #   window_topk   - row_number + rank filter. Spark >= 3.5 inserts
+    #                   WindowGroupLimit (partial per-map-partition
+    #                   limit before the shuffle), which bounds the
+    #                   SHUFFLED volume but still sorts the surviving
+    #                   hot-key rows in one reducer task.
+    #   window_plain  - row_number WITHOUT a rank filter (running-rank
+    #                   output) — nothing to push down; the honest
+    #                   hazard shape.
+    #   grouped_topk  - operators/topk.grouped_topk, the engine's
+    #                   algorithmic fix (partial heap + k-bounded agg).
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+    from pyspark.sql.window import Window
+
+    k_top = 10
+    w = Window.partitionBy("k").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+
+    def window_topk(fact: DataFrame) -> DataFrame:
+        return (
+            fact.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k_top)
+            .drop("rn")
         )
-        for r in rows:
-            f.write("| " + " | ".join(str(x) for x in r) + " |\n")
-    print("appended skew section to SCALING.md")
+
+    def window_plain(fact: DataFrame) -> DataFrame:
+        return fact.withColumn("rn", F.row_number().over(w))
+
+    def agg_topk(fact: DataFrame) -> DataFrame:
+        return grouped_topk(
+            fact, ["k"], [("value", False), ("event_id", True)], k_top
+        )
+
+    for key, val in aqe_off.items():
+        spark.conf.set(key, val)
+    win_rows = []
+    for name, fn in (
+        ("window_topk", window_topk),
+        ("window_plain", window_plain),
+        ("grouped_topk", agg_topk),
+    ):
+        base = min(run(fn(skewed_fact(spark, sf_dir, 1))) for _ in range(3))
+        big = min(run(fn(skewed_fact(spark, sf_dir, n))) for _ in range(3))
+        ratio = round(big / base, 1) if base > 0 else float("nan")
+        win_rows.append((name, round(base, 2), round(big, 2), ratio))
+        print(win_rows[-1])
+
+    win_section = (
+        "## Window skew probe (tools/skew_probe.py)\n\n"
+        "Same 60%-hot key under a PER-KEY RANKING instead of a "
+        "join. AQE cannot help here at all: skew-join splitting "
+        "applies only to joins, and a Window's partition must land "
+        "whole in one task. `window_topk` (rank filter) gets "
+        "Spark's WindowGroupLimit partial pushdown, which caps the "
+        "shuffled rows at k per map partition; `window_plain` "
+        "(running rank, no filter) is the unmitigated hazard — the "
+        "hot key's full row set sorts in one task; `grouped_topk` "
+        "is the engine's algorithmic fix "
+        "(operators/topk.grouped_topk). Top-10 per key by value, "
+        f"1x vs {n}x (base `{sf_dir}`, best-of-3, local[32]).\n\n"
+        f"| shape | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+        + "".join(
+            "| " + " | ".join(str(x) for x in r) + " |\n" for r in win_rows
+        )
+    )
+    join_section = (
+        "## Skew probe (tools/skew_probe.py)\n\n"
+        f"Zipf-skewed join key (60% of rows on one key, 20% on a "
+        f"second, uniform {_TAIL_KEYS}-key tail) joined to a "
+        f"{_TAIL_KEYS + 2}-row dim with broadcast DISABLED, at 1x and "
+        f"{n}x fact size (base `{sf_dir}`, best-of-3, local[32]). "
+        f"`smj_no_aqe` is the hazard (hot key on one reducer); "
+        f"`smj_aqe` (AQE skew-join split, skew thresholds scaled "
+        f"to the toy data's ~50 MB hot partition — the 256 MB "
+        f"defaults fire the same split at real scale) and `salted` "
+        f"(salt-{_SALT_N} + exploded dim, the join_skew_salted "
+        f"pattern) are the engine's two answers — both must stay "
+        f"sub-linear (ratio < {n}) as the hot key grows {n}x.\n\n"
+        f"| strategy | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+        + "".join(
+            "| " + " | ".join(str(x) for x in r) + " |\n" for r in rows
+        )
+    )
+    _replace_sections(
+        "SCALING.md",
+        {
+            "## Skew probe (tools/skew_probe.py)": join_section,
+            "## Window skew probe (tools/skew_probe.py)": win_section,
+        },
+    )
+    print("wrote skew sections to SCALING.md")
+
+
+def _replace_sections(path: str, sections: dict[str, str]) -> None:
+    """Replace (or append) each '## title' section in-place, so
+    re-running the probe refreshes its numbers instead of stacking
+    duplicate sections."""
+    import re
+
+    with open(path) as f:
+        doc = f.read()
+    for title, content in sections.items():
+        pat = re.compile(
+            r"\n" + re.escape(title) + r"\n.*?(?=\n## |\Z)", re.S
+        )
+        if pat.search(doc):
+            doc = pat.sub("\n" + content.rstrip("\n") + "\n", doc)
+        else:
+            doc = doc.rstrip("\n") + "\n\n" + content.rstrip("\n") + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
 
 
 if __name__ == "__main__":
