@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.windows import global_window
 
 
 def _with_split_lsn(events: DataFrame) -> DataFrame:
@@ -818,7 +819,7 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("band_max"),
         F.count(F.lit(1)).alias("band_rows"),
     )
-    w_prev_band = Window.orderBy("band").rowsBetween(
+    w_prev_band = global_window("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
     prev_max = summary.select(
@@ -847,7 +848,7 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_starts = flagged.groupBy("band").agg(
         F.sum("is_start").alias("starts")
     )
-    w_off = Window.orderBy("band").rowsBetween(
+    w_off = global_window("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = band_starts.select(
@@ -1204,7 +1205,7 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w_off = Window.orderBy("band").rowsBetween(
+    w_off = global_window("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = bsum.select(

@@ -27,6 +27,7 @@ from change_data_capture_poc_spark.functions.vectors import (
 )
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.windows import global_window
 
 
 # --------------------------------------------------------------------
@@ -2793,7 +2794,7 @@ def corpus_build_e2e(spark, sf_dir):
         ),
     )
     counts = p.groupBy("pid").agg(F.count("*").alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = global_window("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
         "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
     )

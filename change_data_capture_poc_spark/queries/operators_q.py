@@ -16,6 +16,7 @@ from change_data_capture_poc_spark.operators.simhash import hamming64
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.streaming.sessions import session_window_agg
+from change_data_capture_poc_spark.functions.windows import global_window
 
 _GAP_S = 1800
 
@@ -697,7 +698,7 @@ def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window is single-partition but bounded by n_bands, never by the
     # data.
     w_off = (
-        Window.orderBy("pid")
+        global_window("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.select(

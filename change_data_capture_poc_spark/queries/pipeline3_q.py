@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.windows import global_window
 
 
 def _md5_mod(col, mod: int):
@@ -217,7 +218,7 @@ def eval_holdout_stratified_exact(
     short = quota.agg(
         (F.lit(_HOLDOUT_K) - F.sum("base")).alias("extra")
     )
-    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    w_rem = global_window(F.col("rem").desc(), "source")
     k = quota.crossJoin(F.broadcast(short)).select(
         "source",
         (
@@ -637,7 +638,7 @@ def corpus_quality_token_budget(
     band_sums = banded.groupBy("band").agg(
         F.sum("n_tokens").alias("btok")
     )
-    w_off = Window.orderBy("band").rowsBetween(
+    w_off = global_window("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = band_sums.select(
@@ -2130,7 +2131,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "tok")
+    w = global_window(F.col("n").desc(), "tok")
     ranked = vocab.select(
         F.log("n").alias("ln_n"),
         F.log(F.row_number().over(w).cast("double")).alias("ln_rnk"),
@@ -2183,7 +2184,7 @@ def text_vocab_coverage_curve(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "tok")
+    w = global_window(F.col("n").desc(), "tok")
     ranked = vocab.select(
         "n", F.row_number().over(w).alias("rnk")
     ).persist()

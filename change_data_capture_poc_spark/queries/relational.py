@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.windows import global_window
 
 
 def _t(spark, sf_dir, name):
@@ -1080,7 +1081,7 @@ def orders_open_backlog_curve(
         )
     )
     byday = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = global_window("day").rowsBetween(Window.unboundedPreceding, 0)
     return byday.select(
         F.col("day").cast("date").alias("day"),
         F.sum("d").over(w).cast("long").alias("open_orders"),

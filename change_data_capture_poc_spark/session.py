@@ -78,4 +78,30 @@ def get_spark(
 
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR.
+
+    Every unpartitioned window left in the engine is a deliberately
+    single-partition ranking over a constant-bounded frame via
+    ``functions/windows.global_window`` (band summaries, quota tables,
+    Zipf-bounded vocab ranks — see that module's doc; corpus-sized
+    rankings use operators/topk.grouped_topk instead). The helper
+    partitions by lit(0) to record intent, but Spark 4's
+    EliminateWindowPartitions folds the constant away again, so
+    WindowExec still logs its move-all-data warning dozens of times per
+    run and buries real warnings. The frames are audited (PLANS.md
+    `windows` column + SCALING.md window skew probe), so the blanket
+    per-instance warning carries no information here.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j internals moved
+        pass  # cosmetic only; never fail session creation over logging
