@@ -202,19 +202,27 @@ def main() -> None:
 
 
 def _load_baseline() -> dict | None:
-    """Per-query baseline: the committed BENCH_DETAIL.json from the
-    previous round (read before this run overwrites it), falling back
-    to the newest driver BENCH_r{N}.json that parsed."""
+    """Per-query baseline: the GIT-COMMITTED BENCH_DETAIL.json (the
+    working-tree copy is overwritten by every local run, so reading it
+    would compare a second invocation against the first and mask a real
+    round-over-round regression), falling back to the newest driver
+    BENCH_r{N}.json that parsed."""
     import glob
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    detail = os.path.join(here, "BENCH_DETAIL.json")
     try:
-        with open(detail) as f:
-            rec = json.load(f)
-        if isinstance(rec, dict) and rec.get("queries"):
-            return rec
-    except (OSError, ValueError):
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if blob.returncode == 0:
+            rec = json.loads(blob.stdout)
+            if isinstance(rec, dict) and rec.get("queries"):
+                return rec
+    except (OSError, ValueError, subprocess.SubprocessError):
         pass
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(paths):

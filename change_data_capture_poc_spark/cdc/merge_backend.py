@@ -99,18 +99,46 @@ class DeltaReplaceWhereBackend:
         rows: DataFrame,
         partition_col: str = "bucket",
     ) -> None:  # pragma: no cover - env-gated
-        parts = [
-            r[0] for r in rows.select(partition_col).distinct().collect()
-        ]
-        in_list = ", ".join(repr(p) if isinstance(p, str) else str(p)
-                            for p in parts)
-        (
-            rows.write.format("delta")
-            .mode("overwrite")
-            .option("replaceWhere", f"{partition_col} IN ({in_list})")
-            .partitionBy(partition_col)
-            .save(path)
-        )
+        # Persist before the double pass: the distinct partition list
+        # and the write would otherwise each recompute the (possibly
+        # expensive) merge plan.
+        rows = rows.persist()
+        try:
+            parts = [
+                r[0]
+                for r in rows.select(partition_col).distinct().collect()
+            ]
+            if not parts:
+                return  # no partitions to replace — a no-op, matching
+                # the parquet backend (dynamic overwrite of nothing).
+            preds = []
+            non_null = [p for p in parts if p is not None]
+            if non_null:
+                in_list = ", ".join(_sql_literal(p) for p in non_null)
+                preds.append(f"{partition_col} IN ({in_list})")
+            if len(non_null) < len(parts):  # a NULL partition value
+                preds.append(f"{partition_col} IS NULL")
+            (
+                rows.write.format("delta")
+                .mode("overwrite")
+                .option("replaceWhere", " OR ".join(preds))
+                .partitionBy(partition_col)
+                .save(path)
+            )
+        finally:
+            rows.unpersist()
+
+
+def _sql_literal(v) -> str:
+    """SQL literal for a partition value: single-quote strings with
+    '' escaping (repr() would double-quote strings containing an
+    apostrophe, which ANSI SQL parses as an identifier); numbers and
+    booleans pass through."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 _BACKENDS = {

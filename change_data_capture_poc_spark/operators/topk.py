@@ -74,7 +74,11 @@ def grouped_topk(
             cur = cur.sort_values(
                 sort_cols, ascending=ascending, kind="mergesort"
             )
-            state = cur.groupby(keys, sort=False).head(k)
+            # dropna=False: NULL keys form a group exactly as they do
+            # in Spark's groupBy / window partitioning and in the
+            # DuckDB oracles — pandas' default would silently drop
+            # those rows and break window-form equivalence.
+            state = cur.groupby(keys, sort=False, dropna=False).head(k)
         if state is not None:
             yield state[names]
 

@@ -5,5 +5,6 @@ from change_data_capture_poc_spark.plans.inspect import (  # noqa: F401
     pushed_filters,
     read_schemas,
     shuffle_count,
+    unpartitioned_window_count,
     window_count,
 )

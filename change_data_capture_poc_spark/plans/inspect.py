@@ -58,6 +58,22 @@ def window_count(df: DataFrame) -> int:
     )
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window execs running over a single-partition exchange — the
+    move-all-data shape WindowExec warns about (suppressed session-wide
+    because every current instance is a deliberate bounded-frame
+    global_window; this counter is the replacement detection signal:
+    tools/audit_plans.py surfaces it per query per round)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(
+        re.findall(
+            r"Window(?:GroupLimit)?\b(?:[^\n]*\n){1,3}?"
+            r"[^\n]*Exchange SinglePartition",
+            plan,
+        )
+    )
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists for each scan, in plan order."""
     return [

@@ -1399,17 +1399,22 @@ def multimodal_feature_bucket_dedup(spark, sf_dir):
         extract_features_batch,
     )
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    feat = (
-        extract_features_batch(d, "payload", dim=16)
+    # NULL/empty payloads are excluded BEFORE the Arrow extractor (a
+    # filter placed after mapInPandas is not pushed below it, so a NULL
+    # text would reach bytes() and crash the Python worker); the oracle
+    # applies the same WHERE octet_length(...) > 0, which also drops
+    # NULL via three-valued logic.
+    d = (
+        load_table(spark, sf_dir, "documents")
         .select(
-            "doc_id",
-            F.octet_length("payload").alias("n_bytes"),
-            "features",
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
         )
-        .where(F.col("n_bytes") > 0)
+        .where(F.octet_length("payload") > 0)
+    )
+    feat = extract_features_batch(d, "payload", dim=16).select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        "features",
     )
     key = F.concat_ws(
         "|",

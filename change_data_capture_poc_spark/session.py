@@ -94,9 +94,15 @@ def _silence_bounded_window_warning(spark: SparkSession) -> None:
     EliminateWindowPartitions folds the constant away again, so
     WindowExec still logs its move-all-data warning dozens of times per
     run and buries real warnings. The frames are audited (PLANS.md
-    `windows` column + SCALING.md window skew probe), so the blanket
-    per-instance warning carries no information here.
+    `windows`/`1pW` columns; tools/audit_plans.py WARNs per-round on
+    every unpartitioned window, so a NEW corpus-sized one is still
+    caught even with this logger quiet) — the blanket per-instance
+    warning carries no information here. Set
+    SPARK_GRAFT_QUIET_WINDOW_WARN=0 to keep the stock warning (e.g.
+    while developing a new operator).
     """
+    if os.environ.get("SPARK_GRAFT_QUIET_WINDOW_WARN", "1") == "0":
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

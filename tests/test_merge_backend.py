@@ -91,8 +91,10 @@ def test_backend_selection_and_env_gate(monkeypatch):
 
 
 def test_incremental_scd2_uses_backend(spark, tmp_path):
-    """The stream materializer routes every durable write through the
-    seam — swap in a recording backend and watch it being called."""
+    """The stream materializer routes every durable SCD2 write through
+    the seam — swap in a recording backend, push a micro-batch through
+    process_batch, and require the write to have come via apply()."""
+    from change_data_capture_poc_spark.cdc.generator import CdcGenerator
     from change_data_capture_poc_spark.streaming.scd2_stream import (
         IncrementalScd2,
     )
@@ -104,10 +106,31 @@ def test_incremental_scd2_uses_backend(spark, tmp_path):
             calls.append(path)
             super().apply(spark_, path, rows, partition_col)
 
+    scd2_path = str(tmp_path / "scd2")
     inc = IncrementalScd2(
         spark,
         str(tmp_path / "log"),
-        str(tmp_path / "scd2"),
+        scd2_path,
+        n_buckets=4,
         merge_backend=Recording(),
     )
     assert isinstance(inc.backend, Recording)
+
+    batch = CdcGenerator(seed=3).products_df(spark, num_records=40)
+    inc.process_batch(batch, batch_id=0)
+    assert calls == [scd2_path]
+    assert inc.result().count() > 0
+
+    inc.reconcile()
+    assert calls == [scd2_path, scd2_path]
+
+
+def test_sql_literal_quoting():
+    from change_data_capture_poc_spark.cdc.merge_backend import (
+        _sql_literal,
+    )
+
+    assert _sql_literal(7) == "7"
+    assert _sql_literal("abc") == "'abc'"
+    assert _sql_literal("it's") == "'it''s'"
+    assert _sql_literal(True) == "true"

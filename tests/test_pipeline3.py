@@ -236,6 +236,7 @@ def test_multimodal_bucket_dedup_oracle_agrees_on_non_ascii(
         (4, "日本語テキスト"),            # exact dup of 3
         (5, ""),                        # empty: excluded on both sides
         (6, "plain ascii text"),        # singleton: filtered by HAVING
+        (7, None),                      # NULL: excluded on both sides
     ]
     sf_dir = str(tmp_path / "sf")
     spark.createDataFrame(texts, "doc_id long, text string").write.parquet(

@@ -90,6 +90,36 @@ def test_grouped_topk_string_ascending_and_payload(spark):
             assert r.vec == [float(r.id), float(r.id) * 0.5]
 
 
+def test_grouped_topk_keeps_null_key_group(spark):
+    """NULL group keys rank as their own partition, exactly like the
+    window form and the DuckDB oracles — pandas' groupby default
+    (dropna=True) would silently drop them."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, None, 3.0), (4, None, 4.0)],
+        "id long, grp string, score double",
+    ).repartition(3)
+    got = sorted(
+        map(
+            tuple,
+            grouped_topk(
+                df, ["grp"], [("score", False), ("id", True)], 1
+            ).collect(),
+        ),
+        key=str,
+    )
+    want = sorted(
+        map(
+            tuple,
+            _window_topk(
+                df, ["grp"], [F.col("score").desc(), F.col("id")], 1
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert got == want
+    assert (2, "a", 2.0) in got and (4, None, 4.0) in got
+
+
 def test_grouped_topk_multi_key_and_empty(spark):
     df = spark.createDataFrame(
         [(1, "a", 1, 0.5)], "id long, s string, g int, v double"
