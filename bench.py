@@ -78,6 +78,10 @@ HEADLINE = (
     "ann_mmr_diversified_rerank",   # MMR diversified serving shape
     "corpus_ngram_novelty_curve",   # per-band first-occurrence curve
     "dedup_incremental_delta_index",  # delta-vs-index incremental dedup
+    "eval_matryoshka_trunc_recall",   # truncated-dim recall eval (2x topk)
+    "eval_holdout_stratified_exact",  # largest-remainder exact holdout
+    "multimodal_feature_bucket_dedup",  # Arrow feature-bucket dedup
+    "sql_recursive_reachability",     # bounded recursive CTE closure
 )
 
 
