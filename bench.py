@@ -82,6 +82,7 @@ HEADLINE = (
     "eval_holdout_stratified_exact",  # largest-remainder exact holdout
     "multimodal_feature_bucket_dedup",  # Arrow feature-bucket dedup
     "sql_recursive_reachability",     # bounded recursive CTE closure
+    "eval_minhash_estimator_calibration",  # estimate-vs-exact Jaccard
 )
 
 

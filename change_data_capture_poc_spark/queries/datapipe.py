@@ -256,16 +256,14 @@ def _minhash_sql():
 _MH_HX_SQL, _MH_MINS_SQL = _minhash_sql()
 
 
-def _spark_bands(g):
-    """(doc_id, grams) → exploded LSH band rows (doc_id, band_id,
-    band_key). Base hash per shingle (one md5), then ONE fold over the
-    hash array carrying all K running minima (zip_with against the
-    literal (a,b) coefficient array). K separate array_min(transform)
-    columns cost 36x more at 8x scale: interpreted HOFs have no
-    common-subexpression elimination, so per-permutation passes
-    re-walk (and re-allocate) the array per column. Shared by the
-    batch pair join (dedup_minhash_lsh) and the incremental
-    delta-vs-index gate (dedup_incremental_delta_index)."""
+def _spark_sigs(g):
+    """(doc_id, grams) → (doc_id, sig array<long>[K]). Base hash per
+    shingle (one md5), then ONE fold over the hash array carrying all
+    K running minima (zip_with against the literal (a,b) coefficient
+    array). K separate array_min(transform) columns cost 36x more at
+    8x scale: interpreted HOFs have no common-subexpression
+    elimination, so per-permutation passes re-walk (and re-allocate)
+    the array per column."""
     hx = g.select(
         "doc_id",
         F.transform(
@@ -295,7 +293,15 @@ def _spark_bands(g):
             ),
         ),
     )
-    sig = hx.select("doc_id", sig_arr.alias("sig"))
+    return hx.select("doc_id", sig_arr.alias("sig"))
+
+
+def _spark_bands(g):
+    """(doc_id, grams) → exploded LSH band rows (doc_id, band_id,
+    band_key) over the _spark_sigs signatures. Shared by the batch
+    pair join (dedup_minhash_lsh) and the incremental delta-vs-index
+    gate (dedup_incremental_delta_index)."""
+    sig = _spark_sigs(g)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -359,6 +365,133 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.col("y.doc_id").alias("doc_id_b"),
         )
         .distinct()
+    )
+
+
+@register(
+    "eval_minhash_estimator_calibration",
+    oracle=f"""
+    WITH g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id
+                    AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    scored AS (
+        SELECT p.a, p.b,
+               (CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m9 = sb.m9 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m10 = sb.m10 THEN 1 ELSE 0 END
+              + CASE WHEN sa.m11 = sb.m11 THEN 1 ELSE 0 END)
+                   AS sig_matches,
+               len(list_filter(ga.grams,
+                   s -> list_contains(gb.grams, s))) AS inter,
+               len(ga.grams) + len(gb.grams)
+                 - len(list_filter(ga.grams,
+                       s -> list_contains(gb.grams, s))) AS uni
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a
+        JOIN sig sb ON sb.doc_id = p.b
+        JOIN g ga ON ga.doc_id = p.a
+        JOIN g gb ON gb.doc_id = p.b
+    )
+    SELECT CAST(sig_matches AS INT) AS sig_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(sig_matches / {_MINHASH_K}.0 + 1e-9, 6) AS est_jaccard,
+           ROUND(AVG(inter * 1.0 / uni) + 1e-9, 6) AS mean_exact_jaccard,
+           ROUND(AVG(ABS(sig_matches / {_MINHASH_K}.0
+                         - inter * 1.0 / uni)) + 1e-9, 6) AS mean_abs_err
+    FROM scored
+    GROUP BY sig_matches
+    """,
+    doc=f"MinHash estimator calibration: for every LSH candidate pair, "
+        f"compare the signature-agreement estimate "
+        f"(matching components / {_MINHASH_K}) against EXACT set "
+        f"Jaccard over the shingle sets, grouped by match count — the "
+        f"knob-tuning readout that tells you whether {_MINHASH_K} "
+        f"permutations / {_BANDS}x3 banding is tight enough before "
+        f"trusting the estimate corpus-wide (a biased row here means "
+        f"re-band BEFORE the 100 TB dedup run, not after). Exact "
+        f"Jaccard is computed only on the candidate pairs the bands "
+        f"emit, so the join volume is the candidate set, never "
+        f"all-pairs; output is a <= {_MINHASH_K + 1}-row calibration "
+        f"table.",
+)
+def eval_minhash_estimator_calibration(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d).persist()
+    sig = _spark_sigs(g)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("gra"))
+    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("grb"))
+    inter = F.size(F.array_intersect("gra", "grb"))
+    uni = F.size("gra") + F.size("grb") - inter
+    matches = F.expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), m -> m))"
+    )
+    scored = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .join(ga, "a")
+        .join(gb, "b")
+        .select(
+            matches.alias("sig_matches"),
+            (inter * 1.0 / uni).alias("exact_j"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("sig_matches").cast("int").alias("sig_matches"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("exact_j") + F.lit(1e-9), 6).alias(
+                "mean_exact_jaccard"
+            ),
+            F.round(
+                F.avg(
+                    F.abs(
+                        F.col("sig_matches") / float(_MINHASH_K)
+                        - F.col("exact_j")
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .select(
+            "sig_matches",
+            "n_pairs",
+            F.round(
+                F.col("sig_matches") / float(_MINHASH_K) + F.lit(1e-9), 6
+            ).alias("est_jaccard"),
+            "mean_exact_jaccard",
+            "mean_abs_err",
+        )
     )
 
 

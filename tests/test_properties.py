@@ -452,3 +452,54 @@ def test_lsn_gap_transactions_match_model(spark, ids):
         (r.first_lsn, r.last_lsn, r.n_changes, r.n_keys) for r in out
     }
     assert got == expected
+
+
+# (id, group-or-None, score) rows: duplicate scores, NULL keys, and
+# groups of wildly different sizes are exactly the shapes that break a
+# partial top-k.
+_topk_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.integers(-5, 5),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_topk_rows, k=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_grouped_topk_matches_model(spark, rows, k):
+    """grouped_topk == a naive Python model (sort desc-score /
+    asc-id, take k per group, NULL key = its own group) on adversarial
+    inputs. The id is deduplicated first so the ordering is total —
+    the operator's documented precondition."""
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    dedup = {r[0]: r for r in rows}.values()
+    expected = {}
+    for rid, grp, score in sorted(
+        dedup, key=lambda r: (-r[2], r[0])
+    ):
+        expected.setdefault(grp, [])
+        if len(expected[grp]) < k:
+            expected[grp].append((rid, grp, float(score)))
+    want = sorted(
+        (t for ts in expected.values() for t in ts), key=str
+    )
+
+    df = spark.createDataFrame(
+        [(rid, grp, float(s)) for rid, grp, s in dedup],
+        "id long, grp int, score double",
+    ).repartition(3)
+    got = sorted(
+        (
+            tuple(r)
+            for r in grouped_topk(
+                df, ["grp"], [("score", False), ("id", True)], k
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want

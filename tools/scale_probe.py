@@ -107,6 +107,7 @@ PROBES = (
     "corpus_importance_sampling",
     "scd2_bitemporal_grid_audit",
     "multimodal_feature_bucket_dedup",
+    "eval_minhash_estimator_calibration",
 )
 
 
