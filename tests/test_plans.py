@@ -78,9 +78,31 @@ def test_dedup_exact_single_shuffle(spark, sf_dir, queries):
 
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir, queries):
     """The query set broadcasts; the corpus is never shuffled for the
-    join (only the global top-k window exchanges)."""
+    join; the per-query cut is the two-phase partial top-k (one
+    k-bounded agg exchange), NOT a corpus-sized window."""
     df = queries["ann_cosine_bruteforce"].fn(spark, sf_dir)
     assert broadcast_count(df) >= 1
+    assert shuffle_count(df) == 1
+
+
+def test_ann_topk_paths_have_no_corpus_window(spark, sf_dir, queries):
+    """The round-5 contract: every corpus-sized constant-key ranking
+    runs through operators/topk.grouped_topk (MapInPandas partial heap
+    + bounded agg). A Window reappearing over the scored candidate set
+    in these queries is the 9.1x-super-linear hot-key shape the window
+    skew probe measured — fail loudly."""
+    from change_data_capture_poc_spark.plans import formatted_plan
+
+    for name in (
+        "ann_cosine_bruteforce",
+        "ann_cosine_ivf_partition",
+        "ann_cosine_lsh_hyperplane",
+        "eval_ann_recall",
+        "eval_matryoshka_trunc_recall",
+    ):
+        plan = formatted_plan(queries[name].fn(spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "Window" not in plan, name
 
 
 def test_cdc_net_effect_single_shuffle(spark, sf_dir, queries):
