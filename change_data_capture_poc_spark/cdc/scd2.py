@@ -117,12 +117,28 @@ def scd2_merge_batch(history: DataFrame, batch: DataFrame,
     Returns the new history (union of expired, untouched, inserted).
     On Delta/Iceberg this whole function is one MERGE statement; the
     join structure (and therefore the shuffle plan) is identical.
+
+    The batch is first reduced to the *latest* image per key (max
+    timestamp, deterministic attribute tiebreak). MERGE requires a
+    unique-key source (Delta raises on multiple matches); without the
+    reduction, a micro-batch carrying two consecutive updates for one
+    key would expire the superseded row twice and insert two
+    is_current=true rows, breaking the one-current-row-per-key
+    invariant. Intermediate images within one batch collapse into the
+    final one — the full per-version chain is ``scd2_recompute``'s job.
     """
-    b = batch.select(
-        F.col("id").alias("b_id"),
-        F.col("name").alias("b_name"),
-        F.col("price").alias("b_price"),
-        F.col(batch_ts_col).alias("b_ts"),
+    b = (
+        batch.select(
+            F.col("id").alias("b_id"),
+            F.col("name").alias("b_name"),
+            F.col("price").alias("b_price"),
+            F.col(batch_ts_col).alias("b_ts"),
+        )
+        .groupBy("b_id")
+        .agg(F.max(F.struct("b_ts", "b_name", "b_price")).alias("m"))
+        .select("b_id", F.col("m.b_name").alias("b_name"),
+                F.col("m.b_price").alias("b_price"),
+                F.col("m.b_ts").alias("b_ts"))
     )
 
     cur = history.where(F.col("is_current"))

@@ -38,12 +38,20 @@ def with_token_column(
 
 def ngram_shingles(tokens: Column, n: int) -> Column:
     """Distinct word n-gram shingle array from a *materialized* token
-    column (dedup_ngram_jaccard / dedup_minhash_lsh input)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
-            ),
+    column (dedup_ngram_jaccard / dedup_minhash_lsh input).
+
+    Documents with fewer than ``n`` tokens yield an empty array. Without
+    the guard, ``F.sequence(0, size - n)`` with ``size < n`` produces a
+    *descending* sequence (Spark auto-steps -1 when start > stop) whose
+    negative/zero indices make ``element_at`` throw under ANSI mode.
+    """
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
+                ),
+            )
         )
     )

@@ -88,10 +88,14 @@ def asof_join(
     filled = unioned.select("__l", "__t", fill.alias("__rv"))
     rv = F.col("__rv")
     if tolerance_seconds is not None:
+        # cast('timestamp'): unix_millis rejects TIMESTAMP_NTZ inputs
+        # (the µs-generation parquet encoding tables.py handles); under
+        # the pinned-UTC session the cast is value-identical — same
+        # hazard rangejoin.py documents.
         within = (
             F.abs(
-                F.unix_millis(F.col("__t"))
-                - F.unix_millis(rv.getField("__rt"))
+                F.unix_millis(F.col("__t").cast("timestamp"))
+                - F.unix_millis(rv.getField("__rt").cast("timestamp"))
             )
             <= tolerance_seconds * 1000
         )

@@ -52,48 +52,52 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-
-    for _ in range(max_rounds):
-        nbr_min = (
-            e.join(labels, e["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("a", "node")
-        )
-        # Carry the OLD label through the checkpoint so the changed
-        # count is a filter over already-materialized rows — one join
-        # per round, not two (the old shape re-joined new vs old labels
-        # just to count diffs, doubling per-round shuffle work).
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.col("component").alias("old_component"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-            )
+    # try/finally: the non-convergence RuntimeError below must not leak
+    # the persisted edge table into executor storage for the rest of
+    # the application (same discipline merge_backend.py applies).
+    try:
+        labels = (
+            e.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint()
         )
-        changed = stepped.where(
-            F.col("component") != F.col("old_component")
-        ).count()
-        labels = stepped.select("node", "component")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
-        )
 
-    e.unpersist()
+        for _ in range(max_rounds):
+            nbr_min = (
+                e.join(labels, e["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
+                .withColumnRenamed("a", "node")
+            )
+            # Carry the OLD label through the checkpoint so the changed
+            # count is a filter over already-materialized rows — one join
+            # per round, not two (the old shape re-joined new vs old labels
+            # just to count diffs, doubling per-round shuffle work).
+            stepped = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.col("component").alias("old_component"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.where(
+                F.col("component") != F.col("old_component")
+            ).count()
+            labels = stepped.select("node", "component")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+    finally:
+        e.unpersist()
     return labels
 
 

@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 _POW2 = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
+def md5_token_hash32(t: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as a long.
+
+    THE single definition of the DuckDB-replayable base hash — both
+    simhash32 variants (and their oracle SQL) promise bit-identity on
+    exactly this expression; keep it in one place so they cannot drift.
+    """
+    return F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit simhash of an array<string> column, as a signed long.
 
@@ -80,10 +92,7 @@ def simhash32_portable_pandas(
     hashed = df.select(
         id_col,
         F.transform(
-            F.split(F.col(text_col), " "),
-            lambda t: F.conv(
-                F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10
-            ).cast("long"),
+            F.split(F.col(text_col), " "), md5_token_hash32
         ).alias("hx"),
     )
     out_schema = T.StructType(
@@ -123,11 +132,7 @@ def simhash32_portable(tokens: Column) -> Column:
     exists so the banded-LSH simhash pipeline has a hash-checkable
     oracle.
     """
-    hashes = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-    )
+    hashes = F.transform(tokens, md5_token_hash32)
     pows = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
     bit_votes = F.aggregate(
         hashes,

@@ -22,7 +22,13 @@ shape flagged weak in the round-4 review. The two-phase form:
 The result is row-identical to the window form whenever the
 (order_by + tie-break) ordering is total over the input, which every
 caller guarantees with an id tie-break column. Orderings must also be
-NaN-free: pandas and the JVM disagree on NaN placement.
+NaN-free: pandas and the JVM disagree on NaN placement. NULL order
+values are allowed and sort FIRST in both directions (phase 2's struct
+comparison treats a null field as smallest, and negation keeps NULL
+NULL; phase 1 mirrors it with na_position='first') — note this matches
+the window form's ASC NULLS FIRST default but NOT its DESC NULLS LAST
+default, so callers ranking a nullable column descending must filter
+or coalesce NULLs to keep window-form parity.
 
 This is the grouped analogue of what ``orderBy().limit(k)`` already
 gets from TakeOrderedAndProject for the global case.
@@ -71,8 +77,16 @@ def grouped_topk(
             # mergesort = stable, so equal-key rows keep concat order;
             # the caller's total ordering makes that irrelevant, but
             # stability keeps behavior deterministic regardless.
+            # na_position='first': NULL order values must win the
+            # partial cut exactly as they win phase 2's sort_array
+            # (struct comparison treats a null field as smallest, and
+            # negation keeps NULL NULL, so NULLs sort first in BOTH
+            # directions there). pandas' default na_position='last'
+            # would cut NULL rows in phase 1 that phase 2 ranks first,
+            # making survival depend on partitioning.
             cur = cur.sort_values(
-                sort_cols, ascending=ascending, kind="mergesort"
+                sort_cols, ascending=ascending, kind="mergesort",
+                na_position="first",
             )
             # dropna=False: NULL keys form a group exactly as they do
             # in Spark's groupBy / window partitioning and in the

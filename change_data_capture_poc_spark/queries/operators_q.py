@@ -59,13 +59,13 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_user_events",
     oracle=f"""
     WITH t AS (
-        SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS es
+        SELECT user_id, event_id, ts, epoch_us(ts) AS eus
         FROM events
     ),
     m AS (
         SELECT user_id, event_id, ts,
-               CASE WHEN LAG(es) OVER w IS NULL
-                         OR es - LAG(es) OVER w > {_GAP_S}
+               CASE WHEN LAG(eus) OVER w IS NULL
+                         OR eus - LAG(eus) OVER w > {_GAP_S} * 1000000
                     THEN 1 ELSE 0 END AS ns
         FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
@@ -77,7 +77,8 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Gap-based sessionization (lag → marker → running sum), one "
         "shuffle on the key (operators/sessionize.py). Gap compares "
-        "second-truncated epochs on both engines.",
+        "microsecond epochs with strict > — session_window merges an "
+        "exactly-gap event (touching intervals) — on both engines.",
 )
 def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
@@ -93,7 +94,7 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS ns
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
@@ -111,8 +112,9 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="session_window aggregation — the streaming-native session "
         "operator (streaming/sessions.py), run in batch mode so the "
-        "oracle can replay it as lag/cumsum SQL. Note session_window "
-        "splits on gap >= threshold (window end is exclusive).",
+        "oracle can replay it as lag/cumsum SQL. session_window splits "
+        "only on gap STRICTLY > threshold (touching intervals merge — "
+        "verified empirically; the oracle's lag rule matches).",
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")

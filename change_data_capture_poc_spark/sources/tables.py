@@ -40,8 +40,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
+        # Scope the legacy flag to this one read: set, resolve the
+        # relation (which captures the conf), then restore the prior
+        # value so unrelated later parquet reads keep the normal loud
+        # TIMESTAMP(NANOS) rejection. Verified on a synthetic nanos
+        # file: collect() after the restore still reads nanos-as-long,
+        # so the restore cannot break this DataFrame's execution.
+        try:
+            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prior = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prior
+                )
         if dict(df.dtypes).get("ts") == "bigint":  # nanos generation
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))

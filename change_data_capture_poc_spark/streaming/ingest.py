@@ -111,11 +111,18 @@ def parse_kafka_envelope(
     (connectors/postgres-source.json: schemaless JSON converters).
     Works identically on a streaming or a static frame, which is what
     lets the contract test pin the parse path without a broker.
+
+    Delegates to ``parse_envelope_json`` (cdc/envelope.py) so there is
+    exactly one envelope-parse plan in the package — this wrapper only
+    adds the binary→string cast the Kafka contract requires.
     """
     from pyspark.sql import functions as F
 
-    return records.select(
-        F.from_json(
-            F.col("value").cast("string"), envelope_schema(row_fields)
-        ).alias("e")
-    ).select("e.payload")
+    from change_data_capture_poc_spark.cdc.envelope import (
+        parse_envelope_json,
+    )
+
+    return parse_envelope_json(
+        records.select(F.col("value").cast("string").alias("value")),
+        row_fields,
+    )

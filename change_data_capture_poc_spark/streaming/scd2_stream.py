@@ -87,10 +87,26 @@ class IncrementalScd2:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id", "bucket").parquet(self.log_path)
 
-        touched = [
-            r.bucket
-            for r in self._bucket(events).select("bucket").distinct().collect()
-        ]
+        # Touched buckets come from the just-written batch_id partition:
+        # bucket and batch_id are partition columns, so this is a
+        # partition-pruned, metadata-only listing — no second full
+        # evaluation of the micro-batch pipeline (decode + hash) just to
+        # enumerate buckets.
+        from pyspark.errors import AnalysisException
+
+        try:
+            touched = [
+                r.bucket
+                for r in self.spark.read.parquet(self.log_path)
+                .where(F.col("batch_id") == batch_id)
+                .select("bucket")
+                .distinct()
+                .collect()
+            ]
+        except AnalysisException:
+            # An all-empty first batch leaves no readable partitions —
+            # nothing to merge.
+            return
         if not touched:
             return
         log = self.spark.read.parquet(self.log_path).where(

@@ -1,8 +1,9 @@
 """Session-window aggregation — the streaming twin of
 ``operators.sessionize`` (SURVEY.md §2.8).
 
-``F.session_window(ts, gap)`` merges events whose gaps are below the
-threshold into one window per key; with a watermark it also bounds
+``F.session_window(ts, gap)`` merges events whose gaps are at or below
+the threshold into one window per key (touching intervals merge —
+an exactly-``gap`` follower stays in the session); with a watermark it also bounds
 state for late data (T5 — the reference handles lateness by full
 recompute; the watermark is the streaming-native equivalent).
 

@@ -74,8 +74,13 @@ def test_sessionize_gap_split(spark):
     df = spark.createDataFrame(
         [
             (1, _ts("2024-01-01 10:00:00")),
-            (1, _ts("2024-01-01 10:10:00")),   # gap 600 ≤ 1800 → same
-            (1, _ts("2024-01-01 11:00:00")),   # gap 3000 > 1800 → new
+            (1, _ts("2024-01-01 10:10:00")),     # gap 600 < 1800 → same
+            (1, _ts("2024-01-01 10:40:00")),     # gap EXACTLY 1800 → same
+                                                 # (session_window merges
+                                                 # touching intervals)
+            (1, _ts("2024-01-01 11:10:00.500")), # gap 1800.5 → new (sub-
+                                                 # second over; a long-
+                                                 # cast gap would merge)
             (2, _ts("2024-01-01 10:00:00")),
         ],
         "uid bigint, t timestamp",
@@ -84,7 +89,8 @@ def test_sessionize_gap_split(spark):
     got = {(r.uid, r.t): r.session_id for r in out.collect()}
     assert got[(1, _ts("2024-01-01 10:00:00"))] == 1
     assert got[(1, _ts("2024-01-01 10:10:00"))] == 1
-    assert got[(1, _ts("2024-01-01 11:00:00"))] == 2
+    assert got[(1, _ts("2024-01-01 10:40:00"))] == 1
+    assert got[(1, _ts("2024-01-01 11:10:00.500"))] == 2
     assert got[(2, _ts("2024-01-01 10:00:00"))] == 1
 
 
@@ -368,3 +374,27 @@ def test_range_join_matches_theta(spark):
         }
         assert got == naive
     assert (10, 100) in naive and (11, 100) in naive  # inclusive bounds
+
+
+def test_ngram_shingles_short_documents_yield_empty(spark):
+    """Documents with fewer than n tokens must produce an empty shingle
+    array, not an ANSI element_at error from the descending sequence
+    F.sequence(0, size-n) generates when size < n."""
+    from change_data_capture_poc_spark.functions.text import (
+        ngram_shingles,
+        with_token_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a b c"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.g
+        for r in with_token_column(df)
+        .select("doc_id", ngram_shingles(F.col("w"), 3).alias("g"))
+        .collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["a b c"]
+    assert out[4] == []  # split("") -> [""], size 1 < 3

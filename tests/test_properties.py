@@ -93,7 +93,7 @@ def test_sessionize_matches_model(spark, rows, gap):
         evs.sort()
         sid, prev = 0, None
         for t, i in evs:
-            if prev is None or t - prev > gap:
+            if prev is None or t - prev > gap:  # strict: exactly-gap merges
                 sid += 1
             want[i] = sid
             prev = t

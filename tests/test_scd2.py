@@ -177,6 +177,36 @@ def test_merge_converges_with_batches(spark):
     assert expired[0].valid_to == t + datetime.timedelta(hours=1)
 
 
+def test_merge_multiple_images_per_key_in_one_batch(spark):
+    """A micro-batch carrying two consecutive updates for one key must
+    collapse to the latest image (MERGE source-uniqueness contract) —
+    never two expired copies or two is_current rows."""
+    hist_schema = ("product_id int, name string, price double, "
+                   "valid_from timestamp, valid_to timestamp, is_current boolean")
+    history = spark.createDataFrame([], hist_schema)
+    t = datetime.datetime(2024, 1, 1)
+    batches = [
+        [(1, "w", 1.0, t)],
+        # two images for key 1 in ONE batch: 'x' then 'y'
+        [(1, "x", 1.1, t + datetime.timedelta(hours=1)),
+         (1, "y", 1.2, t + datetime.timedelta(hours=2))],
+    ]
+    for batch in batches:
+        bdf = spark.createDataFrame(
+            batch, "id int, name string, price double, source_timestamp timestamp"
+        )
+        history = scd2_merge_batch(history, bdf)
+        history = spark.createDataFrame(history.collect(), history.schema)
+
+    rows = history.collect()
+    cur = [r for r in rows if r.is_current]
+    assert len(cur) == 1 and cur[0].name == "y" and cur[0].price == 1.2
+    expired = [r for r in rows if not r.is_current]
+    assert len(expired) == 1 and expired[0].name == "w"
+    # superseded row expired exactly once, at the winning image's ts
+    assert expired[0].valid_to == t + datetime.timedelta(hours=2)
+
+
 def test_merge_null_attributes_converge(spark):
     """IS DISTINCT FROM semantics: a row with a NULL attribute must be
     recognized as identical to itself on the next batch (no re-insert

@@ -91,7 +91,11 @@ def test_session_window_matches_sessionize(spark):
     base = datetime.datetime(2024, 1, 1, 10, 0, 0)
     rows = []
     for uid in (1, 2):
-        offs = [0, 300, 700, 4000, 4200, 9000]  # two gaps > 1800 s
+        # gaps: 300, 400, 1800 (EXACTLY the threshold — session_window
+        # MERGES touching intervals, so same session), 200, 1800.5
+        # (sub-second over — splits; a long-cast gap would merge it),
+        # 4800 (splits)
+        offs = [0, 300, 700, 2500, 2700, 4500.5, 9300.5]
         rows += [
             (uid, base + datetime.timedelta(seconds=o + uid), float(o))
             for o in offs

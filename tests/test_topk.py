@@ -120,6 +120,31 @@ def test_grouped_topk_keeps_null_key_group(spark):
     assert (2, "a", 2.0) in got and (4, None, 4.0) in got
 
 
+def test_grouped_topk_null_order_values_sort_first(spark):
+    """NULL ORDER values must win the cut independent of partitioning:
+    phase 2's struct sort_array ranks a null field smallest, so phase
+    1's partial cut keeps them too (na_position='first'). Matches the
+    window form's ASC NULLS FIRST default."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.0), (3, "a", 2.0), (4, "a", 3.0)],
+        "id long, grp string, score double",
+    ).repartition(4)  # null row isolated from the low scores
+    got = sorted(
+        tuple(r)
+        for r in grouped_topk(
+            df, ["grp"], [("score", True), ("id", True)], 2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _window_topk(
+            df, ["grp"], [F.col("score").asc(), F.col("id")], 2
+        ).collect()
+    )
+    assert got == want
+    assert got == [(1, "a", None), (2, "a", 1.0)]
+
+
 def test_grouped_topk_multi_key_and_empty(spark):
     df = spark.createDataFrame(
         [(1, "a", 1, 0.5)], "id long, s string, g int, v double"
