@@ -317,7 +317,17 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (
         part.groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("n_parts"))
-        .withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+        # try_element_at + coalesce('') == DuckDB split_part's ''-on-
+        # missing: a single-token name must land in the '' block, not
+        # throw INVALID_ARRAY_INDEX under ANSI mode (on by default in
+        # Spark 4) the way a bare getItem(1) does.
+        .withColumn(
+            "noun",
+            F.coalesce(
+                F.try_element_at(F.split(F.col("p_name"), " "), F.lit(2)),
+                F.lit(""),
+            ),
+        )
     )
     a = names.alias("a")
     b = names.alias("b")
@@ -1172,10 +1182,12 @@ def scd2_type3_current_previous(
 )
 def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = 32
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    )
-    mid = ev.agg(F.expr("max(event_id) div 2").alias("mid"))
+    ev_all = load_table(spark, sf_dir, "events")
+    ev = ev_all.where(F.col("value").isNotNull())
+    # The split point comes from the UNFILTERED table, exactly like the
+    # oracle's `max(event_id) FROM events`: if the max-event_id row had
+    # a NULL value, a filtered max would shift the halves.
+    mid = ev_all.agg(F.expr("max(event_id) div 2").alias("mid"))
     v = ev.crossJoin(F.broadcast(mid)).select(
         "value",
         F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1)

@@ -1858,7 +1858,9 @@ def text_repetition_stats(spark, sf_dir):
     oracle="""
     WITH s AS (
         SELECT user_id, MIN(ts) AS t_s
-        FROM events WHERE event_type = 'signup' GROUP BY user_id
+        FROM events
+        WHERE event_type = 'signup' AND user_id IS NOT NULL
+        GROUP BY user_id
     ),
     c AS (
         SELECT e.user_id, MIN(e.ts) AS t_c
@@ -1886,12 +1888,16 @@ def text_repetition_stats(spark, sf_dir):
         "form; a sorted fold taking the FIRST qualifying event equals "
         "its MIN over qualifying events). Per-user state is one "
         "3-field struct; collect_list is bounded by events-per-user, "
-        "the same assumption every sessionizer makes.",
+        "the same assumption every sessionizer makes. NULL user_ids "
+        "are excluded EXPLICITLY on both sides: the engine's groupBy "
+        "would pool them into one pseudo-user while the oracle's "
+        "equality joins drop them — an asymmetry, not a semantics "
+        "choice, so the funnel states it outright.",
 )
 def events_funnel(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
-    )
+    ).where(F.col("user_id").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias(
             "seq"

@@ -169,9 +169,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
         )
+        # hamming filter BEFORE distinct: hamming is deterministic per
+        # pair, so the result is identical, but the distinct's shuffle
+        # now moves only the surviving near-dups instead of the full
+        # band-collision fan-out.
+        .where(F.col("hamming") <= 8)
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= 8)
+    return pairs
 
 
 @register(
@@ -251,8 +256,10 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
             hamming64(F.col("x.h"), F.col("y.h")).cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter before distinct — shuffles survivors, not the band
+        # fan-out (same ordering the oracle's WHERE-then-DISTINCT has).
         .where(F.col("hamming") <= 4)
+        .distinct()
     )
 
 

@@ -412,9 +412,9 @@ _ANN_NQ = 8
             SELECT q.q_id, e.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_dot_product(e.v, q.qv) /
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
                            e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
@@ -424,9 +424,9 @@ _ANN_NQ = 8
             SELECT q.q_id, e.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_dot_product(e.v, q.qv) /
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
                            e.vec_id) AS rk
             FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
@@ -442,8 +442,10 @@ _ANN_NQ = 8
         f"(probe-own-partition) index against exact brute-force ground "
         f"truth, per query — the measurement that decides whether an "
         f"approximate index is allowed to replace the exact path in "
-        f"the dedup/retrieval pipeline. Ranks use raw (unrounded) "
-        f"cosine with id tie-breaks so both engines rank identically. "
+        f"the dedup/retrieval pipeline. Ranks use 1e-6-rounded cosine "
+        f"with id tie-breaks so both engines rank identically (the "
+        f"float-portability rule: normalize-then-dot vs dot/norms "
+        f"differ in the last ulps and can flip an unrounded rank). "
         f"Reuses the registered brute-force and IVF query plans; the "
         f"comparison join is {_ANN_NQ}x{_ANN_K} rows — driver-scale "
         f"zero.",
@@ -471,11 +473,16 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ANN_K,
         ).select("q_id", "neighbor_id")
 
+    # 1e-6 rounding before ranking (float-portability rule): the engine
+    # computes normalize-then-dot, the oracle dot/(norm*norm) — the two
+    # differ in the last ulps, and an unrounded rank can flip at the
+    # k boundary. Ties after rounding break on neighbor_id both sides.
+    cos6 = F.round(dot_product(F.col("nv"), F.col("qnv")), 6)
     gt = topk(
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+            cos6.alias("cos"),
         )
     )
     ivf = topk(
@@ -486,7 +493,7 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+            cos6.alias("cos"),
         )
     )
     hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
@@ -1192,19 +1199,19 @@ _RERANK_PROBE_K = 12
     stage1 AS (
         SELECT q_id, neighbor_id, cos FROM (
             SELECT q.q_id, e.vec_id AS neighbor_id,
-                   list_dot_product(e.v, q.qv) /
+                   ROUND(list_dot_product(e.v, q.qv) /
                        (sqrt(list_dot_product(e.v, e.v)) *
-                        sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_dot_product(e.v, q.qv) /
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
                            e.vec_id) AS rk
             FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
         ) WHERE rk <= {_RERANK_PROBE_K}
     )
-    SELECT q_id, neighbor_id, ROUND(cos + 1e-9, 6) AS cosine
+    SELECT q_id, neighbor_id, cos AS cosine
     FROM (
         SELECT q_id, neighbor_id, cos,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1218,9 +1225,10 @@ _RERANK_PROBE_K = 12
         f"re-ranks that pool exactly and cuts to the final top-5. At "
         f"100 TB the pool join is the only corpus-touching stage and "
         f"shuffles on the partition label; the re-rank operates on "
-        f"8x{_RERANK_PROBE_K} rows. Raw (unrounded) scores order both "
-        f"stages with id tie-breaks, so both engines rank "
-        f"identically; only the emitted cosine is rounded.",
+        f"8x{_RERANK_PROBE_K} rows. Both stages rank on 1e-6-rounded "
+        f"cosine with id tie-breaks (float-portability rule — the two "
+        f"engines' float paths differ in the last ulps), and the "
+        f"emitted cosine is that same rounded value.",
 )
 def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.functions.vectors import dot_product
@@ -1254,7 +1262,13 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
+            # 1e-6-rounded BEFORE ranking (float-portability rule, same
+            # as eval_ann_recall/matryoshka): unrounded cosine computed
+            # via normalize-then-dot here vs dot/norms in the oracle
+            # can flip an epsilon-close rank at the k boundary.
+            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias(
+                "cos"
+            ),
         ),
         ["q_id"],
         [("cos", False), ("neighbor_id", True)],
@@ -1266,7 +1280,7 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "neighbor_id",
-            F.round(F.col("cos") + 1e-9, 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
     )
 

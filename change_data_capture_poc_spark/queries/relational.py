@@ -537,14 +537,19 @@ def set_intersect(spark, sf_dir):
     EXCEPT
     SELECT o_custkey AS custkey FROM orders
     """,
-    doc="EXCEPT — set-difference formulation of the anti-join.",
+    doc="EXCEPT — set-difference formulation of the anti-join. "
+        "DataFrame.subtract IS SQL's EXCEPT-DISTINCT; the previous "
+        "exceptAll().distinct() was bag-difference-then-dedup, which "
+        "KEEPS a key occurring more often on the left than the right "
+        "where EXCEPT drops it (latent on unique c_custkey, wrong in "
+        "general).",
 )
 def set_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+    return c.select(F.col("c_custkey").alias("custkey")).subtract(
         o.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    )
 
 
 @register(

@@ -65,10 +65,24 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Peek the physical encoding with a schema-only batch read (no
+    # scan), scoping the legacy nanosAsLong flag to the peek (set +
+    # restore, same discipline as sources/tables.load_table) — a bare
+    # session-wide set here would silently change how every later
+    # parquet read in the session handles TIMESTAMP(NANOS). The stream
+    # itself needs no flag: it gets an EXPLICIT schema below.
+    try:
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prior = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Peek the physical encoding with a schema-only batch read (no scan)
-    # so the stream uses the matching explicit schema.
-    peek = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    try:
+        peek = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     nanos = peek.get("ts") == "bigint"
     schema = _EVENTS_RAW_SCHEMA_NANOS if nanos else _EVENTS_RAW_SCHEMA_MICROS
     raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
@@ -150,7 +164,7 @@ def streaming_hourly_rollup_drain(
     WITH m AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS ns
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
@@ -168,9 +182,9 @@ def streaming_hourly_rollup_drain(
     doc="Streaming session windows, executed AS A STREAM: "
         "session_window(ts, 30 min) per user aggregated in streaming "
         "state, complete-mode drain. Oracle replays the gap rule as "
-        "lag/cumsum SQL (same construction the batch "
-        "session_window_stats query pins). Window struct flattened "
-        "to the session start.",
+        "lag/cumsum SQL with STRICT > (session_window merges touching "
+        "intervals — same construction the batch session_window_stats "
+        "query pins). Window struct flattened to the session start.",
 )
 def streaming_session_window_drain(
     spark: SparkSession, sf_dir: str

@@ -22,8 +22,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
 
 def get_spark(
     app_name: str = "change_data_capture_poc_spark",
@@ -39,9 +37,12 @@ def get_spark(
     memory knob. On a real cluster, master/memory come from spark-submit
     and these arguments are left as None.
     """
+    # One read of SPARK_GRAFT_CPUS drives BOTH knobs — a module-level
+    # constant read the env at import time and could silently diverge
+    # from the master URL when a test/driver set the env afterwards.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+    shuffle_partitions = str(shuffle_partitions or cpus)
 
     b = (
         SparkSession.builder.appName(app_name)
