@@ -88,7 +88,10 @@ HEADLINE = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # Anchored number pattern: a greedy [0-9.]+ would capture trailing
+    # or doubled dots from paths like .../sf0.1.bak and crash float()
+    # before any query runs (no final JSON line for the driver).
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")

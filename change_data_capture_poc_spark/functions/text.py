@@ -18,8 +18,15 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokenize_ws(text: Column) -> Column:
-    """Whitespace tokens. Materialize via ``with_token_column`` when
-    consumed more than once."""
+    """Single-space tokens — deliberately ``split(text, ' ')``, NOT a
+    ``\\s+`` regex: every DuckDB oracle replays tokenization as
+    ``string_split(text, ' ')``, and the two must stay bit-identical
+    (the testdata generator emits single-space-separated text, so the
+    difference is moot there). Consequence on free-form text: runs of
+    spaces yield empty-string tokens and tabs/newlines don't split —
+    use ``tokenize_regex`` when real whitespace semantics matter.
+    Materialize via ``with_token_column`` when consumed more than
+    once."""
     return F.split(text, " ")
 
 

@@ -41,7 +41,14 @@ def cosine_topk_pandas(
     """
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.array([q[1] for q in queries], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # Zero-norm guard (here and in the batch loop): dividing by a zero
+    # norm yields NaN similarities, which silently empty the result
+    # (NaN kth -> all-False keep) instead of failing or scoring. A zero
+    # vector has cosine 0 to everything by convention — substitute
+    # norm 1 so its dot products (all 0) pass through well-defined.
+    q_norm = q_mat / np.where(
+        (qn := np.linalg.norm(q_mat, axis=1, keepdims=True)) == 0, 1.0, qn
+    )
 
     out_schema = T.StructType(
         [
@@ -58,6 +65,7 @@ def cosine_topk_pandas(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy())  # rows x dims
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.where(norms == 0, 1.0, norms)  # zero-norm guard
             sims = (mat / norms) @ q_norm.T  # rows x queries
             for qi in range(len(q_ids)):
                 mask = ids != q_ids[qi]
@@ -111,7 +119,8 @@ def label_blocked_cosine_pairs(
         order = np.argsort(pdf[id_col].to_numpy())
         ids = pdf[id_col].to_numpy()[order]
         mat = np.stack(pdf[vec_col].to_numpy())[order]
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(n == 0, 1.0, n)  # zero-norm guard (see above)
         sims = np.round(mat @ mat.T, 6)
         iu, ju = np.triu_indices(len(ids), k=1)  # i<j: vec_a < vec_b
         keep = sims[iu, ju] >= threshold

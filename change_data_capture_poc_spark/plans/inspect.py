@@ -25,27 +25,33 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
-def plan_ops(df: DataFrame) -> list[str]:
-    """Operator names in plan order, e.g. ['Scan parquet', 'Filter', ...]."""
+def plan_ops(df: DataFrame, plan: str | None = None) -> list[str]:
+    """Operator names in plan order, e.g. ['Scan parquet', 'Filter', ...].
+
+    Every helper here takes an optional pre-rendered ``plan`` string:
+    each ``formatted_plan`` call is a JVM explainString round-trip, so
+    a caller auditing several facets of one query (tools/audit_plans.py
+    reads five) should render once and pass the text through.
+    """
     ops = []
-    for line in formatted_plan(df).splitlines():
+    for line in (plan if plan is not None else formatted_plan(df)).splitlines():
         m = re.match(r"^\(\d+\)\s+(.+?)(\s*\[codegen id : \d+\])?\s*$", line)
         if m:
             ops.append(m.group(1).strip())
     return ops
 
 
-def shuffle_count(df: DataFrame) -> int:
+def shuffle_count(df: DataFrame, plan: str | None = None) -> int:
     """Shuffle exchanges in the plan (BroadcastExchange excluded —
     broadcasts move a small side, not the data)."""
-    return sum(1 for op in plan_ops(df) if op == "Exchange")
+    return sum(1 for op in plan_ops(df, plan) if op == "Exchange")
 
 
-def broadcast_count(df: DataFrame) -> int:
-    return sum(1 for op in plan_ops(df) if op == "BroadcastExchange")
+def broadcast_count(df: DataFrame, plan: str | None = None) -> int:
+    return sum(1 for op in plan_ops(df, plan) if op == "BroadcastExchange")
 
 
-def window_count(df: DataFrame) -> int:
+def window_count(df: DataFrame, plan: str | None = None) -> int:
     """Window execs in the plan. Each one fully sorts every row of its
     partition inside one task — fine over constant-bounded frames
     (quota tables, band summaries), a scale hazard over corpus-sized
@@ -53,7 +59,7 @@ def window_count(df: DataFrame) -> int:
     operators/topk.grouped_topk replaces)."""
     return sum(
         1
-        for op in plan_ops(df)
+        for op in plan_ops(df, plan)
         if op == "Window" or op.startswith("WindowGroupLimit")
     )
 
@@ -74,19 +80,23 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     )
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
+def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
     """PushedFilters lists for each scan, in plan order."""
     return [
         line.split(":", 1)[1].strip()
-        for line in formatted_plan(df).splitlines()
+        for line in (
+            plan if plan is not None else formatted_plan(df)
+        ).splitlines()
         if line.strip().startswith("PushedFilters")
     ]
 
 
-def read_schemas(df: DataFrame) -> list[str]:
+def read_schemas(df: DataFrame, plan: str | None = None) -> list[str]:
     """ReadSchema struct strings for each scan, in plan order."""
     return [
         line.split(":", 1)[1].strip()
-        for line in formatted_plan(df).splitlines()
+        for line in (
+            plan if plan is not None else formatted_plan(df)
+        ).splitlines()
         if line.strip().startswith("ReadSchema")
     ]

@@ -156,3 +156,25 @@ def test_global_ordinal_ids_deterministic_and_contiguous(spark, sf_dir):
     for rank, (_, (ordinal, shard)) in enumerate(by_doc, start=1):
         assert ordinal == rank
         assert shard == (ordinal - 1) % 16
+
+
+def test_cosine_topk_pandas_zero_norm_guard(spark):
+    """A zero vector must score cosine 0 everywhere (convention), not
+    NaN out the batch and silently return zero rows."""
+    from change_data_capture_poc_spark.functions.vectors_pandas import (
+        cosine_topk_pandas,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = cosine_topk_pandas(
+        df, queries=[(0, [0.0, 0.0]), (1, [1.0, 0.0])], k=2
+    )
+    got = {(r.q_id, r.neighbor_id): r.cosine for r in out.collect()}
+    # zero query: all candidate sims are 0.0 (well-defined), k+ties kept
+    zero_q = {nid: c for (q, nid), c in got.items() if q == 0}
+    assert zero_q and all(c == 0.0 for c in zero_q.values())
+    # zero corpus vector scores 0 against a real query, present not NaN
+    assert got[(1, 0)] == 0.0
+    assert got[(1, 3)] > 0.7

@@ -173,8 +173,12 @@ def main() -> None:
         qs[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        elapsed = time.time() - t0
+        # clearCache AFTER the clock stops: it is bookkeeping between
+        # reps, not query work — timing it inflates absolute numbers
+        # (and small-query ratios) relative to the bench protocol.
         spark.catalog.clearCache()
-        return time.time() - t0
+        return elapsed
 
     def set_loader(fn):
         for m in _CONSUMERS:
@@ -198,11 +202,20 @@ def main() -> None:
         # section).
         import re
 
-        with open("SCALING.md") as f:
-            doc = f.read()
+        try:
+            with open("SCALING.md") as f:
+                doc = f.read()
+        except OSError:
+            # Missing artifact must not discard minutes of measurements
+            # after the fact — start a fresh document instead.
+            doc = ("# SCALING — empirical scale probe "
+                   "(tools/scale_probe.py)\n")
         merged: dict[str, tuple] = {}
+        # Match ONLY sections probed at THIS scale factor: merging a
+        # prior 8x section's rows under a new 4x header would relabel
+        # 8x timings as 4x data. Other-N sections are left in place.
         sec_re = re.compile(
-            r"\n## Incremental probe at \d+x \(same protocol\)\n\n"
+            rf"\n## Incremental probe at {n}x \(same protocol\)\n\n"
             r"\| query \|[^\n]*\n\|[-| ]*\n((?:\|[^\n]*\n)*)"
         )
         for m in sec_re.finditer(doc):

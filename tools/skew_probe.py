@@ -236,8 +236,13 @@ def _replace_sections(path: str, sections: dict[str, str]) -> None:
     duplicate sections."""
     import re
 
-    with open(path) as f:
-        doc = f.read()
+    try:
+        with open(path) as f:
+            doc = f.read()
+    except OSError:
+        # Missing artifact must not discard the finished measurements —
+        # start a fresh document and append the sections.
+        doc = "# SCALING — empirical scale probe (tools/scale_probe.py)\n"
     for title, content in sections.items():
         pat = re.compile(
             r"\n" + re.escape(title) + r"\n.*?(?=\n## |\Z)", re.S
