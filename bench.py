@@ -83,6 +83,9 @@ HEADLINE = (
     "multimodal_feature_bucket_dedup",  # Arrow feature-bucket dedup
     "sql_recursive_reachability",     # bounded recursive CTE closure
     "eval_minhash_estimator_calibration",  # estimate-vs-exact Jaccard
+    "corpus_chunk_sliding_window",  # RAG sliding-window chunking
+    "text_heavy_hitters_misra_gries",  # 2-pass sketch heavy hitters
+    "ann_ivf_multiprobe_recall",    # multiprobe IVF vs ground truth
 )
 
 

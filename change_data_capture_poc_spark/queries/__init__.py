@@ -23,3 +23,4 @@ import change_data_capture_poc_spark.queries.sql_q  # noqa: F401
 import change_data_capture_poc_spark.queries.streaming_q  # noqa: F401
 import change_data_capture_poc_spark.queries.cdc_ops_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline3_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401

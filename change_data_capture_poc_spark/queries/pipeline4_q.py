@@ -1,0 +1,332 @@
+"""Round-5 pipeline operators: retrieval-prep chunking, sketch-based
+heavy hitters, and multiprobe IVF evaluation.
+
+Extends the LLM-data-pipeline surface (SURVEY.md north-star) with the
+three operations a retrieval/curation loop still reached for:
+
+- ``corpus_chunk_sliding_window`` — RAG-style overlapping token-window
+  chunking, the step between document curation and embedding.
+- ``text_heavy_hitters_misra_gries`` — deterministic heavy hitters via
+  per-partition Misra-Gries summaries + exact candidate rescan: the
+  two-pass pattern that finds >N/k tokens without a full-vocabulary
+  shuffle.
+- ``ann_ivf_multiprobe_recall`` — recall@k of IVF probing the TOP-P
+  nearest centroid partitions (vs the probe-own-partition baseline in
+  ``eval_ann_recall``), the standard recall/latency knob of a
+  production ANN index.
+
+Same determinism rules as the rest of the surface: no rand(); every
+cross-engine float rank is rounded at 1e-6 with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = W - S = 8)
+
+
+@register(
+    "corpus_chunk_sliding_window",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    x AS (
+        SELECT doc_id, w, len(w) AS n,
+               1 + (greatest(len(w) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                   // {_CHUNK_S} AS nc
+        FROM t
+    ),
+    y AS (
+        SELECT doc_id, w, n, unnest(range(nc)) AS i FROM x
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK_W}, n - i * {_CHUNK_S}) AS BIGINT)
+               AS n_tokens,
+           array_to_string(
+               list_slice(w, i * {_CHUNK_S} + 1,
+                          i * {_CHUNK_S} + {_CHUNK_W}), ' ')
+               AS chunk_text
+    FROM y
+    """,
+    doc=f"RAG chunking: every document split into overlapping "
+        f"{_CHUNK_W}-token windows at stride {_CHUNK_S} (overlap "
+        f"{_CHUNK_W - _CHUNK_S}) — the retrieval-prep step between "
+        f"curation and embedding. Chunk count is closed-form "
+        f"(1 + ceil((n-W)/S)), so the plan is one map-side "
+        f"sequence+explode per doc: zero shuffles, zero UDFs, and the "
+        f"chunk layout is deterministic for incremental re-chunking. "
+        f"The final chunk may be short (n - i*S tokens); empty docs "
+        f"yield one ''-chunk on both engines (split('') -> ['']).",
+)
+def corpus_chunk_sliding_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    d = d.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.expr(f"1 + (greatest(size(w) - {W}, 0) + {S - 1}) div {S}").alias(
+            "nc"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(W), F.col("n") - F.col("chunk_idx") * S)
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("w"), F.col("chunk_idx") * S + 1, W)
+        ).alias("chunk_text"),
+    )
+
+
+_MG_K = 64  # Misra-Gries counter budget => finds tokens with freq > N/64
+
+
+@register(
+    "text_heavy_hitters_misra_gries",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, n
+    GROUP BY tok, n.n
+    HAVING COUNT(*) > n.n / {_MG_K}
+    """,
+    doc=f"Exact heavy hitters (tokens with frequency > N/{_MG_K}) via "
+        f"the two-pass sketch pattern: phase 1 folds each partition "
+        f"through a {_MG_K}-counter Misra-Gries summary (Arrow "
+        f"mapInPandas, bounded state, zero shuffle) whose survivors "
+        f"are a GUARANTEED superset of the true heavy hitters "
+        f"(pigeonhole: a token over-threshold globally is "
+        f"over-threshold in some partition); phase 2 rescans with an "
+        f"exact count restricted to the <= {_MG_K} x partitions "
+        f"candidates (broadcast semi-join) and applies the threshold "
+        f"on exact counts. Output is therefore EXACT and "
+        f"partitioning-independent — the oracle is the plain "
+        f"full-vocabulary GROUP BY the sketch avoids shuffling at "
+        f"100 TB.",
+)
+def text_heavy_hitters_misra_gries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    n = toks.agg(F.count("*").alias("n"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        if counters:
+            yield pd.DataFrame({"tok": list(counters)})
+
+    cand = toks.mapInPandas(mg, "tok string").distinct()
+    exact = toks.join(F.broadcast(cand), "tok").groupBy("tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        exact.crossJoin(F.broadcast(n))
+        .where(F.col("cnt") > F.col("n") / _MG_K)
+        .select("tok", "cnt")
+    )
+
+
+_MP_K = 5   # final top-k
+_MP_P = 2   # probed partitions per query
+_MP_NQ = 8  # query set size
+
+# Per-dimension mean as an inline SQL list constructor (64 avg exprs).
+_CENTROID_LIST = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
+
+
+@register(
+    "ann_ivf_multiprobe_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_MP_NQ}),
+    cent AS (SELECT label, {_CENTROID_LIST} AS c FROM e GROUP BY label),
+    probed AS (
+        SELECT q_id, label FROM (
+            SELECT q.q_id, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(q.qv, cent.c) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(cent.c, cent.c))), 6)
+                           DESC, cent.label) AS rk
+            FROM q, cent
+        ) WHERE rk <= {_MP_P}
+    ),
+    mp AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6)
+                           DESC, e.vec_id) AS rk
+            FROM e
+            JOIN probed p ON e.label = p.label
+            JOIN q ON q.q_id = p.q_id AND e.vec_id != q.q_id
+        ) WHERE rk <= {_MP_K}
+    ),
+    gt AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6)
+                           DESC, e.vec_id) AS rk
+            FROM e, q WHERE e.vec_id != q.q_id
+        ) WHERE rk <= {_MP_K}
+    )
+    SELECT gt.q_id,
+           CAST(COUNT(mp.neighbor_id) AS BIGINT) AS hits,
+           ROUND(COUNT(mp.neighbor_id) * 1.0 / {_MP_K} + 1e-9, 6)
+               AS recall_at_{_MP_K}
+    FROM gt LEFT JOIN mp USING (q_id, neighbor_id)
+    GROUP BY gt.q_id
+    """,
+    doc=f"Multiprobe IVF recall@{_MP_K}: each query probes its TOP-"
+        f"{_MP_P} nearest centroid partitions (per-label mean vectors) "
+        f"instead of only its own label — the standard recall/latency "
+        f"knob that recovers neighbors living just across a partition "
+        f"boundary (compare eval_ann_recall's single-probe baseline). "
+        f"Scale shape: centroids come from one posexplode aggregation "
+        f"(n x dim rows, two keyed shuffles); the query-centroid "
+        f"ranking is |queries| x |labels| through grouped_topk (never "
+        f"a corpus window); candidate scoring touches only the probed "
+        f"partitions via a label equi-join. All ranks on 1e-6-rounded "
+        f"cosine with id tie-breaks (float-portability rule).",
+)
+def ann_ivf_multiprobe_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
+    en = e.select(
+        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < _MP_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nv").alias("qnv"),
+    )
+
+    # Per-label centroid: posexplode -> (label, pos) mean -> regroup in
+    # pos order. Two keyed shuffles over n x dim scalar rows — the
+    # vectors cross the network once, decomposed.
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("c")
+        )
+    )
+    cnrm = F.sqrt(dot_product(F.col("c"), F.col("c")))
+    cn = cent.select("label", F.transform("c", lambda x: x / cnrm).alias("cn"))
+
+    # Rank labels per query on rounded query-centroid cosine; the
+    # candidate set is |queries| x |labels| (grows with index size at
+    # 100 TB -> grouped_topk, not a window).
+    probed = grouped_topk(
+        q.crossJoin(cn).select(
+            "q_id",
+            "label",
+            F.round(dot_product(F.col("qnv"), F.col("cn")), 6).alias("cos"),
+        ),
+        ["q_id"],
+        [("cos", False), ("label", True)],
+        _MP_P,
+    ).select("q_id", "label")
+
+    cand = en.join(probed, "label").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    mp = grouped_topk(
+        cand.join(F.broadcast(q), "q_id").select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+        ),
+        ["q_id"],
+        [("cos", False), ("neighbor_id", True)],
+        _MP_K,
+    ).select("q_id", "neighbor_id")
+
+    gt = grouped_topk(
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+        ),
+        ["q_id"],
+        [("cos", False), ("neighbor_id", True)],
+        _MP_K,
+    ).select("q_id", "neighbor_id")
+
+    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
+    return (
+        gt.join(
+            mp.withColumn("hit_flag", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit) * 1.0 / _MP_K + 1e-9, 6).alias(
+                f"recall_at_{_MP_K}"
+            ),
+        )
+    )

@@ -753,3 +753,61 @@ def test_boilerplate_spans_are_really_repeated(spark, sf_dir):
         assert 1 <= r.n_docs <= r.n_occurrences
     occ = [r.n_occurrences for r in rows]
     assert occ == sorted(occ, reverse=True)
+
+
+def test_misra_gries_partitioning_independent(spark, sf_dir):
+    """The heavy-hitter OUTPUT must be exact regardless of how the token
+    stream is partitioned: MG survivors are a candidate superset whose
+    exact rescan applies the threshold, so 1-partition and 16-partition
+    runs agree (the sketch state differs; the answer must not)."""
+    from change_data_capture_poc_spark.registry import all_queries
+
+    q = all_queries()["text_heavy_hitters_misra_gries"]
+    base = {(r.tok, r.cnt) for r in q.fn(spark, sf_dir).collect()}
+    assert base  # sf data has heavy tokens
+
+    # Same computation with the token stream forced through different
+    # partitionings.
+    import change_data_capture_poc_spark.queries.pipeline4_q as p4
+    from pyspark.sql import functions as F
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    for parts in (1, 16):
+        t = toks.repartition(parts)
+        n = t.agg(F.count("*").alias("n"))
+        import pandas as pd
+
+        def mg(batches):
+            counters = {}
+            for pdf in batches:
+                for tok in pdf["tok"]:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < p4._MG_K:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+            if counters:
+                yield pd.DataFrame({"tok": list(counters)})
+
+        cand = t.mapInPandas(mg, "tok string").distinct()
+        exact = t.join(F.broadcast(cand), "tok").groupBy("tok").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        got = {
+            (r.tok, r.cnt)
+            for r in exact.crossJoin(F.broadcast(n))
+            .where(F.col("cnt") > F.col("n") / p4._MG_K)
+            .select("tok", "cnt")
+            .collect()
+        }
+        assert got == base, f"partitioning {parts} changed the answer"

@@ -108,6 +108,9 @@ PROBES = (
     "scd2_bitemporal_grid_audit",
     "multimodal_feature_bucket_dedup",
     "eval_minhash_estimator_calibration",
+    "corpus_chunk_sliding_window",
+    "text_heavy_hitters_misra_gries",
+    "ann_ivf_multiprobe_recall",
 )
 
 
