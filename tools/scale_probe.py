@@ -17,24 +17,29 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-import change_data_capture_poc_spark.queries.cdc_ops_q as _m_cdc_ops
-import change_data_capture_poc_spark.queries.datapipe as _m_datapipe
-import change_data_capture_poc_spark.queries.functions_q as _m_functions
-import change_data_capture_poc_spark.queries.operators_q as _m_operators
-import change_data_capture_poc_spark.queries.pipeline3_q as _m_pipeline3
-import change_data_capture_poc_spark.queries.relational as _m_relational
-import change_data_capture_poc_spark.queries.scd2_q as _m_scd2
-import change_data_capture_poc_spark.queries.sql_q as _m_sql
+import change_data_capture_poc_spark.queries  # noqa: F401 - registers all
 from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources import tables as tables_mod
 
-# Query modules bind load_table at import time (`from ... import
-# load_table`), so the probe must patch every consumer namespace.
-_CONSUMERS = (
-    _m_cdc_ops, _m_datapipe, _m_functions, _m_operators, _m_pipeline3,
-    _m_relational, _m_scd2, _m_sql, tables_mod,
-)
+
+def _consumers():
+    """Every loaded module that bound ``load_table`` at import time
+    (`from ... import load_table`) — the probe must patch each consumer
+    namespace. DISCOVERED, not hand-listed: a hand-maintained tuple
+    silently un-scales any new query module that isn't added to it
+    (pipeline4_q's first probe ran 1x vs 1x exactly this way)."""
+    import sys as _sys
+
+    mods = [tables_mod]
+    for name, mod in list(_sys.modules.items()):
+        if (
+            name.startswith("change_data_capture_poc_spark.")
+            and mod is not tables_mod
+            and getattr(mod, "load_table", None) is not None
+        ):
+            mods.append(mod)
+    return tuple(mods)
 
 PROBES = (
     "pricing_summary",
@@ -183,8 +188,10 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    consumers = _consumers()
+
     def set_loader(fn):
-        for m in _CONSUMERS:
+        for m in consumers:
             m.load_table = fn
 
     rows = []
