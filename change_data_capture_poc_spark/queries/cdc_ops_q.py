@@ -760,6 +760,11 @@ def scd2_bitemporal_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TX_GAP = 20
+# Band count for the banded-prefix-sum skeleton (cdc_lsn_gap_transactions
+# and events_ks_drift_halves). Module-level so tests that craft
+# band-hole fixtures import THIS value instead of hard-coding a copy
+# that silently diverges if the count changes.
+_N_BANDS = 32
 
 
 @register(
@@ -807,7 +812,7 @@ _TX_GAP = 20
         f"semantics; results are identical.",
 )
 def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_bands = 32
+    n_bands = _N_BANDS
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
@@ -1181,7 +1186,7 @@ def scd2_type3_current_previous(
         "single-partitioned.",
 )
 def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_bands = 32
+    n_bands = _N_BANDS
     ev_all = load_table(spark, sf_dir, "events")
     ev = ev_all.where(F.col("value").isNotNull())
     # The split point comes from the UNFILTERED table, exactly like the

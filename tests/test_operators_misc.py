@@ -125,9 +125,12 @@ def test_lsh_buckets_pandas_matches_expression(spark, sf_dir):
     )
     from change_data_capture_poc_spark.sources.tables import load_table
 
+    # Deterministic subset: an UNORDERED limit may pick different rows
+    # on each of the two jobs below (expr path vs pandas path), making
+    # the dict comparison fail on key mismatch alone.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).limit(200)
+    ).where(F.col("vec_id") < 200)
     expr = {
         r.vec_id: r.buckets
         for r in e.select(

@@ -38,6 +38,10 @@ def test_mix_rebalance_caps_every_source(spark, sf_dir):
     kept = {r.source: (r.kept, r.keep_permille) for r in out.groupBy(
         "source", "keep_permille").agg(F.count("*").alias("kept"))
         .select("source", "kept", "keep_permille").collect()}
+    # EVERY source must survive rebalancing (keep rate >= 1 doc); a
+    # regression dropping a whole source would otherwise skip its
+    # assertions silently.
+    assert set(kept) == set(counts)
     for src, (k, permille) in kept.items():
         assert permille == (mn * 1000) // counts[src]
         assert k <= counts[src]
@@ -76,6 +80,10 @@ def test_bigram_logprob_bounds(spark, sf_dir):
     ).where(F.col("n_tok") >= 2)
     joined = docs.join(out, "doc_id")
     assert joined.count() == docs.count()
+    # ...and nothing else scores: a 1-token doc sneaking into the
+    # output (e.g. a dropped size(w) >= 2 filter) must fail here, not
+    # pass the subset check above.
+    assert out.count() == docs.count()
     bad = joined.where(
         (F.col("n_bigrams") != F.col("n_tok") - 1)
         | (F.col("avg_logprob") >= 0)
@@ -132,7 +140,11 @@ def test_mmr_rerank_diversifies_and_agrees_on_rank1(spark, sf_dir):
     two = all_queries()["ann_two_stage_rerank"].fn(spark, sf_dir).collect()
     top1 = {}
     for r in two:
-        if r.q_id not in top1 or r.cosine > top1[r.q_id][1]:
+        # Model the operators' exact rule: max rounded cosine, ties
+        # broken by LOWEST neighbor_id. (A collect-order keep-first
+        # would pick an arbitrary tied neighbor and flake.)
+        cur = top1.get(r.q_id)
+        if cur is None or (-r.cosine, r.neighbor_id) < (-cur[1], cur[0]):
             top1[r.q_id] = (r.neighbor_id, r.cosine)
     for q_id, rs in by_q.items():
         r1 = next(r for r in rs if r.rank == 1)
@@ -377,10 +389,15 @@ def test_lsn_gap_empty_band_does_not_split_transaction(spark, tmp_path):
     # Segment A: 0..60, hole 61..79 (gap 80-60=20 == _TX_GAP, NOT a
     # boundary), segment B: 80..140, hole 141..200 (gap 61 > _TX_GAP,
     # real boundary), segment C: 201..210.
+    from change_data_capture_poc_spark.queries.cdc_ops_q import _N_BANDS
+
     ids = list(range(0, 61)) + list(range(80, 141)) + list(range(201, 211))
-    lo, hi, n_bands = min(ids), max(ids), 32
-    bands = {((i - lo) * n_bands) // (hi - lo + 1) for i in ids}
-    assert len(bands) < n_bands  # the crafted hole really empties a band
+    lo, hi = min(ids), max(ids)
+    # Import the implementation's band count: a hard-coded copy would
+    # let a changed count silently turn this hole-crafting meta-check
+    # into a no-op.
+    bands = {((i - lo) * _N_BANDS) // (hi - lo + 1) for i in ids}
+    assert len(bands) < _N_BANDS  # the crafted hole really empties a band
 
     ts = dt.datetime(2024, 1, 1)
     rows = [(i, ts, i % 7, "purchase", 1.0, "{}") for i in ids]
@@ -454,15 +471,20 @@ def test_token_budget_takes_best_prefix(spark, sf_dir):
     ordered = sorted(
         docs.collect(), key=lambda r: (-r.n_chars, r.doc_id)
     )
+    # Model the FULL prefix, then require set equality — a subset check
+    # that breaks at the first over-budget doc would let a regressed
+    # cum_tokens (e.g. a per-band restart understating the running sum)
+    # smuggle extra docs past the budget unnoticed.
+    prefix: dict[int, int] = {}
     run = 0
     for r in ordered:
+        if run + r.n_tokens > budget:
+            break
         run += r.n_tokens
-        if run <= budget:
-            assert r.doc_id in sel, f"doc {r.doc_id} missing from prefix"
-            assert sel[r.doc_id].cum_tokens == run
-        else:
-            assert r.doc_id not in sel
-            break  # everything after is also out; prefix proven
+        prefix[r.doc_id] = run
+    assert set(sel) == set(prefix)
+    for doc_id, cum in prefix.items():
+        assert sel[doc_id].cum_tokens == cum
 
 
 def test_span_dedup_keeps_each_span_once(spark, sf_dir):

@@ -446,12 +446,19 @@ def test_lsn_gap_transactions_match_model(spark, ids):
         "event_type string, value double, props string",
     )
     d = tempfile.mkdtemp(prefix="lsn_prop_")
-    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
-    out = all_queries()["cdc_lsn_gap_transactions"].fn(spark, d).collect()
-    got = {
-        (r.first_lsn, r.last_lsn, r.n_changes, r.n_keys) for r in out
-    }
-    assert got == expected
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = all_queries()["cdc_lsn_gap_transactions"].fn(spark, d).collect()
+        got = {
+            (r.first_lsn, r.last_lsn, r.n_changes, r.n_keys) for r in out
+        }
+        assert got == expected
+    finally:
+        # hypothesis re-runs this body per example — an unremoved
+        # mkdtemp accumulates parquet dirs in /tmp across CI runs.
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # (id, group-or-None, score) rows: duplicate scores, NULL keys, and

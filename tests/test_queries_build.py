@@ -79,8 +79,11 @@ def test_representative_queries_deterministic(spark, sf_dir):
         "text_tfidf_top_terms",
         "dedup_cluster_label_propagation",
     ):
-        a = {tuple(r) for r in qs[name].fn(spark, sf_dir).collect()}
-        b = {tuple(r) for r in qs[name].fn(spark, sf_dir).collect()}
+        # Sorted LISTS, not sets: a set comparison collapses duplicate
+        # rows and would pass a run that emits a boundary row twice —
+        # exactly the unstable-tie-break class this guards against.
+        a = sorted(map(tuple, qs[name].fn(spark, sf_dir).collect()), key=str)
+        b = sorted(map(tuple, qs[name].fn(spark, sf_dir).collect()), key=str)
         assert a == b, f"{name} not deterministic across runs"
         assert a, f"{name} returned no rows at smoke SF"
         spark.catalog.clearCache()

@@ -50,7 +50,9 @@ def test_running_totals_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # assert the drain FINISHED — on timeout awaitTermination returns
+    # False and out_rows would be read while batches are in flight.
+    assert q.awaitTermination(300)
 
     # Last emitted row per user is the running total after its final batch.
     final = {}

@@ -52,7 +52,9 @@ def test_stream_ingest_partitioned_sink(spark, tmp_path):
     q = stream_to_partitioned_json(
         stream, str(tmp_path / "landed"), str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    # assert the drain FINISHED — on timeout awaitTermination returns
+    # False and the sink would be read while writes are in flight.
+    assert q.awaitTermination(120)
 
     parts = glob.glob(str(tmp_path / "landed" / "year=*" / "month=*" / "day=*"))
     assert parts
@@ -77,7 +79,7 @@ def test_incremental_scd2_converges_to_batch(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         n_buckets=4,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)  # False = still running, see above
 
     batch = scd2_recompute(decode_envelope(df))
     got = {tuple(r) for r in inc.result().collect()}
