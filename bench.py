@@ -86,6 +86,7 @@ HEADLINE = (
     "corpus_chunk_sliding_window",  # RAG sliding-window chunking
     "text_heavy_hitters_misra_gries",  # 2-pass sketch heavy hitters
     "ann_ivf_multiprobe_recall",    # multiprobe IVF vs ground truth
+    "corpus_chunk_dedup_rate",      # chunk-level duplication readout
 )
 
 

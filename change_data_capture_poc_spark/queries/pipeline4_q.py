@@ -98,6 +98,78 @@ def corpus_chunk_sliding_window(
     )
 
 
+_CHUNK_SQL_CTE = f"""
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    x AS (
+        SELECT doc_id, w,
+               1 + (greatest(len(w) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                   // {_CHUNK_S} AS nc
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(w, i * {_CHUNK_S} + 1,
+                              i * {_CHUNK_S} + {_CHUNK_W}), ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, w, unnest(range(nc)) AS i FROM x)
+    )
+"""
+
+
+@register(
+    "corpus_chunk_dedup_rate",
+    oracle=f"""
+    WITH {_CHUNK_SQL_CTE},
+    j AS (
+        SELECT d.source, c.chunk_text
+        FROM chunks c JOIN documents d USING (doc_id)
+    ),
+    g AS (
+        SELECT source, chunk_text, COUNT(*) AS f
+        FROM j GROUP BY source, chunk_text
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(f) + 1e-9, 6)
+               AS dup_fraction,
+           CAST(MAX(f) AS BIGINT) AS max_chunk_freq
+    FROM g GROUP BY source
+    """,
+    doc="Chunk-level duplication readout per source: after sliding-"
+        "window chunking (same W/S as corpus_chunk_sliding_window), "
+        "what fraction of chunks are redundant and how hot is the "
+        "hottest chunk — the signal that decides whether chunk-level "
+        "exact dedup is worth a pass before embedding (boilerplate "
+        "headers/footers duplicate at chunk granularity even when "
+        "documents are unique). Scale shape: one (source, chunk-hash) "
+        "shuffle with map-side partial counts, then a |sources|-row "
+        "rollup; the chunk text itself never needs to survive past "
+        "the first agg at 100 TB (group on a hash).",
+)
+def corpus_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = corpus_chunk_sliding_window(spark, sf_dir).select(
+        "doc_id", "chunk_text"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = (
+        chunks.join(src, "doc_id")
+        .groupBy("source", "chunk_text")
+        .agg(F.count("*").alias("f"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("f") + 1e-9, 6).alias(
+            "dup_fraction"
+        ),
+        F.max("f").cast("long").alias("max_chunk_freq"),
+    )
+
+
 _MG_K = 64  # Misra-Gries counter budget => finds tokens with freq > N/64
 
 

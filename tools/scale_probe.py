@@ -116,6 +116,7 @@ PROBES = (
     "corpus_chunk_sliding_window",
     "text_heavy_hitters_misra_gries",
     "ann_ivf_multiprobe_recall",
+    "corpus_chunk_dedup_rate",
 )
 
 
