@@ -31,6 +31,40 @@ _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (overlap = W - S = 8)
 
 
+def chunk_sliding_window(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Pure map-stage transform (split → closed-form chunk count →
+    sequence+explode → slice): no shuffle, no UDF, no state — which is
+    also why the identical plan runs unmodified on a STREAMING frame
+    (streaming_chunk_drain proves it through the streaming engine).
+    """
+    W, S = _CHUNK_W, _CHUNK_S
+    d = df.select("doc_id", F.split(text_col, " ").alias("w")).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.expr(f"1 + (greatest(size(w) - {W}, 0) + {S - 1}) div {S}").alias(
+            "nc"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(W), F.col("n") - F.col("chunk_idx") * S)
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("w"), F.col("chunk_idx") * S + 1, W)
+        ).alias("chunk_text"),
+    )
+
+
 @register(
     "corpus_chunk_sliding_window",
     oracle=f"""
@@ -69,32 +103,8 @@ _CHUNK_S = 24  # stride (overlap = W - S = 8)
 def corpus_chunk_sliding_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    W, S = _CHUNK_W, _CHUNK_S
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    d = d.select(
-        "doc_id",
-        "w",
-        F.size("w").alias("n"),
-        F.expr(f"1 + (greatest(size(w) - {W}, 0) + {S - 1}) div {S}").alias(
-            "nc"
-        ),
-    )
-    return d.select(
-        "doc_id",
-        "w",
-        "n",
-        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.least(F.lit(W), F.col("n") - F.col("chunk_idx") * S)
-        .cast("long")
-        .alias("n_tokens"),
-        F.concat_ws(
-            " ", F.slice(F.col("w"), F.col("chunk_idx") * S + 1, W)
-        ).alias("chunk_text"),
+    return chunk_sliding_window(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

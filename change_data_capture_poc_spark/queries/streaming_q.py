@@ -612,3 +612,47 @@ def streaming_minhash_band_drain(
         .where(F.col("n_docs") >= 2)
     )
     return _drain(agg, "streaming_minhash_band_tbl", "complete")
+
+
+@register(
+    "streaming_chunk_drain",
+    oracle=None,  # set lazily below: shares the batch chunker's oracle
+    doc="STREAMING RAG chunking: documents arrive as a stream and the "
+        "sliding-window chunker (pipeline3/4 chunk_sliding_window — "
+        "pure map stage: split, closed-form chunk count, "
+        "sequence+explode, slice) runs UNMODIFIED on the streaming "
+        "frame in append mode with zero state — the property that "
+        "lets re-chunking ride the ingest stream instead of a nightly "
+        "batch. Oracle is the batch chunker's SQL verbatim (same rows "
+        "must come out of the streaming engine).",
+)
+def streaming_chunk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        chunk_sliding_window,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    out = chunk_sliding_window(stream.select("doc_id", "text"))
+    return _drain(out, "streaming_chunk_tbl", "append")
+
+
+def _share_chunk_oracle() -> None:
+    # Registered with oracle=None above, then patched to share the
+    # batch chunker's SQL — one oracle string, two execution engines.
+    # The import forces pipeline4_q's registration first (this module
+    # imports before it in queries/__init__).
+    import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401
+    from change_data_capture_poc_spark import registry as _r
+    from change_data_capture_poc_spark.registry import Query
+
+    batch = _r._REGISTRY["corpus_chunk_sliding_window"]
+    q = _r._REGISTRY["streaming_chunk_drain"]
+    _r._REGISTRY["streaming_chunk_drain"] = Query(
+        q.name, q.fn, batch.oracle, q.doc
+    )
+
+
+_share_chunk_oracle()

@@ -510,3 +510,45 @@ def test_grouped_topk_matches_model(spark, rows, k):
         key=str,
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "d0"]), min_size=0,
+                 max_size=90),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_sliding_window_matches_model(spark, docs):
+    """Chunking invariants on random token lists: chunk i is EXACTLY
+    tokens[i*S : i*S+W]; chunk count is 1+ceil((n-W)/S); every token
+    position is covered; n_tokens matches the emitted text."""
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        _CHUNK_S,
+        _CHUNK_W,
+        chunk_sliding_window,
+    )
+
+    W, S = _CHUNK_W, _CHUNK_S
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[tuple[int, int], tuple[int, str]] = {}
+    for r in chunk_sliding_window(df).collect():
+        got[(r.doc_id, r.chunk_idx)] = (r.n_tokens, r.chunk_text)
+
+    for i, toks in enumerate(docs):
+        w = " ".join(toks).split(" ")  # split('') -> [''], as the op sees
+        n = len(w)
+        nc = 1 + max(0, -(-(n - W) // S)) if n > W else 1
+        idxs = sorted(ci for (d, ci) in got if d == i)
+        assert idxs == list(range(nc)), (i, n, nc, idxs)
+        covered = set()
+        for ci in idxs:
+            want = w[ci * S: ci * S + W]
+            n_tok, text = got[(i, ci)]
+            assert n_tok == len(want)
+            assert text == " ".join(want)
+            covered.update(range(ci * S, min(ci * S + W, n)))
+        assert covered == set(range(n))  # no token falls between chunks
