@@ -38,6 +38,7 @@ HEADLINE = (
     "dedup_minhash_lsh",        # minhash LSH banding
     "dedup_ngram_jaccard",      # inverted-index jaccard
     "dedup_embedding_cosine",   # label-blocked embedding near-dup
+    "dedup_semantic_semdedup",  # SemDeDup: kmeans-blocked cosine dedup
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
     "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN

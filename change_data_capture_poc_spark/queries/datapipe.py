@@ -3968,3 +3968,133 @@ def dedup_exact_normalized(spark, sf_dir):
         .where(F.col("n_docs") > 1)
         .orderBy("fingerprint")
     )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle="""
+    WITH ed AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, e AS c FROM ed WHERE vec_id < 8),
+    d AS (
+        SELECT ed.vec_id, s.cid,
+               ROUND(list_reduce(list_transform(list_zip(ed.e, s.c),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) + 1e-9, 6) AS dist
+        FROM ed, seeds s
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ),
+    asgn AS (SELECT a.vec_id, a.cid, ed.e
+             FROM a JOIN ed USING (vec_id) WHERE rn = 1),
+    norm AS (
+        -- normalize-then-dot, the same float path the Spark matmul uses
+        SELECT vec_id, cid,
+               list_transform(e, x -> x /
+                   CASE WHEN sqrt(list_dot_product(e, e)) = 0
+                        THEN 1 ELSE sqrt(list_dot_product(e, e)) END) AS u
+        FROM asgn
+    ),
+    pairs AS (
+        SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM norm x JOIN norm y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.u, y.u), 6) >= 0.30
+    ),
+    m AS (SELECT cid, COUNT(*) AS n_members FROM asgn GROUP BY cid),
+    pp AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid),
+    dd AS (SELECT cid, COUNT(DISTINCT vec_b) AS n_dropped
+           FROM pairs GROUP BY cid)
+    SELECT m.cid AS cluster_id,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(pp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(dd.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(m.n_members - COALESCE(dd.n_dropped, 0) AS BIGINT)
+               AS n_kept
+    FROM m LEFT JOIN pp USING (cid) LEFT JOIN dd USING (cid)
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup that bounds the "
+        "quadratic pairwise cosine by FIRST clustering the embedding "
+        "space, THEN comparing only within clusters. Assignment reuses "
+        "the kmeans_one_iter shape — 8 deterministic seed centroids "
+        "(vec_id < 8) folded into a least(struct(dist, cid)) map-side "
+        "argmin, zero shuffle, 1e-6-rounded distance with cid "
+        "tiebreak. Within-cluster pairs come from the "
+        "label_blocked_cosine_pairs BLAS matmul (one applyInPandas "
+        "block per cluster, pairs never leave their block); a member "
+        "is dropped when a LOWER-id member of the same cluster sits "
+        "above the cosine threshold (keep-lowest, same rule as "
+        "dedup_exact_keep_first). Output is the per-cluster readout "
+        "(members / dup pairs / dropped / kept) a curation run logs. "
+        "At 100 TB the cluster count scales with the corpus (k ~ "
+        "sqrt(N)), holding block sizes bounded — that bounding is the "
+        "published method's point; this query pins the k=8 toy "
+        "instance against the oracle. Reference keeps payloads "
+        "engine-side (transform_scd2.py); dedup itself has no "
+        "reference twin — LLM-pipeline extension.",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors_pandas import (
+        label_blocked_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    seeds = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in ed.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .collect()
+    ]
+    # Same single-SQL-string argmin build as kmeans_one_iter (per-lit
+    # py4j round-trips dominate otherwise).
+    cands = ", ".join(
+        "struct(round(aggregate(zip_with(e, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+        + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
+        for cid, c in seeds
+    )
+    asgn = ed.select(
+        "vec_id", F.expr(f"least({cands})").getField("cid").alias("cid"), "e"
+    )
+    pairs = label_blocked_cosine_pairs(
+        asgn.select(
+            "vec_id", F.col("cid").alias("label"), F.col("e").alias("v")
+        ),
+        threshold=0.30,
+    )
+    # Re-attach the cluster id to each (tiny) surviving pair via its
+    # left member — both members share cid by construction.
+    pairs_c = pairs.join(
+        asgn.select(F.col("vec_id").alias("vec_a"), "cid"), "vec_a"
+    ).select("cid", "vec_a", "vec_b")
+    m = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    pp = pairs_c.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dd = (
+        pairs_c.select("cid", "vec_b")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        m.join(pp, "cid", "left")
+        .join(dd, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )

