@@ -39,6 +39,8 @@ HEADLINE = (
     "dedup_ngram_jaccard",      # inverted-index jaccard
     "dedup_embedding_cosine",   # label-blocked embedding near-dup
     "dedup_semantic_semdedup",  # SemDeDup: kmeans-blocked cosine dedup
+    "corpus_temperature_resample",  # p^alpha source sampling targets
+    "eval_quality_score_calibration",  # classifier-vs-rule reliability
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
     "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN

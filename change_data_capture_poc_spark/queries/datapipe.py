@@ -4098,3 +4098,107 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "eval_quality_score_calibration",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    fh AS (SELECT doc_id,
+                  ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                      % {_QCLS_BUCKETS} AS b
+           FROM tok),
+    wt AS (SELECT range AS b, ((range * 37 + 11) % 21 - 10) / 10.0 AS wt
+           FROM range({_QCLS_BUCKETS})),
+    sc AS (SELECT doc_id,
+                  ROUND(1.0 / (1.0 + exp(-AVG(wt))) + 1e-9, 6) AS score
+           FROM fh JOIN wt USING (b) GROUP BY doc_id),
+    t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(w) AS n_words,
+               list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                   AS sum_wlen,
+               len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                   AS n_alpha,
+               len(list_intersect(w, {_QF_STOP_SQL})) > 0 AS has_stop
+        FROM t
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 50 THEN false
+                    WHEN n_chars > 10000 THEN false
+                    WHEN sum_wlen < 2 * n_words THEN false
+                    WHEN sum_wlen > 12 * n_words THEN false
+                    WHEN 5 * n_alpha < 3 * n_words THEN false
+                    WHEN NOT has_stop THEN false
+                    ELSE true
+               END AS keep_rule
+        FROM m
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(sc.score * 10) AS INT), 9) AS bin,
+               sc.score,
+               CASE WHEN lab.keep_rule THEN 1.0 ELSE 0.0 END AS y
+        FROM sc JOIN lab USING (doc_id)
+    ),
+    agg AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(score) + 1e-9, 6) AS mean_score,
+               ROUND(AVG(y) + 1e-9, 6) AS rule_pass_rate
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n_docs, mean_score, rule_pass_rate,
+           ROUND(ABS(mean_score - rule_pass_rate) + 1e-9, 6) AS gap
+    FROM agg
+    """,
+    doc="Calibration readout of the learned quality classifier "
+        "(text_quality_classifier_score) against the Gopher-style "
+        "rule filter (text_quality_filter): docs bucketed into ten "
+        "score deciles, each bin reporting mean predicted score vs "
+        "the rule-filter pass rate and the |gap| (the reliability-"
+        "diagram rows an ECE sums) — the pre-flight check before a "
+        "corpus swaps rule-filtering for model-filtering, catching a "
+        "classifier that is discriminative but mis-calibrated. "
+        "Composes the two existing map+agg plans with one doc_id "
+        "join; output is <= 10 rows. Gap computed from the 1e-6-"
+        "rounded bin aggregates on both engines (float-sign "
+        "portability rule). Reference has no model-based filtering — "
+        "LLM-pipeline extension.",
+)
+def eval_quality_score_calibration(spark, sf_dir):
+    sc = text_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    lab = text_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_rule")
+    )
+    binned = sc.join(lab, "doc_id").select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        "score",
+        F.when(F.col("keep_rule"), 1.0).otherwise(0.0).alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("score") + F.lit(1e-9), 6).alias("mean_score"),
+        F.round(F.avg("y") + F.lit(1e-9), 6).alias("rule_pass_rate"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "mean_score",
+        "rule_pass_rate",
+        F.round(
+            F.abs(F.col("mean_score") - F.col("rule_pass_rate"))
+            + F.lit(1e-9),
+            6,
+        ).alias("gap"),
+    )

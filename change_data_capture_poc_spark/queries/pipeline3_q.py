@@ -2301,3 +2301,99 @@ def embedding_centroid_drift(
         ).alias("centroid_l2_drift"),
         F.count(F.lit(1)).cast("long").alias("dim"),
     )
+
+
+_RESAMPLE_BUDGET = 1000  # docs to draw across sources
+_RESAMPLE_ALPHA = 0.7    # temperature exponent (XLM/mT5 convention)
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
+               GROUP BY source),
+    t AS (SELECT SUM(n_s) AS n FROM c),
+    -- 1e6-scaled integer weights: ROUND(pow*1e6) is computed on the
+    -- identical double by both engines, and everything downstream is
+    -- integer-exact (no float quotas, no CAST-rounding divergence).
+    w AS (SELECT source, n_s,
+                 CAST(ROUND(pow(n_s, {_RESAMPLE_ALPHA}) * 1e6, 0)
+                      AS BIGINT) AS w6
+          FROM c),
+    ws AS (SELECT SUM(w6) AS wsum FROM w),
+    quota AS (
+        SELECT source, n_s, w6,
+               ({_RESAMPLE_BUDGET} * w6) // wsum AS base,
+               ({_RESAMPLE_BUDGET} * w6) % wsum AS rem
+        FROM w, ws
+    ),
+    short AS (SELECT {_RESAMPLE_BUDGET} - SUM(base) AS extra FROM quota)
+    SELECT q.source,
+           CAST(q.n_s AS BIGINT) AS n_docs,
+           ROUND(q.n_s * 1.0 / t.n + 1e-9, 6) AS n_share,
+           ROUND(q.w6 * 1.0 / ws.wsum + 1e-9, 6) AS q_share,
+           CAST(q.base + CASE WHEN ROW_NUMBER() OVER (
+                                  ORDER BY q.rem DESC, q.source) <= s.extra
+                              THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+    FROM quota q, t, ws, short s
+    """,
+    doc=f"Temperature-based source resampling (XLM / mT5 multilingual "
+        f"sampling): draw {_RESAMPLE_BUDGET} docs with per-source "
+        f"probability q_s proportional to p_s^{_RESAMPLE_ALPHA} — "
+        f"flattening the source distribution so long-tail sources are "
+        f"up-weighted without letting any single crawl dominate. "
+        f"Targets are EXACT counts via the largest-remainder method "
+        f"on 1e6-scaled integer weights (same integer-exact allocation "
+        f"as eval_holdout_stratified_exact; float enters only in the "
+        f"one ROUND(pow*1e6) per source, identical on both engines). "
+        f"Everything runs on the |sources|-row count table after one "
+        f"agg shuffle; the remainder ranking window spans |sources| "
+        f"rows (bounded frame). Reference has no sampling machinery — "
+        f"LLM-pipeline extension.",
+)
+def corpus_temperature_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t = c.agg(F.sum("n_s").alias("n"))
+    w = c.select(
+        "source",
+        "n_s",
+        F.round(F.pow("n_s", F.lit(_RESAMPLE_ALPHA)) * 1e6, 0)
+        .cast("long")
+        .alias("w6"),
+    )
+    ws = w.agg(F.sum("w6").alias("wsum"))
+    quota = w.crossJoin(F.broadcast(ws)).select(
+        "source",
+        "n_s",
+        "w6",
+        "wsum",
+        F.expr(f"({_RESAMPLE_BUDGET} * w6) DIV wsum").alias("base"),
+        (F.lit(_RESAMPLE_BUDGET) * F.col("w6") % F.col("wsum")).alias(
+            "rem"
+        ),
+    )
+    short = quota.agg(
+        (F.lit(_RESAMPLE_BUDGET) - F.sum("base")).alias("extra")
+    )
+    w_rem = global_window(F.col("rem").desc(), "source")
+    return (
+        quota.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            F.round(F.col("n_s") * 1.0 / F.col("n") + F.lit(1e-9), 6)
+            .alias("n_share"),
+            F.round(F.col("w6") * 1.0 / F.col("wsum") + F.lit(1e-9), 6)
+            .alias("q_share"),
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(w_rem) <= F.col("extra"), 1
+                ).otherwise(0)
+            ).cast("long").alias("target_docs"),
+        )
+    )

@@ -833,3 +833,42 @@ def test_misra_gries_partitioning_independent(spark, sf_dir):
             .collect()
         }
         assert got == base, f"partitioning {parts} changed the answer"
+
+
+def test_temperature_resample_allocation(spark, sf_dir):
+    """Largest-remainder targets: sum exactly equals the budget, every
+    source gets >= its floor quota, and temperature flattens the mix
+    (smallest source's share strictly rises, largest's falls)."""
+    from change_data_capture_poc_spark.queries.pipeline3_q import (
+        _RESAMPLE_BUDGET,
+        corpus_temperature_resample,
+    )
+
+    rows = {r.source: r for r in
+            corpus_temperature_resample(spark, sf_dir).collect()}
+    assert sum(r.target_docs for r in rows.values()) == _RESAMPLE_BUDGET
+    smallest = min(rows.values(), key=lambda r: r.n_docs)
+    largest = max(rows.values(), key=lambda r: r.n_docs)
+    if smallest.n_docs < largest.n_docs:  # degenerate equal-mix guard
+        assert smallest.q_share > smallest.n_share
+        assert largest.q_share < largest.n_share
+    for r in rows.values():
+        # target never drifts below the floor quota or above floor+1
+        assert abs(r.target_docs - _RESAMPLE_BUDGET * r.q_share) <= 1.01
+
+
+def test_quality_calibration_bins(spark, sf_dir):
+    """Calibration rows: bins within [0,9], doc counts cover the whole
+    corpus exactly once, gap is |mean_score - rule_pass_rate|."""
+    from change_data_capture_poc_spark.queries.datapipe import (
+        eval_quality_score_calibration,
+    )
+
+    rows = eval_quality_score_calibration(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_score <= 1.0
+        assert 0.0 <= r.rule_pass_rate <= 1.0
+        assert abs(r.gap - abs(r.mean_score - r.rule_pass_rate)) < 2e-6

@@ -55,6 +55,8 @@ PROBES = (
     "ann_cosine_lsh_hyperplane",
     "dedup_embedding_cosine",
     "dedup_semantic_semdedup",
+    "corpus_temperature_resample",
+    "eval_quality_score_calibration",
     "sql_small_qty_revenue",
     "range_join_signup_windows",
     "events_funnel",
