@@ -33,3 +33,42 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def collect_centroids(ed, k: int, id_col: str = "vec_id",
+                      vec_col: str = "e") -> list[tuple[int, list[float]]]:
+    """Collect the k seed centroids (rows with id < k) driver-side.
+
+    Bounded at k rows by construction — the one collect() the Lloyd /
+    SemDeDup assignment shape is allowed. Sorted by centroid id so
+    downstream first-minimum tiebreaks are deterministic.
+    """
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in ed.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+        .collect()
+    )
+
+
+def centroid_argmin_expr(
+    centroids: list[tuple[int, list[float]]], vec_col: str = "e"
+) -> Column:
+    """Map-side argmin over collected centroids.
+
+    One struct(dist, cid) candidate per centroid; lexicographic
+    ``least`` == ORDER BY dist, cid LIMIT 1 — the same 1e-6-rounded
+    distance and lowest-cid tiebreak as the DuckDB oracles'
+    ROW_NUMBER, with ZERO shuffles (the corpus never crosses the
+    network to be assigned). Built as ONE SQL string: the
+    column-object form costs k*dim py4j literal round-trips, which
+    dominates wall clock at k=8, dim=64.
+    """
+    cands = ", ".join(
+        f"struct(round(aggregate(zip_with({vec_col}, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+        + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
+        for cid, c in centroids
+    )
+    return F.expr(f"least({cands})")

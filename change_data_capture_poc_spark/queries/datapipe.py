@@ -1242,26 +1242,34 @@ def text_lang_confusion_matrix(spark, sf_dir):
 
 _QCLS_BUCKETS = 64
 
+# Shared classifier-score CTE chain, ending at
+# qscore(doc_id, n_tokens, score): hashing-trick features, mean bucket
+# weight through a sigmoid, 1e-6-rounded. Used by both
+# text_quality_classifier_score and eval_quality_score_calibration —
+# a weight/bucket change must hit both oracles at once.
+_QCLS_SCORE_SQL = f"""tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    fh AS (SELECT doc_id,
+                  ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                      % {_QCLS_BUCKETS} AS b
+           FROM tok),
+    wtab AS (SELECT range AS b, ((range * 37 + 11) % 21 - 10) / 10.0 AS wt
+             FROM range({_QCLS_BUCKETS})),
+    qscore AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      ROUND(1.0 / (1.0 + exp(-AVG(wt))) + 1e-9, 6) AS score
+               FROM fh JOIN wtab USING (b) GROUP BY doc_id)"""
+
 
 @register(
     "text_quality_classifier_score",
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    f AS (SELECT doc_id,
-                 ('0x' || substring(md5(tok), 1, 8))::BIGINT % {_QCLS_BUCKETS}
-                     AS b
-          FROM tok),
-    w AS (SELECT range AS b, ((range * 37 + 11) % 21 - 10) / 10.0 AS wt
-          FROM range({_QCLS_BUCKETS})),
-    s AS (SELECT doc_id, COUNT(*) AS n_tokens, AVG(wt) AS m
-          FROM f JOIN w USING (b) GROUP BY doc_id)
+    WITH {_QCLS_SCORE_SQL}
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(1.0 / (1.0 + exp(-m)) + 1e-9, 6) AS quality_score,
-           ROUND(1.0 / (1.0 + exp(-m)) + 1e-9, 6) >= 0.5 AS keep
-    FROM s
+           score AS quality_score,
+           score >= 0.5 AS keep
+    FROM qscore
     """,
     doc=f"Model-based quality filtering, the fasttext-classifier shape "
         f"every production pretraining pipeline runs (heuristic rules "
@@ -1719,15 +1727,15 @@ def corpus_source_mix(spark, sf_dir):
 
 _QF_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
-
-@register(
-    "text_quality_filter",
-    oracle=f"""
-    WITH t AS (
+# Shared Gopher-rule CTE chain, ending at qrule(doc_id, drop_reason)
+# where drop_reason IS NULL == keep. Used by both text_quality_filter
+# and eval_quality_score_calibration — a threshold change must hit
+# both oracles at once.
+_QF_RULE_SQL = f"""qf_t AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS w
         FROM documents
     ),
-    m AS (
+    qf_m AS (
         SELECT doc_id, n_chars,
                len(w) AS n_words,
                list_aggregate(list_transform(w, x -> len(x)), 'sum')
@@ -1735,25 +1743,27 @@ _QF_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
                len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
                    AS n_alpha,
                len(list_intersect(w, {_QF_STOP_SQL})) > 0 AS has_stop
-        FROM t
-    )
-    SELECT doc_id,
-           CASE WHEN n_chars < 50 THEN 'too_short'
-                WHEN n_chars > 10000 THEN 'too_long'
-                WHEN sum_wlen < 2 * n_words THEN 'short_words'
-                WHEN sum_wlen > 12 * n_words THEN 'long_words'
-                WHEN 5 * n_alpha < 3 * n_words THEN 'low_alpha'
-                WHEN NOT has_stop THEN 'no_stopword'
-           END AS drop_reason,
-           CASE WHEN n_chars < 50 THEN false
-                WHEN n_chars > 10000 THEN false
-                WHEN sum_wlen < 2 * n_words THEN false
-                WHEN sum_wlen > 12 * n_words THEN false
-                WHEN 5 * n_alpha < 3 * n_words THEN false
-                WHEN NOT has_stop THEN false
-                ELSE true
-           END AS keep
-    FROM m
+        FROM qf_t
+    ),
+    qrule AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 50 THEN 'too_short'
+                    WHEN n_chars > 10000 THEN 'too_long'
+                    WHEN sum_wlen < 2 * n_words THEN 'short_words'
+                    WHEN sum_wlen > 12 * n_words THEN 'long_words'
+                    WHEN 5 * n_alpha < 3 * n_words THEN 'low_alpha'
+                    WHEN NOT has_stop THEN 'no_stopword'
+               END AS drop_reason
+        FROM qf_m
+    )"""
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH {_QF_RULE_SQL}
+    SELECT doc_id, drop_reason, drop_reason IS NULL AS keep
+    FROM qrule
     """,
     doc="Gopher-style quality filter: length bounds, mean-word-length "
         "band (2-12), alpha-token fraction >= 0.6, stopword presence — "
@@ -3513,10 +3523,13 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_one_iter",
-    oracle="""
-    WITH ed AS (
+# Shared seed-argmin assignment CTE chain, ending at
+# asgn(vec_id, cid, e): nearest of the 8 deterministic seed centroids
+# (vec_id < 8), 1e-6-rounded distance, lowest-cid tiebreak. The Spark
+# twin is functions/vectors.collect_centroids + centroid_argmin_expr —
+# keep the two in lockstep (kmeans_one_iter and dedup_semantic_semdedup
+# both pin this block against their oracles).
+_SEED_ASSIGN_SQL = """ed AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
@@ -3534,8 +3547,15 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY dist, cid) AS rn
         FROM d
     ),
-    asgn AS (SELECT vec_id, cid FROM a WHERE rn = 1),
-    j AS (SELECT asgn.cid, ed.e FROM asgn JOIN ed USING (vec_id))
+    asgn AS (SELECT a.vec_id, a.cid, ed.e
+             FROM a JOIN ed USING (vec_id) WHERE rn = 1)"""
+
+
+@register(
+    "kmeans_one_iter",
+    oracle=f"""
+    WITH {_SEED_ASSIGN_SQL},
+    j AS (SELECT cid, e FROM asgn)
     SELECT cid AS cluster_id, r.i AS dim,
            ROUND(AVG(e[r.i]) + 1e-9, 6) AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_members
@@ -3556,29 +3576,20 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scalars — 512 rows, no array columns on the bridge.",
 )
 def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+        collect_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     ed = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    seeds = [
-        (int(r["cid"]), [float(x) for x in r["c"]])
-        for r in ed.where(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
-        .collect()
-    ]
-    # One SQL string, not k*dim Column-object literals (each F.lit is a
-    # py4j round-trip; at 8x64 they dominate the build time).
-    cands = ", ".join(
-        "struct(round(aggregate(zip_with(e, array("
-        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
-        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
-        + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
-        for cid, c in seeds
+    seeds = collect_centroids(ed, 8)
+    j = ed.select(
+        centroid_argmin_expr(seeds).getField("cid").alias("cid"), "e"
     )
-    # Lexicographic least(struct) == ORDER BY dist, cid LIMIT 1 — the
-    # oracle's ROW_NUMBER tie-break, computed per-row with no shuffle.
-    j = ed.select(F.expr(f"least({cands})").getField("cid").alias("cid"), "e")
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     return (
         j.crossJoin(F.broadcast(dims))
@@ -3972,27 +3983,8 @@ def dedup_exact_normalized(spark, sf_dir):
 
 @register(
     "dedup_semantic_semdedup",
-    oracle="""
-    WITH ed AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
-    ),
-    seeds AS (SELECT vec_id AS cid, e AS c FROM ed WHERE vec_id < 8),
-    d AS (
-        SELECT ed.vec_id, s.cid,
-               ROUND(list_reduce(list_transform(list_zip(ed.e, s.c),
-                         p -> (p[1] - p[2]) * (p[1] - p[2])),
-                     (a, b) -> a + b) + 1e-9, 6) AS dist
-        FROM ed, seeds s
-    ),
-    a AS (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cid) AS rn
-        FROM d
-    ),
-    asgn AS (SELECT a.vec_id, a.cid, ed.e
-             FROM a JOIN ed USING (vec_id) WHERE rn = 1),
+    oracle=f"""
+    WITH {_SEED_ASSIGN_SQL},
     norm AS (
         -- normalize-then-dot, the same float path the Spark matmul uses
         SELECT vec_id, cid,
@@ -4039,6 +4031,10 @@ def dedup_exact_normalized(spark, sf_dir):
         "reference twin — LLM-pipeline extension.",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+        collect_centroids,
+    )
     from change_data_capture_poc_spark.functions.vectors_pandas import (
         label_blocked_cosine_pairs,
     )
@@ -4048,23 +4044,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    seeds = [
-        (int(r["cid"]), [float(x) for x in r["c"]])
-        for r in ed.where(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
-        .collect()
-    ]
-    # Same single-SQL-string argmin build as kmeans_one_iter (per-lit
-    # py4j round-trips dominate otherwise).
-    cands = ", ".join(
-        "struct(round(aggregate(zip_with(e, array("
-        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
-        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
-        + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
-        for cid, c in seeds
-    )
+    seeds = collect_centroids(ed, 8)
     asgn = ed.select(
-        "vec_id", F.expr(f"least({cands})").getField("cid").alias("cid"), "e"
+        "vec_id",
+        centroid_argmin_expr(seeds).getField("cid").alias("cid"),
+        "e",
     )
     pairs = label_blocked_cosine_pairs(
         asgn.select(
@@ -4103,49 +4087,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eval_quality_score_calibration",
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    fh AS (SELECT doc_id,
-                  ('0x' || substring(md5(tok), 1, 8))::BIGINT
-                      % {_QCLS_BUCKETS} AS b
-           FROM tok),
-    wt AS (SELECT range AS b, ((range * 37 + 11) % 21 - 10) / 10.0 AS wt
-           FROM range({_QCLS_BUCKETS})),
-    sc AS (SELECT doc_id,
-                  ROUND(1.0 / (1.0 + exp(-AVG(wt))) + 1e-9, 6) AS score
-           FROM fh JOIN wt USING (b) GROUP BY doc_id),
-    t AS (
-        SELECT doc_id, n_chars, string_split(text, ' ') AS w
-        FROM documents
-    ),
-    m AS (
-        SELECT doc_id, n_chars,
-               len(w) AS n_words,
-               list_aggregate(list_transform(w, x -> len(x)), 'sum')
-                   AS sum_wlen,
-               len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
-                   AS n_alpha,
-               len(list_intersect(w, {_QF_STOP_SQL})) > 0 AS has_stop
-        FROM t
-    ),
-    lab AS (
-        SELECT doc_id,
-               CASE WHEN n_chars < 50 THEN false
-                    WHEN n_chars > 10000 THEN false
-                    WHEN sum_wlen < 2 * n_words THEN false
-                    WHEN sum_wlen > 12 * n_words THEN false
-                    WHEN 5 * n_alpha < 3 * n_words THEN false
-                    WHEN NOT has_stop THEN false
-                    ELSE true
-               END AS keep_rule
-        FROM m
-    ),
+    WITH {_QCLS_SCORE_SQL},
+    {_QF_RULE_SQL},
     binned AS (
-        SELECT LEAST(CAST(FLOOR(sc.score * 10) AS INT), 9) AS bin,
-               sc.score,
-               CASE WHEN lab.keep_rule THEN 1.0 ELSE 0.0 END AS y
-        FROM sc JOIN lab USING (doc_id)
+        SELECT LEAST(CAST(FLOOR(qscore.score * 10) AS INT), 9) AS bin,
+               qscore.score,
+               CASE WHEN qrule.drop_reason IS NULL THEN 1.0
+                    ELSE 0.0 END AS y
+        FROM qscore JOIN qrule USING (doc_id)
     ),
     agg AS (
         SELECT bin,

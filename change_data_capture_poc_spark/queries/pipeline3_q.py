@@ -1874,6 +1874,13 @@ def _kmeans_oracle() -> str:
         f"that lose all members drop out on both engines.",
 )
 def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr as nearest,
+    )
+    from change_data_capture_poc_spark.functions.vectors import (
+        collect_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     ed = emb.select(
         "vec_id",
@@ -1882,28 +1889,7 @@ def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed.persist()
     # Seed centroids = first K vectors. K is a compile-time constant, so
     # this collect (and the per-round one below) is bounded at K rows.
-    cent = [
-        (int(r["cid"]), [float(x) for x in r["c"]])
-        for r in ed.where(F.col("vec_id") < _KM_K)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
-        .collect()
-    ]
-
-    def nearest(cent_rows):
-        """Map-side argmin over the collected centroids: one
-        struct(dist, cid) candidate per centroid, lexicographic least
-        == ORDER BY dist, cid LIMIT 1 — same tie-break as the oracle's
-        ROW_NUMBER, zero shuffles. Built as ONE SQL string: the
-        column-object form costs k*dim py4j literal calls per round,
-        which dominated the whole query's wall clock."""
-        cands = ", ".join(
-            "struct(round(aggregate(zip_with(e, array("
-            + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
-            + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
-            + f" + 1e-9, 6) AS dist, CAST({cid} AS BIGINT) AS cid)"
-            for cid, c in cent_rows
-        )
-        return F.expr(f"least({cands})")
+    cent = collect_centroids(ed, _KM_K)
 
     avg_aggs = [
         F.round(F.avg(F.col("e")[i]) + 1e-9, 6).alias(f"c{i}")
@@ -2313,11 +2299,14 @@ _RESAMPLE_ALPHA = 0.7    # temperature exponent (XLM/mT5 convention)
     WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
                GROUP BY source),
     t AS (SELECT SUM(n_s) AS n FROM c),
-    -- 1e6-scaled integer weights: ROUND(pow*1e6) is computed on the
-    -- identical double by both engines, and everything downstream is
+    -- 1e6-scaled integer weights; everything downstream is
     -- integer-exact (no float quotas, no CAST-rounding divergence).
+    -- The 1e-3 nudge before ROUND(...,0) absorbs a <=1-ulp pow()
+    -- disagreement between JVM Math.pow and libm at a mathematically
+    -- exact .5 boundary (the float-sign portability rule, scaled to
+    -- this magnitude).
     w AS (SELECT source, n_s,
-                 CAST(ROUND(pow(n_s, {_RESAMPLE_ALPHA}) * 1e6, 0)
+                 CAST(ROUND(pow(n_s, {_RESAMPLE_ALPHA}) * 1e6 + 1e-3, 0)
                       AS BIGINT) AS w6
           FROM c),
     ws AS (SELECT SUM(w6) AS wsum FROM w),
@@ -2360,7 +2349,10 @@ def corpus_temperature_resample(
     w = c.select(
         "source",
         "n_s",
-        F.round(F.pow("n_s", F.lit(_RESAMPLE_ALPHA)) * 1e6, 0)
+        # 1e-3 nudge: see the oracle comment (pow ulp portability)
+        F.round(
+            F.pow("n_s", F.lit(_RESAMPLE_ALPHA)) * 1e6 + F.lit(1e-3), 0
+        )
         .cast("long")
         .alias("w6"),
     )

@@ -65,9 +65,10 @@ def chunk_sliding_window(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register(
-    "corpus_chunk_sliding_window",
-    oracle=f"""
+# Shared by corpus_chunk_sliding_window and streaming_chunk_drain —
+# one oracle string, two execution engines (batch and streaming run
+# the identical chunk_sliding_window plan).
+_CHUNK_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -89,7 +90,12 @@ def chunk_sliding_window(df: DataFrame, text_col: str = "text") -> DataFrame:
                           i * {_CHUNK_S} + {_CHUNK_W}), ' ')
                AS chunk_text
     FROM y
-    """,
+    """
+
+
+@register(
+    "corpus_chunk_sliding_window",
+    oracle=_CHUNK_ORACLE,
     doc=f"RAG chunking: every document split into overlapping "
         f"{_CHUNK_W}-token windows at stride {_CHUNK_S} (overlap "
         f"{_CHUNK_W - _CHUNK_S}) — the retrieval-prep step between "

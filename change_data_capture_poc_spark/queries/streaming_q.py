@@ -614,9 +614,21 @@ def streaming_minhash_band_drain(
     return _drain(agg, "streaming_minhash_band_tbl", "complete")
 
 
+def _chunk_oracle() -> str:
+    # One oracle string, two execution engines: the streaming drain
+    # must produce the exact rows of the batch chunker (same pattern
+    # as _minhash_band_oracle above). The import is cycle-free —
+    # pipeline4_q depends only on registry + sources.
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        _CHUNK_ORACLE,
+    )
+
+    return _CHUNK_ORACLE
+
+
 @register(
     "streaming_chunk_drain",
-    oracle=None,  # set lazily below: shares the batch chunker's oracle
+    oracle=_chunk_oracle(),
     doc="STREAMING RAG chunking: documents arrive as a stream and the "
         "sliding-window chunker (pipeline3/4 chunk_sliding_window — "
         "pure map stage: split, closed-form chunk count, "
@@ -637,22 +649,3 @@ def streaming_chunk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = chunk_sliding_window(stream.select("doc_id", "text"))
     return _drain(out, "streaming_chunk_tbl", "append")
-
-
-def _share_chunk_oracle() -> None:
-    # Registered with oracle=None above, then patched to share the
-    # batch chunker's SQL — one oracle string, two execution engines.
-    # The import forces pipeline4_q's registration first (this module
-    # imports before it in queries/__init__).
-    import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401
-    from change_data_capture_poc_spark import registry as _r
-    from change_data_capture_poc_spark.registry import Query
-
-    batch = _r._REGISTRY["corpus_chunk_sliding_window"]
-    q = _r._REGISTRY["streaming_chunk_drain"]
-    _r._REGISTRY["streaming_chunk_drain"] = Query(
-        q.name, q.fn, batch.oracle, q.doc
-    )
-
-
-_share_chunk_oracle()

@@ -183,19 +183,49 @@ def test_cosine_topk_pandas_zero_norm_guard(spark):
     assert got[(1, 3)] > 0.7
 
 
-def test_semdedup_invariants(spark, sf_dir):
-    """SemDeDup per-cluster readout: kept + dropped = members, pair
-    count bounds dropped, every corpus vector lands in exactly one
-    cluster, and a re-run of the blocked pairs confirms the keep-
-    lowest rule (a member is dropped iff a lower-id member of the
-    same cluster clears the threshold)."""
+def test_semdedup_matches_numpy_model(spark, sf_dir):
+    """Full independent model of SemDeDup in numpy: seed-argmin
+    assignment (rounded sq-dist, lowest-cid tiebreak), within-cluster
+    rounded cosine pairs at 0.30, keep-lowest drop rule — the engine's
+    per-cluster readout must match the model EXACTLY."""
+    import numpy as np
+
     from change_data_capture_poc_spark.registry import all_queries
 
     q = all_queries()["dedup_semantic_semdedup"]
     rows = {r.cluster_id: r for r in q.fn(spark, sf_dir).collect()}
-    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert sum(r.n_members for r in rows.values()) == n_vecs
-    for r in rows.values():
-        assert r.n_kept + r.n_dropped == r.n_members
-        assert r.n_dup_pairs >= r.n_dropped  # each drop needs >=1 pair
-        assert r.n_kept >= 1  # a cluster always keeps its lowest id
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    mat = np.array(
+        [[float(x) for x in r.embedding] for r in emb], dtype=np.float64
+    )
+    seed_ids, seeds = ids[ids < 8], mat[ids < 8]
+    d2 = np.round(
+        ((mat[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2) + 1e-9, 6
+    )
+    # argmin keeps the FIRST minimum; seed_ids ascend, so this is the
+    # engine's least(struct(dist, cid)) lowest-cid tiebreak.
+    cid = seed_ids[np.argmin(d2, axis=1)]
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    u = mat / np.where(nrm == 0, 1.0, nrm)
+    model = {}
+    for c in np.unique(cid):
+        m_ids, mu = ids[cid == c], u[cid == c]
+        sims = np.round(mu @ mu.T, 6)
+        iu, ju = np.triu_indices(len(m_ids), k=1)
+        keep = sims[iu, ju] >= 0.30
+        n_pairs = int(keep.sum())
+        dropped = {int(b) for b in m_ids[ju[keep]]}
+        model[int(c)] = (
+            len(m_ids), n_pairs, len(dropped), len(m_ids) - len(dropped),
+        )
+    got = {
+        int(c): (r.n_members, r.n_dup_pairs, r.n_dropped, r.n_kept)
+        for c, r in rows.items()
+    }
+    assert got == model

@@ -534,9 +534,13 @@ def test_chunk_sliding_window_matches_model(spark, docs):
     W, S = _CHUNK_W, _CHUNK_S
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    collected = chunk_sliding_window(df).collect()
     got: dict[tuple[int, int], tuple[int, str]] = {}
-    for r in chunk_sliding_window(df).collect():
+    for r in collected:
         got[(r.doc_id, r.chunk_idx)] = (r.n_tokens, r.chunk_text)
+    # duplicate (doc_id, chunk_idx) emissions must not silently
+    # collapse into the dict and pass the per-index checks below
+    assert len(collected) == len(got)
 
     for i, toks in enumerate(docs):
         w = " ".join(toks).split(" ")  # split('') -> [''], as the op sees
