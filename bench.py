@@ -41,6 +41,8 @@ HEADLINE = (
     "dedup_semantic_semdedup",  # SemDeDup: kmeans-blocked cosine dedup
     "corpus_temperature_resample",  # p^alpha source sampling targets
     "eval_quality_score_calibration",  # classifier-vs-rule reliability
+    "text_stupid_backoff_score",    # backoff LM scoring, train->test
+    "text_winnowing_fingerprint",   # MOSS winnowing signatures
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
     "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN

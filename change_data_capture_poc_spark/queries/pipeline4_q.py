@@ -418,3 +418,224 @@ def ann_ivf_multiprobe_recall(
             ),
         )
     )
+
+
+_SB_ALPHA = 0.4  # Stupid Backoff discount (Brants et al. 2007)
+
+
+@register(
+    "text_stupid_backoff_score",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS h
+        FROM documents
+    ),
+    trtok AS (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM split WHERE h < 80),
+    c1 AS (SELECT tok, COUNT(*) AS c FROM trtok GROUP BY tok),
+    tv AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM c1),
+    trbg AS (
+        SELECT w[i+1] AS w1, w[i+2] AS w2
+        FROM (SELECT string_split(text, ' ') AS w FROM split
+              WHERE h < 80 AND len(string_split(text, ' ')) >= 2),
+             unnest(range(len(w) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM trbg GROUP BY w1, w2),
+    tebg AS (
+        SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM split
+              WHERE h >= 90 AND len(string_split(text, ' ')) >= 2),
+             unnest(range(len(w) - 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               c2.c IS NULL AS backed_off,
+               CASE WHEN c2.c IS NOT NULL
+                    THEN ln(c2.c * 1.0 / u1.c)
+                    ELSE ln({_SB_ALPHA} * (COALESCE(u2.c, 0) + 1.0)
+                            / (tv.t + tv.v))
+               END AS lp
+        FROM tebg b
+        LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        LEFT JOIN c1 u1 ON b.w1 = u1.tok
+        LEFT JOIN c1 u2 ON b.w2 = u2.tok, tv
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           ROUND(AVG(lp) + 1e-9, 6) AS avg_logscore
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"Stupid Backoff LM scoring (Brants et al. 2007, 'Large "
+        f"Language Models in Machine Translation'): held-out docs "
+        f"(hash split >= 90, the split_train_val_test rule) scored "
+        f"with bigram counts from the TRAIN split (< 80) — seen "
+        f"bigram: c(w1w2)/c(w1); unseen: alpha={_SB_ALPHA} times an "
+        f"add-one unigram (c(w2)+1)/(T+V). Scoring against a "
+        f"different split is what makes the backoff branch real "
+        f"(self-scoring never backs off: every corpus bigram is in "
+        f"its own count table). This is the web-scale LM shape that "
+        f"skips normalization entirely — counts join, no "
+        f"discount-mass bookkeeping, which is why it scales to "
+        f"corpus-sized count tables. n_backoff per doc is the OOV "
+        f"diagnostic. Count tables join with AQE-chosen strategy "
+        f"(bigram tables grow with the corpus — no forced "
+        f"broadcast); only the 1-row (T, V) aggregate broadcasts.",
+)
+def text_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline3_q import _md5_mod
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _md5_mod(F.col("doc_id"), 100).alias("h")
+    )
+
+    def bigrams(df):
+        toks = df.select("doc_id", F.split("text", " ").alias("w")).where(
+            F.size("w") >= 2
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+
+    train, test = d.where(F.col("h") < 80), d.where(F.col("h") >= 90)
+    c1 = (
+        train.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tv = c1.agg(
+        F.sum("c1").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    c2 = bigrams(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    scored = (
+        bigrams(test)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1.select(F.col("tok").alias("w1"),
+                        F.col("c1").alias("cw1")), "w1", "left")
+        .join(c1.select(F.col("tok").alias("w2"),
+                        F.col("c1").alias("cw2")), "w2", "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "doc_id",
+            F.col("c2").isNull().alias("backed_off"),
+            F.when(
+                F.col("c2").isNotNull(),
+                F.log(F.col("c2") * 1.0 / F.col("cw1")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(_SB_ALPHA)
+                    * (F.coalesce(F.col("cw2"), F.lit(0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("backed_off"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_backoff"),
+        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logscore"),
+    )
+
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # winnowing window (in k-gram positions)
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(len(w) - {_WIN_K - 1}),
+                   i -> ('0x' || substring(md5(array_to_string(
+                            list_slice(w, i + 1, i + {_WIN_K}), ' ')),
+                        1, 8))::BIGINT) AS h
+        FROM t WHERE len(w) >= {_WIN_K + _WIN_W - 1}
+    ),
+    f AS (
+        SELECT doc_id, len(h) AS n_grams,
+               list_distinct(list_transform(range(len(h) - {_WIN_W - 1}),
+                   j -> list_min(list_slice(h, j + 1, j + {_WIN_W}))))
+                   AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           ROUND(len(fps) * 1.0 / (n_grams - {_WIN_W - 1}) + 1e-9, 6)
+               AS fp_density,
+           CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_checksum
+    FROM f
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+        f"2003, the MOSS algorithm): hash every {_WIN_K}-token k-gram "
+        f"(md5-prefix 32-bit, identical across engines), then select "
+        f"the MINIMUM hash of every {_WIN_W}-position window — the "
+        f"guarantee is that any match of length >= k+w-1 tokens "
+        f"shares at least one selected fingerprint, so local near-dup "
+        f"detection needs only the fingerprint set, not all k-grams "
+        f"(density ~ 2/(w+1) of positions). Per-doc readout: gram "
+        f"count, distinct fingerprints, density, checksum — the "
+        f"compact signature a plagiarism/dup index stores. Pure "
+        f"map-stage HOFs (transform/slice/min over in-row arrays): "
+        f"zero shuffles, zero UDFs, scan-bandwidth at 100 TB. Docs "
+        f"shorter than k+w-1 tokens have no full window and are "
+        f"excluded on both engines (short-doc shingle guard).",
+)
+def text_winnowing_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K, W = _WIN_K, _WIN_W
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= K + W - 1
+    )
+    g = t.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {K - 1}), "
+            f"i -> conv(substring(md5(cast(concat_ws(' ', "
+            f"slice(w, i, {K})) AS BINARY)), 1, 8), 16, 10))"
+        ).cast("array<long>").alias("h"),
+    )
+    f = g.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(h) - {W - 1}), "
+                f"j -> array_min(slice(h, j, {W})))"
+            )
+        ).alias("fps"),
+    )
+    return f.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.round(
+            F.size("fps") * 1.0 / (F.col("n_grams") - (W - 1))
+            + F.lit(1e-9),
+            6,
+        ).alias("fp_density"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("fp_checksum"),
+    )

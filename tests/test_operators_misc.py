@@ -229,3 +229,114 @@ def test_semdedup_matches_numpy_model(spark, sf_dir):
         for c, r in rows.items()
     }
     assert got == model
+
+
+def _winnow_model(tokens, k=3, w=4):
+    """Pure-python winnowing reference (Schleimer et al.): md5-prefix
+    k-gram hashes, min per w-window, distinct selected values."""
+    import hashlib
+
+    if len(tokens) < k + w - 1:
+        return None
+    h = [
+        int(hashlib.md5(" ".join(tokens[i:i + k]).encode()).hexdigest()[:8],
+            16)
+        for i in range(len(tokens) - k + 1)
+    ]
+    return {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+
+
+def test_winnowing_matches_model_and_guarantee(spark):
+    """Engine fingerprints equal the python model, and two docs sharing
+    a k+w-1-token run share at least one fingerprint (the winnowing
+    guarantee the dedup index relies on)."""
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        _WIN_K,
+        _WIN_W,
+        text_winnowing_fingerprint,
+    )
+
+    shared = ["s1", "s2", "s3", "s4", "s5", "s6"]  # k+w-1 = 6 tokens
+    docs = {
+        0: ["a", "b", "c", "d"] + shared + ["e"],
+        1: ["x", "y"] + shared + ["z", "q", "r"],
+        2: ["p"] * 10,          # degenerate: one repeated token
+        3: ["t1", "t2", "t3"],  # too short for a window -> excluded
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: r
+            for r in text_winnowing_fingerprint(spark, td).collect()
+        }
+    assert set(got) == {0, 1, 2}  # doc 3 excluded by the length guard
+    models = {
+        i: _winnow_model(t, _WIN_K, _WIN_W) for i, t in docs.items()
+    }
+    for i in (0, 1, 2):
+        assert got[i].n_fingerprints == len(models[i])
+        assert got[i].fp_checksum == sum(models[i])
+    # the guarantee: the planted shared run yields a shared fingerprint
+    # (engine-side sets compared via the model, which the engine equals)
+    assert models[0] & models[1]
+
+
+def test_stupid_backoff_matches_model(spark, sf_dir):
+    """Per-doc (n_bigrams, n_backoff, avg_logscore) must match an
+    independent python Stupid Backoff over the same hash split."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        _SB_ALPHA,
+        text_stupid_backoff_score,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16
+        ) % 100
+
+    train = [t for i, t in docs.items() if h(i) < 80]
+    test = {i: t for i, t in docs.items() if h(i) >= 90 and len(t) >= 2}
+    c1 = Counter(tok for t in train for tok in t)
+    c2 = Counter(
+        (t[j], t[j + 1]) for t in train if len(t) >= 2
+        for j in range(len(t) - 1)
+    )
+    T, V = sum(c1.values()), len(c1)
+    want = {}
+    for i, t in test.items():
+        lps, nb = [], 0
+        for j in range(len(t) - 1):
+            big = (t[j], t[j + 1])
+            if big in c2:
+                lps.append(math.log(c2[big] / c1[big[0]]))
+            else:
+                nb += 1
+                lps.append(
+                    math.log(_SB_ALPHA * (c1.get(t[j + 1], 0) + 1.0)
+                             / (T + V))
+                )
+        want[i] = (len(lps), nb, round(sum(lps) / len(lps) + 1e-9, 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.avg_logscore)
+        for r in text_stupid_backoff_score(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:2] == want[i][:2], (i, got[i], want[i])
+        assert abs(got[i][2] - want[i][2]) < 2e-6, (i, got[i], want[i])

@@ -57,6 +57,8 @@ PROBES = (
     "dedup_semantic_semdedup",
     "corpus_temperature_resample",
     "eval_quality_score_calibration",
+    "text_stupid_backoff_score",
+    "text_winnowing_fingerprint",
     "sql_small_qty_revenue",
     "range_join_signup_windows",
     "events_funnel",
