@@ -43,6 +43,7 @@ HEADLINE = (
     "eval_quality_score_calibration",  # classifier-vs-rule reliability
     "text_stupid_backoff_score",    # backoff LM scoring, train->test
     "text_winnowing_fingerprint",   # MOSS winnowing signatures
+    "corpus_unimax_allocation",     # UniMax epochs-capped waterfill
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
     "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN

@@ -21,7 +21,7 @@ cross-engine float rank is rounded at 1e-6 with id tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
@@ -638,4 +638,170 @@ def text_winnowing_fingerprint(
         F.aggregate(
             "fps", F.lit(0).cast("long"), lambda a, b: a + b
         ).alias("fp_checksum"),
+    )
+
+
+# --- UniMax language-budget allocation ------------------------------
+
+_UM_E = 1  # max epochs any language may repeat (UniMax's cap knob)
+_UM_NUM, _UM_DEN = 3, 4  # token budget = 3/4 of the corpus
+
+
+@register(
+    "corpus_unimax_allocation",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+               ({_UM_NUM} * SUM(n_tokens)) // {_UM_DEN} AS budget
+        FROM per
+    ),
+    r AS (
+        SELECT p.lang, p.n_tokens,
+               {_UM_E} * p.n_tokens AS capacity,
+               t.n_langs, t.budget,
+               ROW_NUMBER() OVER
+                   (ORDER BY {_UM_E} * p.n_tokens, p.lang) AS i,
+               COALESCE(SUM({_UM_E} * p.n_tokens) OVER
+                   (ORDER BY {_UM_E} * p.n_tokens, p.lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prefix_cap
+        FROM per p, tot t
+    ),
+    f AS (
+        SELECT *, CASE WHEN capacity * (n_langs - i + 1)
+                            < budget - prefix_cap
+                       THEN 1 ELSE 0 END AS flag
+        FROM r
+    ),
+    c AS (
+        SELECT *, MIN(flag) OVER
+                      (ORDER BY capacity, lang
+                       ROWS UNBOUNDED PRECEDING) AS capped
+        FROM f
+    ),
+    s AS (
+        SELECT *, SUM(capacity * capped) OVER () AS capped_cap_sum,
+                  SUM(capped) OVER () AS n_capped
+        FROM c
+    ),
+    a AS (
+        SELECT lang, n_tokens, capacity, capped,
+               CASE WHEN capped = 1 THEN CAST(capacity AS DOUBLE)
+                    ELSE (budget - capped_cap_sum)
+                         / CAST(greatest(n_langs - n_capped, 1)
+                                AS DOUBLE)
+               END AS alloc_raw
+        FROM s
+    )
+    SELECT lang, n_tokens, capacity,
+           CAST(capped AS INT) AS capped,
+           ROUND(alloc_raw, 6) AS alloc_tokens,
+           ROUND(alloc_raw / n_tokens, 6) AS epochs
+    FROM a
+    """,
+    doc=f"UniMax language-budget allocation (Chung et al. 2023): "
+        f"spread a {_UM_NUM}/{_UM_DEN}-of-corpus token budget as "
+        f"UNIFORMLY as possible across languages, subject to no "
+        f"language repeating more than {_UM_E} epoch(s) — the "
+        f"published alternative to temperature sampling "
+        f"(corpus_temperature_resample) that avoids both "
+        f"high-resource domination and low-resource over-repetition. "
+        f"Waterfilling is closed-form over the per-lang table: sort "
+        f"by capacity = E*tokens ascending, a language is capped iff "
+        f"capacity*(langs_remaining) < budget_remaining — a prefix "
+        f"property, so one integer window pass (flag -> running MIN) "
+        f"decides the capped set bit-identically on both engines; "
+        f"uncapped languages split the leftover evenly. Plan: one "
+        f"corpus token-count agg -> |langs|-row frame; every window "
+        f"is over that bounded frame (global_window convention), the "
+        f"1-row totals join is a broadcast, and the corpus itself is "
+        f"touched once map-side. Allocations/epochs are DOUBLE "
+        f"rounded at 1e-6 from identical integer inputs.",
+)
+def corpus_unimax_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.windows import (
+        global_window,
+    )
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.size(F.split("text", " ")).alias("tk"))
+        .groupBy("lang")
+        .agg(F.sum("tk").cast("long").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.expr(
+            f"({_UM_NUM} * sum(n_tokens)) div {_UM_DEN}"
+        ).alias("budget"),
+    )
+    wo = global_window(F.col("capacity"), F.col("lang"))
+    r = (
+        per.withColumn(
+            "capacity", (F.lit(_UM_E) * F.col("n_tokens")).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "prefix_cap",
+            F.coalesce(
+                F.sum("capacity").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    f = r.withColumn(
+        "flag",
+        F.when(
+            F.col("capacity")
+            * (F.col("n_langs") - F.col("i") + F.lit(1))
+            < F.col("budget") - F.col("prefix_cap"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    c = f.withColumn(
+        "capped",
+        F.min("flag").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wfull = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = c.withColumn(
+        "capped_cap_sum",
+        F.sum(F.col("capacity") * F.col("capped")).over(wfull),
+    ).withColumn("n_capped", F.sum("capped").over(wfull))
+    a = s.withColumn(
+        "alloc_raw",
+        F.when(
+            F.col("capped") == 1, F.col("capacity").cast("double")
+        ).otherwise(
+            (F.col("budget") - F.col("capped_cap_sum"))
+            / F.greatest(
+                F.col("n_langs") - F.col("n_capped"), F.lit(1)
+            ).cast("double")
+        ),
+    )
+    return a.select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        F.col("capped").cast("int").alias("capped"),
+        F.round("alloc_raw", 6).alias("alloc_tokens"),
+        F.round(F.col("alloc_raw") / F.col("n_tokens"), 6).alias(
+            "epochs"
+        ),
     )

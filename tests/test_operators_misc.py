@@ -340,3 +340,47 @@ def test_stupid_backoff_matches_model(spark, sf_dir):
     for i in want:
         assert got[i][:2] == want[i][:2], (i, got[i], want[i])
         assert abs(got[i][2] - want[i][2]) < 2e-6, (i, got[i], want[i])
+
+
+def test_unimax_matches_sequential_waterfill(spark, sf_dir):
+    """The closed-form window-pass allocation must equal an independent
+    SEQUENTIAL waterfill (process langs by ascending capacity; cap a
+    lang iff capacity < remaining/langs_left, else split remaining
+    evenly) — and exactly exhaust the budget whenever total capacity
+    exceeds it."""
+    from change_data_capture_poc_spark.queries.pipeline4_q import (
+        _UM_DEN,
+        _UM_E,
+        _UM_NUM,
+        corpus_unimax_allocation,
+    )
+
+    rows = {
+        r.lang: r for r in corpus_unimax_allocation(spark, sf_dir).collect()
+    }
+    caps = sorted((_UM_E * r.n_tokens, lang) for lang, r in rows.items())
+    budget = _UM_NUM * sum(r.n_tokens for r in rows.values()) // _UM_DEN
+
+    model = {}
+    remaining, left = budget, len(caps)
+    for cap, lang in caps:
+        if cap * left < remaining:  # capped at cap
+            model[lang] = (1, float(cap))
+            remaining -= cap
+        else:  # this and all larger langs split remaining evenly
+            share = remaining / left
+            for c2, l2 in caps[len(model):]:
+                model[l2] = (0, share)
+            break
+        left -= 1
+
+    for lang, (capped, alloc) in model.items():
+        assert rows[lang].capped == capped, lang
+        assert abs(rows[lang].alloc_tokens - alloc) < 1e-5, lang
+        assert abs(
+            rows[lang].epochs - alloc / rows[lang].n_tokens
+        ) < 1e-5, lang
+    assert (
+        abs(sum(a for _, a in model.values()) - budget) < 1e-6
+        or budget >= sum(c for c, _ in caps)
+    )

@@ -59,6 +59,7 @@ PROBES = (
     "eval_quality_score_calibration",
     "text_stupid_backoff_score",
     "text_winnowing_fingerprint",
+    "corpus_unimax_allocation",
     "sql_small_qty_revenue",
     "range_join_signup_windows",
     "events_funnel",
