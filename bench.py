@@ -44,6 +44,9 @@ HEADLINE = (
     "text_stupid_backoff_score",    # backoff LM scoring, train->test
     "text_winnowing_fingerprint",   # MOSS winnowing signatures
     "corpus_unimax_allocation",     # UniMax epochs-capped waterfill
+    "corpus_perplexity_prune",      # CCNet LM tercile pruning
+    "ann_hard_negative_mining",     # contrastive hard negatives
+    "tokenizer_fertility_by_lang",  # pooled-vocab fertility readout
     "ann_cosine_bruteforce",    # brute-force cosine
     "ann_cosine_ivf_partition", # partitioned ANN
     "ann_cosine_pandas_matmul", # Arrow/numpy matmul ANN

@@ -60,6 +60,9 @@ PROBES = (
     "text_stupid_backoff_score",
     "text_winnowing_fingerprint",
     "corpus_unimax_allocation",
+    "corpus_perplexity_prune",
+    "ann_hard_negative_mining",
+    "tokenizer_fertility_by_lang",
     "sql_small_qty_revenue",
     "range_join_signup_windows",
     "events_funnel",
