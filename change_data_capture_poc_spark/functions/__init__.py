@@ -9,6 +9,8 @@ from change_data_capture_poc_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,
     dot_product,
     l2_norm,
+    safe_l2_norm,
+    unit_normalize,
 )
 from change_data_capture_poc_spark.functions.text import (  # noqa: F401
     ngram_shingles,

@@ -31,8 +31,34 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_l2_norm(a: Column) -> Column:
+    """L2 norm with the zero-norm substitution (norm 0 -> 1).
+
+    Dividing by a zero norm throws DIVIDE_BY_ZERO under Spark 4 ANSI
+    mode (or yields NULL cosines, which descending grouped_topk ranks
+    NULLS FIRST — diverging from the window form's DESC NULLS LAST).
+    A zero vector has cosine 0 to everything by convention: substitute
+    norm 1 so its dots (all 0) pass through well-defined — the same
+    guard the Arrow paths apply (functions/vectors_pandas.py) and the
+    SemDeDup oracle encodes as CASE WHEN sqrt(...) = 0.
+    """
+    n = l2_norm(a)
+    return F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+
+
+def unit_normalize(a: Column) -> Column:
+    """Unit-normalize an array<double> column, zero-norm-guarded.
+
+    The shared normalize-once projection every ANN path puts behind a
+    select boundary so each candidate pair costs one dot fold instead
+    of dot + two norms.
+    """
+    n = safe_l2_norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot_product(a, b) / (safe_l2_norm(a) * safe_l2_norm(b))
 
 
 def collect_centroids(ed, k: int, id_col: str = "vec_id",

@@ -73,8 +73,11 @@ def cosine_topk_pandas(
                 # Round BEFORE the cut and keep ties with the kth value:
                 # the caller's final ranking is on the rounded score, so
                 # the partial top-k must never drop a rounded-tied
-                # candidate (determinism across engines).
-                r = np.round(sims[:, qi][mask], 6)
+                # candidate (determinism across engines). +1e-9 pre-round
+                # epsilon = the repo ANN-rank convention (a cosine within
+                # an ulp of a 0.5e-6 boundary must round identically on
+                # both engines' float paths).
+                r = np.round(sims[:, qi][mask] + 1e-9, 6)
                 if len(cids) > k:
                     kth = -np.partition(-r, k - 1)[k - 1]
                     keep = r >= kth

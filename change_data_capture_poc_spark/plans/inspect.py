@@ -69,15 +69,36 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     move-all-data shape WindowExec warns about (suppressed session-wide
     because every current instance is a deliberate bounded-frame
     global_window; this counter is the replacement detection signal:
-    tools/audit_plans.py surfaces it per query per round)."""
+    tools/audit_plans.py surfaces it per query per round).
+
+    Scans each Window node's FULL subtree (indentation-scoped: a
+    descendant line's tree prefix is strictly longer) rather than a
+    fixed few-line lookahead, so deeper operator chains — AQE
+    ShuffleQueryStage/ReusedExchange wrappers, extra Sort or
+    WindowGroupLimit nodes — can't push the Exchange out of range and
+    silently under-count. The scan stops at the first line at or above
+    the Window's depth (its next sibling), so a sibling subtree's
+    SinglePartition exchange is never mis-attributed.
+    """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(
-        re.findall(
-            r"Window(?:GroupLimit)?\b(?:[^\n]*\n){1,3}?"
-            r"[^\n]*Exchange SinglePartition",
-            plan,
-        )
-    )
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        # Length of the tree-drawing prefix ("+- ", ":- ", ":  ", "   ").
+        return re.match(r"^[ :+|-]*", line).end()
+
+    count = 0
+    for i, line in enumerate(lines):
+        d = depth(line)
+        if not line[d:].startswith(("Window", "WindowGroupLimit")):
+            continue
+        for sub in lines[i + 1:]:
+            if depth(sub) <= d:
+                break  # next sibling / uncle: subtree ended
+            if "Exchange SinglePartition" in sub:
+                count += 1
+                break
+    return count
 
 
 def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:

@@ -667,7 +667,7 @@ _TOP_K = 5
         SELECT q.q_id, e.vec_id AS neighbor_id,
                ROUND(list_dot_product(e.v, q.qv) /
                      (sqrt(list_dot_product(e.v, e.v)) *
-                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+                      sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6) AS cosine
         FROM e, q WHERE e.vec_id != q.q_id
     )
     SELECT q_id, neighbor_id, cosine FROM scored
@@ -687,7 +687,7 @@ _TOP_K = 5
 def ann_cosine_bruteforce(spark, sf_dir):
     from change_data_capture_poc_spark.functions.vectors import (
         dot_product,
-        l2_norm,
+        unit_normalize,
     )
     from change_data_capture_poc_spark.operators.topk import grouped_topk
 
@@ -695,10 +695,7 @@ def ann_cosine_bruteforce(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     e = raw.select(
-        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("nv"),
+        "vec_id", unit_normalize(F.col("v")).alias("nv")
     )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("nv").alias("qnv")
@@ -708,8 +705,11 @@ def ann_cosine_bruteforce(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
+            # +1e-9 pre-round epsilon (repo ANN-rank convention): a
+            # cosine within an ulp of a 0.5e-6 rounding boundary must
+            # not round differently across the two engines' float paths.
             F.round(
-                dot_product(F.col("nv"), F.col("qnv")), 6
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
             ).alias("cosine"),
         )
     )
@@ -728,7 +728,8 @@ def ann_cosine_bruteforce(spark, sf_dir):
         SELECT q.q_id, e.vec_id AS neighbor_id,
                ROUND(list_dot_product(e.v, q.qv) /
                      (sqrt(list_dot_product(e.v, e.v)) *
-                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+                      sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                   AS cosine
         FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
     )
     SELECT q_id, neighbor_id, cosine FROM scored
@@ -757,7 +758,9 @@ def ann_cosine_ivf_partition(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+            F.round(
+                _cosine_expr(F.col("v"), F.col("qv")) + F.lit(1e-9), 6
+            ).alias("cosine"),
         )
     )
     from change_data_capture_poc_spark.operators.topk import grouped_topk
@@ -776,7 +779,8 @@ def ann_cosine_ivf_partition(spark, sf_dir):
         SELECT q.q_id, e.vec_id AS neighbor_id,
                ROUND(list_dot_product(e.v, q.qv) /
                      (sqrt(list_dot_product(e.v, e.v)) *
-                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+                      sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                   AS cosine
         FROM e, q WHERE e.vec_id != q.q_id
     )
     SELECT q_id, neighbor_id, cosine FROM scored
@@ -971,7 +975,7 @@ def _lsh_buckets_pandas(e: DataFrame) -> DataFrame:
         SELECT c.q_id, c.neighbor_id,
                ROUND(list_dot_product(n.v, q.v) /
                      (sqrt(list_dot_product(n.v, n.v)) *
-                      sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+                      sqrt(list_dot_product(q.v, q.v))) + 1e-9, 6) AS cosine
         FROM cand c
         JOIN e n ON n.vec_id = c.neighbor_id
         JOIN e q ON q.vec_id = c.q_id
@@ -1033,7 +1037,9 @@ def ann_cosine_lsh_hyperplane(spark, sf_dir):
         .select(
             "q_id",
             "neighbor_id",
-            F.round(_cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+            F.round(
+                _cosine_expr(F.col("v"), F.col("qv")) + F.lit(1e-9), 6
+            ).alias("cosine"),
         )
     )
     from change_data_capture_poc_spark.operators.topk import grouped_topk

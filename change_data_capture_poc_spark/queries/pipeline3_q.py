@@ -414,8 +414,8 @@ _ANN_NQ = 8
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-                           e.vec_id) AS rk
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
     ),
@@ -426,8 +426,8 @@ _ANN_NQ = 8
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-                           e.vec_id) AS rk
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, e.vec_id) AS rk
             FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
     )
@@ -451,14 +451,16 @@ _ANN_NQ = 8
         f"zero.",
 )
 def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     en = e.select(
-        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
     )
     q = en.where(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("q_id"),
@@ -477,7 +479,9 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes normalize-then-dot, the oracle dot/(norm*norm) — the two
     # differ in the last ulps, and an unrounded rank can flip at the
     # k boundary. Ties after rounding break on neighbor_id both sides.
-    cos6 = F.round(dot_product(F.col("nv"), F.col("qnv")), 6)
+    # +1e-9 pre-round epsilon: repo ANN-rank convention (a cosine an
+    # ulp from a 0.5e-6 boundary must round identically on both paths).
+    cos6 = F.round(dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6)
     gt = topk(
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
@@ -1201,13 +1205,14 @@ _RERANK_PROBE_K = 12
             SELECT q.q_id, e.vec_id AS neighbor_id,
                    ROUND(list_dot_product(e.v, q.qv) /
                        (sqrt(list_dot_product(e.v, e.v)) *
-                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
+                        sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                       AS cos,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-                           e.vec_id) AS rk
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, e.vec_id) AS rk
             FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id
         ) WHERE rk <= {_RERANK_PROBE_K}
     )
@@ -1231,15 +1236,17 @@ _RERANK_PROBE_K = 12
         f"emitted cosine is that same rounded value.",
 )
 def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     en = e.select(
-        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
     )
     q = en.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
@@ -1265,10 +1272,11 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 1e-6-rounded BEFORE ranking (float-portability rule, same
             # as eval_ann_recall/matryoshka): unrounded cosine computed
             # via normalize-then-dot here vs dot/norms in the oracle
-            # can flip an epsilon-close rank at the k boundary.
-            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias(
-                "cos"
-            ),
+            # can flip an epsilon-close rank at the k boundary. +1e-9
+            # pre-round epsilon per the repo ANN-rank convention.
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         ),
         ["q_id"],
         [("cos", False), ("neighbor_id", True)],
@@ -1447,8 +1455,8 @@ _TRUNC_DIM = 16
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-                           e.vec_id) AS rk
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
     ),
@@ -1462,7 +1470,8 @@ _TRUNC_DIM = 16
                            (sqrt(list_dot_product(e.v[1:{_TRUNC_DIM}],
                                                   e.v[1:{_TRUNC_DIM}])) *
                             sqrt(list_dot_product(q.qv[1:{_TRUNC_DIM}],
-                                                  q.qv[1:{_TRUNC_DIM}]))), 6)
+                                                  q.qv[1:{_TRUNC_DIM}])))
+                           + 1e-9, 6)
                            DESC, e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_ANN_K}
@@ -1487,18 +1496,19 @@ _TRUNC_DIM = 16
 def eval_matryoshka_trunc_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     tv = F.expr(f"slice(v, 1, {_TRUNC_DIM})")
-    tnrm = F.sqrt(dot_product(tv, tv))
     en = e.select(
         "vec_id",
-        F.transform("v", lambda x: x / nrm).alias("nv"),
-        F.transform(tv, lambda x: x / tnrm).alias("tnv"),
+        unit_normalize(F.col("v")).alias("nv"),
+        unit_normalize(tv).alias("tnv"),
     )
     q = en.where(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("q_id"),
@@ -1521,16 +1531,18 @@ def eval_matryoshka_trunc_recall(
         joined.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         )
     )
     tr = topk(
         joined.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot_product(F.col("tnv"), F.col("qtnv")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                dot_product(F.col("tnv"), F.col("qtnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         )
     )
     hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)

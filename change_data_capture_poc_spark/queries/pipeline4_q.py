@@ -278,7 +278,8 @@ _CENTROID_LIST = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(q.qv, cent.c) /
                            (sqrt(list_dot_product(q.qv, q.qv)) *
-                            sqrt(list_dot_product(cent.c, cent.c))), 6)
+                            sqrt(list_dot_product(cent.c, cent.c)))
+                           + 1e-9, 6)
                            DESC, cent.label) AS rk
             FROM q, cent
         ) WHERE rk <= {_MP_P}
@@ -290,7 +291,8 @@ _CENTROID_LIST = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6)
+                            sqrt(list_dot_product(q.qv, q.qv)))
+                           + 1e-9, 6)
                            DESC, e.vec_id) AS rk
             FROM e
             JOIN probed p ON e.label = p.label
@@ -304,7 +306,8 @@ _CENTROID_LIST = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
                        PARTITION BY q.q_id
                        ORDER BY ROUND(list_dot_product(e.v, q.qv) /
                            (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(q.qv, q.qv))), 6)
+                            sqrt(list_dot_product(q.qv, q.qv)))
+                           + 1e-9, 6)
                            DESC, e.vec_id) AS rk
             FROM e, q WHERE e.vec_id != q.q_id
         ) WHERE rk <= {_MP_K}
@@ -331,15 +334,17 @@ _CENTROID_LIST = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
 def ann_ivf_multiprobe_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
     from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     en = e.select(
-        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
     )
     q = en.where(F.col("vec_id") < _MP_NQ).select(
         F.col("vec_id").alias("q_id"),
@@ -361,8 +366,7 @@ def ann_ivf_multiprobe_recall(
             ).alias("c")
         )
     )
-    cnrm = F.sqrt(dot_product(F.col("c"), F.col("c")))
-    cn = cent.select("label", F.transform("c", lambda x: x / cnrm).alias("cn"))
+    cn = cent.select("label", unit_normalize(F.col("c")).alias("cn"))
 
     # Rank labels per query on rounded query-centroid cosine; the
     # candidate set is |queries| x |labels| (grows with index size at
@@ -371,7 +375,9 @@ def ann_ivf_multiprobe_recall(
         q.crossJoin(cn).select(
             "q_id",
             "label",
-            F.round(dot_product(F.col("qnv"), F.col("cn")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("qnv"), F.col("cn")) + F.lit(1e-9), 6
+            ).alias("cos"),
         ),
         ["q_id"],
         [("cos", False), ("label", True)],
@@ -385,7 +391,9 @@ def ann_ivf_multiprobe_recall(
         cand.join(F.broadcast(q), "q_id").select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         ),
         ["q_id"],
         [("cos", False), ("neighbor_id", True)],
@@ -396,7 +404,9 @@ def ann_ivf_multiprobe_recall(
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         ),
         ["q_id"],
         [("cos", False), ("neighbor_id", True)],
