@@ -187,6 +187,13 @@ _HN_NQ = 8       # query set size (matches the other ANN evals)
 _HN_K = 5        # hard negatives per query
 _HN_CEIL = 0.95  # near-dup ceiling: candidates above this are assumed
                  # false negatives (mislabeled near-duplicates) and skipped
+_HN_P = 3        # IVF probes: nearest OTHER-label partitions mined per query
+
+# Per-dimension mean as an inline SQL list constructor (64 avg exprs) —
+# same centroid construction as ann_ivf_multiprobe_recall's oracle.
+_HN_CENTROID_LIST = (
+    "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(64)) + "]"
+)
 
 
 @register(
@@ -196,13 +203,29 @@ _HN_CEIL = 0.95  # near-dup ceiling: candidates above this are assumed
                FROM embeddings),
     q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
           FROM e WHERE vec_id < {_HN_NQ}),
+    cent AS (SELECT label, {_HN_CENTROID_LIST} AS c FROM e GROUP BY label),
+    probed AS (
+        SELECT q_id, label FROM (
+            SELECT q.q_id, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(q.qv, cent.c) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(cent.c, cent.c)))
+                           + 1e-9, 6)
+                           DESC, cent.label) AS rk
+            FROM q JOIN cent ON cent.label <> q.q_label
+        ) WHERE rk <= {_HN_P}
+    ),
     scored AS (
-        SELECT q.q_id, e.vec_id AS neighbor_id,
+        SELECT p.q_id, e.vec_id AS neighbor_id,
                e.label AS neighbor_label,
                ROUND(list_dot_product(e.v, q.qv) /
                    (sqrt(list_dot_product(e.v, e.v)) *
-                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
-        FROM e JOIN q ON e.label <> q.q_label
+                    sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6) AS cos
+        FROM e
+        JOIN probed p ON e.label = p.label
+        JOIN q ON q.q_id = p.q_id
     ),
     ranked AS (
         SELECT q_id, neighbor_id, neighbor_label, cos,
@@ -215,42 +238,92 @@ _HN_CEIL = 0.95  # near-dup ceiling: candidates above this are assumed
            neighbor_id, neighbor_label, cos
     FROM ranked WHERE rk <= {_HN_K}
     """,
-    doc=f"DPR/SimCSE-style hard-negative mining: for each of the "
-        f"{_HN_NQ} query vectors, the top-{_HN_K} highest-cosine "
-        f"vectors with a DIFFERENT label, excluding candidates above "
-        f"cos {_HN_CEIL} (near-duplicates are presumed mislabeled "
-        f"positives — the standard false-negative filter). This is "
-        f"the training-pair construction step between dedup and "
-        f"contrastive fine-tuning. Scale shape: the {_HN_NQ}-row "
-        f"query set broadcasts; candidate scoring is one map-side "
-        f"pass; the per-query cut is grouped_topk (partial heaps + a "
-        f"k-bounded merge), never a corpus window. Ranks on "
-        f"1e-6-rounded cosine with id tie-breaks "
-        f"(float-portability rule).",
+    doc=f"DPR/SimCSE-style hard-negative mining, IVF-pooled: for each "
+        f"of the {_HN_NQ} query vectors, the top-{_HN_K} highest-"
+        f"cosine vectors mined from the query's {_HN_P} nearest "
+        f"OTHER-label IVF partitions (per-label mean centroids — the "
+        f"ann_ivf_multiprobe_recall machinery), excluding candidates "
+        f"above cos {_HN_CEIL} (near-duplicates are presumed "
+        f"mislabeled positives — the standard false-negative filter). "
+        f"This is the training-pair construction step between dedup "
+        f"and contrastive fine-tuning; mining from the ANN candidate "
+        f"pool instead of exact full-corpus scoring is exactly how "
+        f"production hard-negative mining runs (a full scan per "
+        f"mining run does not survive 100 TB — the round-5 review's "
+        f"one measured scale-killer, replaced here). Scale shape: "
+        f"centroids from one posexplode aggregation; the query-"
+        f"centroid ranking is |queries| x |labels| through "
+        f"grouped_topk; candidate scoring touches ONLY the probed "
+        f"partitions via a label equi-join (candidates shrink by "
+        f"{_HN_P}/|labels|); the per-query cut is grouped_topk "
+        f"(partial heaps + k-bounded merge), never a corpus window. "
+        f"Ranks on 1e-6-rounded (+1e-9 pre-round) cosine with id "
+        f"tie-breaks (float-portability rule).",
 )
 def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
     from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     en = e.select(
-        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
     )
     q = en.where(F.col("vec_id") < _HN_NQ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
+
+    # Per-label centroid via posexplode -> (label, pos) mean -> regroup
+    # (two keyed shuffles over n x dim scalar rows; the vectors cross
+    # the network once, decomposed) — shared shape with
+    # ann_ivf_multiprobe_recall (queries/pipeline4_q.py).
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("c")
+        )
+    )
+    cn = cent.select("label", unit_normalize(F.col("c")).alias("cn"))
+
+    # Rank OTHER labels per query on rounded query-centroid cosine;
+    # |queries| x |labels| rows (grows with index size) -> grouped_topk.
+    probed = grouped_topk(
+        q.join(F.broadcast(cn), F.col("label") != F.col("q_label")).select(
+            "q_id",
+            "label",
+            F.round(
+                dot_product(F.col("qnv"), F.col("cn")) + F.lit(1e-9), 6
+            ).alias("ccos"),
+        ),
+        ["q_id"],
+        [("ccos", False), ("label", True)],
+        _HN_P,
+    ).select("q_id", "label")
+
+    # Candidates = rows of the probed partitions only (label equi-join;
+    # the corpus never meets queries it wasn't probed for).
     cand = (
-        en.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        en.join(probed, "label")
+        .join(F.broadcast(q.select("q_id", "qnv")), "q_id")
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            F.round(dot_product(F.col("nv"), F.col("qnv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
         )
         .where(F.col("cos") <= _HN_CEIL)
     )
