@@ -107,6 +107,13 @@ def main() -> None:
     m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Contention marker: a dirty run (shared-box CPU bursts land on
+    # whichever query is executing) should be self-describing in the
+    # recorded artifact rather than diagnosed from variance spreads
+    # after the fact. 32 hardware threads -> loadavg near/above ~8
+    # means the box was NOT quiet for this run.
+    load_start = os.getloadavg()
+
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
@@ -147,6 +154,11 @@ def main() -> None:
 
     for name in HEADLINE:
         _measure(name, 3)
+        # Best-of-5 for the expensive queries: a >=2s timing is a third
+        # of the way to a phantom 2x flag on one ambient-load burst;
+        # two extra reps cost little relative to the query itself.
+        if timings[name] >= 2.0:
+            _measure(name, 2)
 
     # Regression guard: diff against the newest recorded round
     # (BENCH_r*.json). Informational — per-query ratios > 2x go to
@@ -172,6 +184,8 @@ def main() -> None:
         "queries": timings,
         "variance": spreads,
         "sf": sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
 
     if baseline and baseline.get("sf") == sf:

@@ -1629,26 +1629,37 @@ def _mmr_oracle() -> str:
         f"retrieval shape that stops a RAG context window filling "
         f"with {_MMR_POOL_K} near-copies of one document (the exact "
         f"failure near-dup corpora cause). The greedy loop unrolls to "
-        f"3 argmax steps over the POOL ONLY (8x{_MMR_POOL_K} rows — "
-        f"the corpus is touched once, by the pool join, like "
-        f"ann_two_stage_rerank); every score/similarity rounds at "
-        f"1e-6 before each argmax so both engines pick identical "
-        f"results with id tie-breaks.",
+        f"one Arrow ``applyInPandas`` greedy pass over the POOL ONLY "
+        f"(8x{_MMR_POOL_K} rows — the corpus is touched once, by the "
+        f"pool join, like ann_two_stage_rerank; the bounded-frame case "
+        f"where Python is safe). The fused pass replaced three "
+        f"unrolled DataFrame argmax steps (8 shuffles / 21 windows of "
+        f"stage overhead — the round-5 bench flag); every score/"
+        f"similarity still rounds at 1e-6 (+1e-9 pre-round) before "
+        f"each argmax so both engines pick identical results with id "
+        f"tie-breaks.",
 )
 def ann_mmr_diversified_rerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from change_data_capture_poc_spark.functions.vectors import dot_product
-    from pyspark.sql.window import Window
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     lam = _MMR_LAMBDA
     om = round(1 - _MMR_LAMBDA, 6)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(dot_product(F.col("v"), F.col("v")))
     en = e.select(
-        "vec_id", "label", F.transform("v", lambda x: x / nrm).alias("nv")
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
     )
     q = en.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
@@ -1659,11 +1670,7 @@ def ann_mmr_diversified_rerank(
     # two-phase grouped top-k (operators/topk.py) — a window over 8
     # constant q_ids would sort every label-matched candidate in 8 hot
     # reducers; the partial heap bounds the exchange at
-    # pool_k x n_partitions rows. Persisted because the three unrolled
-    # greedy steps each re-reference it (8 x pool_k rows;
-    # bench/correctness harnesses clearCache between queries).
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
-
+    # pool_k x n_partitions rows.
     scored = en.join(
         F.broadcast(q),
         (F.col("label") == F.col("q_label"))
@@ -1674,83 +1681,59 @@ def ann_mmr_diversified_rerank(
         "nv",
         dot_product(F.col("nv"), F.col("qnv")).alias("cos"),
     )
-    pool = (
-        grouped_topk(
-            scored, ["q_id"], [("cos", False), ("nid", True)], _MMR_POOL_K
-        )
-        .select(
-            "q_id", "nid", "nv",
-            F.round(F.col("cos") + 1e-9, 6).alias("cos6"),
-        )
-        .persist()
+    pool = grouped_topk(
+        scored, ["q_id"], [("cos", False), ("nid", True)], _MMR_POOL_K
+    ).select(
+        "q_id", "nid", "nv",
+        F.round(F.col("cos") + 1e-9, 6).alias("cos6"),
     )
 
-    def argmax(df: DataFrame, score_col: str) -> DataFrame:
-        w = Window.partitionBy("q_id").orderBy(
-            F.col(score_col).desc(), F.col("nid")
-        )
-        return (
-            df.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .drop("rk")
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One query's pool (<= pool_k rows). Sorted by nid ASC so
+        # np.argmax's first-max tie-break == ORDER BY score DESC, nid.
+        pdf = pdf.sort_values("nid").reset_index(drop=True)
+        ids = pdf["nid"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["nv"].to_numpy())
+        rel = pdf["cos6"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        avail = np.ones(n, dtype=bool)
+        # Running max-similarity-to-picked; -inf until the first pick,
+        # matching the oracle (rank 1 scores on pure relevance).
+        max_sim = np.full(n, -np.inf)
+        ranks, picked_ids, scores = [], [], []
+        for rank in range(1, min(3, n) + 1):
+            if rank == 1:
+                score = rel
+            else:
+                # Same arithmetic + rounding as the oracle's unrolled
+                # steps: ROUND(lam*cos6 - om*max_sim6 + 1e-9, 6).
+                score = np.round(lam * rel - om * max_sim + 1e-9, 6)
+            best = int(np.argmax(np.where(avail, score, -np.inf)))
+            ranks.append(rank)
+            picked_ids.append(ids[best])
+            scores.append(float(score[best]))
+            avail[best] = False
+            sims = np.round(mat @ mat[best] + 1e-9, 6)
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                "q_id": np.full(len(ranks), pdf["q_id"].iloc[0]),
+                "rank": np.array(ranks, dtype=np.int32),
+                "neighbor_id": np.array(picked_ids, dtype=np.int64),
+                "score": np.array(scores, dtype=np.float64),
+            }
         )
 
-    def sim_to(sel_nv: str):
-        return F.round(
-            dot_product(F.col("nv"), F.col(sel_nv)) + F.lit(1e-9), 6
-        )
-
-    s1 = argmax(pool, "cos6").select(
-        "q_id",
-        F.col("nid").alias("s1_nid"),
-        F.col("nv").alias("s1_nv"),
-        F.col("cos6").alias("s1_score"),
-    )
-    c2 = (
-        pool.join(F.broadcast(s1), "q_id")
-        .where(F.col("nid") != F.col("s1_nid"))
-        .withColumn(
-            "mmr",
-            F.round(
-                lam * F.col("cos6") - om * sim_to("s1_nv") + F.lit(1e-9), 6
-            ),
-        )
-    )
-    s2 = argmax(c2, "mmr").select(
-        "q_id",
-        F.col("nid").alias("s2_nid"),
-        F.col("nv").alias("s2_nv"),
-        F.col("mmr").alias("s2_score"),
-    )
-    c3 = (
-        pool.join(F.broadcast(s1), "q_id")
-        .join(F.broadcast(s2), "q_id")
-        .where(
-            (F.col("nid") != F.col("s1_nid"))
-            & (F.col("nid") != F.col("s2_nid"))
-        )
-        .withColumn(
-            "mmr",
-            F.round(
-                lam * F.col("cos6")
-                - om * F.greatest(sim_to("s1_nv"), sim_to("s2_nv"))
-                + F.lit(1e-9),
-                6,
-            ),
-        )
-    )
-    s3 = argmax(c3, "mmr")
-    pick = lambda df, rank, nid, score: df.select(  # noqa: E731
-        "q_id",
-        F.lit(rank).cast("int").alias("rank"),
-        F.col(nid).alias("neighbor_id"),
-        F.col(score).alias("score"),
-    )
-    return (
-        pick(s1, 1, "s1_nid", "s1_score")
-        .unionByName(pick(s2, 2, "s2_nid", "s2_score"))
-        .unionByName(pick(s3, 3, "nid", "mmr"))
-    )
+    return pool.groupBy("q_id").applyInPandas(greedy, out_schema)
 
 
 @register(
