@@ -25,3 +25,4 @@ import change_data_capture_poc_spark.queries.cdc_ops_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline3_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline5_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline6_q  # noqa: F401

@@ -1,0 +1,396 @@
+"""Round-6 pipeline operators: exact-substring dedup, multi-class PII
+redaction, and Kneser-Ney interpolated bigram scoring.
+
+Completes the dedup family (exact / near / semantic / span /
+**substring**) and upgrades two curation stages flagged by the round-5
+review:
+
+- ``dedup_substring_suffix_runs`` — Lee et al. 2022 ("Deduplicating
+  Training Data Makes Language Models Better") exact-substring dedup
+  semantics: every duplicated token window of length >= K is found via
+  overlapping suffix-grams and merged into maximal duplicated runs per
+  document — the ExactSubstr counterpart to the non-overlapping
+  ``text_span_dedup_c4`` pass.
+- ``text_pii_redact_classes`` — email / phone / IPv4 / URL / digit-run
+  PII families (the ``text_pii_redact`` digit-only pass broadened),
+  map-only portable regex.
+- ``text_kneser_ney_bigram_score`` — interpolated Kneser-Ney bigram LM
+  (Kneser & Ney 1995; the discounting the published quality-filter LMs
+  use — CCNet scores with KenLM's modified-KN 5-grams) next to the
+  Stupid Backoff scorer, same train/test hash split.
+
+Same determinism rules as the rest of the surface: no rand(); every
+cross-engine float is rounded at 1e-6 with +1e-9 pre-round; shuffles
+are keyed on hashes or count-table keys, never corpus text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# dedup_substring_suffix_runs
+# ---------------------------------------------------------------------------
+
+_SS_K = 8  # minimum duplicated-substring length in tokens (Lee et al.
+           # use 50 BPE tokens; the synthetic corpus's ~40-word
+           # vocabulary needs a shorter window for real collisions)
+
+
+@register(
+    "dedup_substring_suffix_runs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, s.pos,
+               md5(array_to_string(w[s.pos + 1 : s.pos + {_SS_K}], ' '))
+                   AS gh
+        FROM t, LATERAL (
+            SELECT unnest(range(len(w) - {_SS_K} + 1)) AS pos
+        ) s
+        WHERE len(w) >= {_SS_K}
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    runs AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) = pos - 1
+                    THEN 0 ELSE 1 END AS new_run
+        FROM d
+    ),
+    rid AS (
+        SELECT doc_id, pos,
+               SUM(new_run) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM runs
+    ),
+    agg AS (
+        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) AS p1
+        FROM rid GROUP BY doc_id, run_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+           CAST(SUM(p1 - p0 + {_SS_K}) AS BIGINT) AS dup_tokens,
+           CAST(MAX(p1 - p0 + {_SS_K}) AS BIGINT) AS max_run_tokens
+    FROM agg GROUP BY doc_id
+    """,
+    doc=f"Exact-substring dedup semantics (Lee et al. 2022's "
+        f"ExactSubstr): every OVERLAPPING {_SS_K}-token window "
+        f"(suffix-gram, stride 1) that occurs more than once anywhere "
+        f"in the corpus marks its start position as duplicated; "
+        f"consecutive duplicated positions in a document merge into "
+        f"maximal runs (gaps-and-islands), so a duplicated substring "
+        f"of any length >= {_SS_K} is reported ONCE with its true "
+        f"token extent (run span + {_SS_K} - 1) — the suffix-array "
+        f"result re-expressed relationally. Per-doc readout: run "
+        f"count, duplicated-token total, longest duplicated "
+        f"substring. Scale shape: gram TEXT never travels — the "
+        f"duplicate test shuffles md5 keys once; run-merging is two "
+        f"windows KEYED BY doc_id (high-cardinality partitions, never "
+        f"global) over only the duplicated positions. Compare "
+        f"text_span_dedup_c4 (non-overlapping spans, removal "
+        f"semantics): overlapping grams are what let a duplicate be "
+        f"found at ANY alignment, the property the suffix-array "
+        f"method exists for.",
+)
+def dedup_substring_suffix_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= _SS_K
+    )
+    # Overlapping K-grams, hashed in the map stage: (doc_id, pos, gh).
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {_SS_K}),"
+                f"  p -> md5(array_join(slice(w, p + 1, {_SS_K}), ' ')))"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("occ")).where(
+        F.col("occ") > 1
+    )
+    dpos = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    # Gaps-and-islands run merge: both windows keyed by doc_id.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dpos.withColumn(
+        "new_run",
+        F.when(F.lag("pos").over(w) == F.col("pos") - 1, 0).otherwise(1),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agg = runs.groupBy("doc_id", "run_id").agg(
+        F.min("pos").alias("p0"), F.max("pos").alias("p1")
+    )
+    return agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_runs"),
+        F.sum(F.col("p1") - F.col("p0") + _SS_K)
+        .cast("long")
+        .alias("dup_tokens"),
+        F.max(F.col("p1") - F.col("p0") + _SS_K)
+        .cast("long")
+        .alias("max_run_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_redact_classes
+# ---------------------------------------------------------------------------
+
+# Portable (Java regex AND RE2) patterns: no lookaround, no backrefs,
+# [0-9] instead of \\d so the literal strings are engine-identical.
+_PII_CLASSES = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("url", r"https?://[a-z0-9./_-]+"),
+    ("digit_run", r"[0-9]{6,}"),
+)
+
+# Deterministic contact blob built from customer columns — the
+# documents corpus is digit-free (and this testdata customer table
+# carries no phone column), so each PII family is exercised on
+# synthesized-but-deterministic text BOTH engines construct identically
+# (same pattern as dedup_exact_normalized's reformatted twin).
+_PII_PHONE_SQL = (
+    "CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' || "
+    "lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(c_nationkey % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_BLOB_SQL = (
+    "c_name || ' reach user' || CAST(c_custkey AS VARCHAR) || "
+    f"'@example.com or ' || {_PII_PHONE_SQL} || ' host 10.0.' || "
+    "CAST(c_custkey % 256 AS VARCHAR) || '.' || "
+    "CAST(c_custkey % 100 AS VARCHAR) || ' via https://ex.com/u/' || "
+    "CAST(c_custkey AS VARCHAR)"
+)
+
+
+def _pii_oracle() -> str:
+    parts = []
+    for name, pat in _PII_CLASSES:
+        parts.append(f"""
+    SELECT '{name}' AS pii_class,
+           CAST(COUNT(*) FILTER (
+               WHERE len(regexp_extract_all(blob, '{pat}')) > 0
+           ) AS BIGINT) AS n_rows_hit,
+           CAST(SUM(len(regexp_extract_all(blob, '{pat}')))
+               AS BIGINT) AS n_matches,
+           CAST(SUM(strlen(array_to_string(
+               regexp_extract_all(blob, '{pat}'), ''))) AS BIGINT)
+               AS matched_chars
+    FROM b""")
+    return (
+        f"WITH b AS (SELECT {_PII_BLOB_SQL} AS blob FROM customer)"
+        + " UNION ALL ".join(parts)
+    )
+
+
+@register(
+    "text_pii_redact_classes",
+    oracle=_pii_oracle(),
+    doc="Multi-class PII redaction readout — email, phone "
+        "(II-NNN-NNN-NNNN), IPv4, URL, and long-digit-run families "
+        "(the text_pii_redact digit-only pass broadened to what a "
+        "real curation gate scrubs; cf. the PII step in every "
+        "published web-corpus pipeline). Counts rows hit, match "
+        "count, and matched characters per class over a "
+        "deterministic contact blob synthesized from customer "
+        "columns (the documents corpus is digit-free by "
+        "construction; both engines build the identical blob — the "
+        "dedup_exact_normalized perturbation pattern). Patterns "
+        "avoid lookaround/backrefs so the same literal runs on Java "
+        "regex and RE2. Scale shape: pure map stage at scan "
+        "bandwidth — per-class counts are map-side partial "
+        "aggregates; the redaction itself (regexp_replace to typed "
+        "placeholders) is the same zero-shuffle map.",
+)
+def text_pii_redact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.expr(_PII_BLOB_SQL.replace("VARCHAR", "STRING")).alias("blob")
+    b = c.select(blob)
+    per_class = []
+    for name, pat in _PII_CLASSES:
+        matches = F.regexp_extract_all("blob", F.lit(pat), F.lit(0))
+        per_class.append(
+            b.select(
+                matches.alias("m")
+            ).agg(
+                F.lit(name).alias("pii_class"),
+                F.sum((F.size("m") > 0).cast("long"))
+                .cast("long")
+                .alias("n_rows_hit"),
+                F.sum(F.size("m")).cast("long").alias("n_matches"),
+                F.sum(F.length(F.array_join("m", "")))
+                .cast("long")
+                .alias("matched_chars"),
+            )
+        )
+    out = per_class[0]
+    for df in per_class[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney_bigram_score
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (the standard KN default)
+
+
+@register(
+    "text_kneser_ney_bigram_score",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS h
+        FROM documents
+    ),
+    trbg AS (
+        SELECT w[i+1] AS w1, w[i+2] AS w2
+        FROM (SELECT string_split(text, ' ') AS w FROM split
+              WHERE h < 80 AND len(string_split(text, ' ')) >= 2),
+             unnest(range(len(w) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM trbg GROUP BY w1, w2),
+    hist AS (SELECT w1, SUM(c) AS ch, COUNT(*) AS nf
+             FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS np FROM c2 GROUP BY w2),
+    bv AS (SELECT COUNT(*) AS b, COUNT(DISTINCT w2) AS v FROM c2),
+    tebg AS (
+        SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM split
+              WHERE h >= 90 AND len(string_split(text, ' ')) >= 2),
+             unnest(range(len(w) - 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               hist.ch IS NULL AS unseen_hist,
+               c2.c IS NULL AS unseen_bigram,
+               CASE WHEN hist.ch IS NOT NULL THEN
+                   ln(GREATEST(COALESCE(c2.c, 0) - {_KN_D}, 0) / hist.ch
+                      + {_KN_D} * hist.nf / hist.ch
+                        * ((COALESCE(cont.np, 0) + 1.0) / (bv.b + bv.v)))
+               ELSE
+                   ln((COALESCE(cont.np, 0) + 1.0) / (bv.b + bv.v))
+               END AS lp
+        FROM tebg t
+        LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+        LEFT JOIN hist ON t.w1 = hist.w1
+        LEFT JOIN cont ON t.w2 = cont.w2, bv
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN unseen_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen_hist,
+           CAST(SUM(CASE WHEN unseen_bigram THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen_bigram,
+           ROUND(AVG(lp) + 1e-9, 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995) — "
+        f"the discounting family the published quality-filter LMs "
+        f"actually use (CCNet prunes on KenLM's modified-KN 5-gram "
+        f"perplexity), next to the Stupid Backoff scorer and on the "
+        f"same train(<80)/test(>=90) hash split: seen history -> "
+        f"max(c12-D,0)/c(w1,.) + D*N1+(w1,.)/c(w1,.) * Pcont(w2); "
+        f"unseen history -> Pcont(w2); Pcont = add-one-smoothed "
+        f"continuation count (N1+(.,w2)+1)/(B+V) so OOV successors "
+        f"stay finite (documented choice — textbook KN leaves OOV "
+        f"undefined). D={_KN_D}. History mass is SUM of outgoing "
+        f"bigram counts (not the unigram count), so the "
+        f"interpolation weights are exactly the leftover discount "
+        f"mass — the property that distinguishes KN from backoff. "
+        f"Scale shape: identical to text_stupid_backoff_score — all "
+        f"model state is count tables built in one bigram shuffle, "
+        f"AQE-joined onto the test stream (corpus-growing tables, "
+        f"never force-broadcast); only the 1-row (B, V) aggregate "
+        f"broadcasts; the continuation/history tables are "
+        f"vocabulary-sized.",
+)
+def text_kneser_ney_bigram_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline3_q import _md5_mod
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _md5_mod(F.col("doc_id"), 100).alias("h")
+    )
+
+    def bigrams(df):
+        toks = df.select("doc_id", F.split("text", " ").alias("w")).where(
+            F.size("w") >= 2
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+
+    train, test = d.where(F.col("h") < 80), d.where(F.col("h") >= 90)
+    c2 = bigrams(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = c2.groupBy("w1").agg(
+        F.sum("c").alias("ch"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    bv = c2.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.countDistinct("w2").alias("v"),
+    )
+    pcont = (F.coalesce(F.col("np"), F.lit(0)) + 1.0) / (
+        F.col("b") + F.col("v")
+    )
+    scored = (
+        bigrams(test)
+        .join(c2, ["w1", "w2"], "left")
+        .join(hist, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(bv))
+        .select(
+            "doc_id",
+            F.col("ch").isNull().alias("unseen_hist"),
+            F.col("c").isNull().alias("unseen_bigram"),
+            F.when(
+                F.col("ch").isNotNull(),
+                F.log(
+                    F.greatest(
+                        F.coalesce(F.col("c"), F.lit(0)) - _KN_D, F.lit(0.0)
+                    )
+                    / F.col("ch")
+                    + F.lit(_KN_D) * F.col("nf") / F.col("ch") * pcont
+                ),
+            )
+            .otherwise(F.log(pcont))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("unseen_hist"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen_hist"),
+        F.sum(F.when(F.col("unseen_bigram"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen_bigram"),
+        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logprob"),
+    )
