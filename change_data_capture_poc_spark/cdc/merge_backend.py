@@ -108,25 +108,37 @@ class DeltaReplaceWhereBackend:
                 r[0]
                 for r in rows.select(partition_col).distinct().collect()
             ]
-            if not parts:
+            pred = replace_where_predicate(partition_col, parts)
+            if pred is None:
                 return  # no partitions to replace — a no-op, matching
                 # the parquet backend (dynamic overwrite of nothing).
-            preds = []
-            non_null = [p for p in parts if p is not None]
-            if non_null:
-                in_list = ", ".join(_sql_literal(p) for p in non_null)
-                preds.append(f"{partition_col} IN ({in_list})")
-            if len(non_null) < len(parts):  # a NULL partition value
-                preds.append(f"{partition_col} IS NULL")
             (
                 rows.write.format("delta")
                 .mode("overwrite")
-                .option("replaceWhere", " OR ".join(preds))
+                .option("replaceWhere", pred)
                 .partitionBy(partition_col)
                 .save(path)
             )
         finally:
             rows.unpersist()
+
+
+def replace_where_predicate(partition_col: str, parts: list) -> str | None:
+    """The ``replaceWhere`` predicate covering exactly ``parts`` —
+    the transactional half of the replace-partitions contract, kept
+    as a pure function so the Delta branch's partition-scoping logic
+    is pinned by tests even where delta-spark itself cannot run
+    (this container). Returns None for an empty batch (no-op)."""
+    if not parts:
+        return None
+    preds = []
+    non_null = [p for p in parts if p is not None]
+    if non_null:
+        in_list = ", ".join(_sql_literal(p) for p in non_null)
+        preds.append(f"{partition_col} IN ({in_list})")
+    if len(non_null) < len(parts):  # a NULL partition value
+        preds.append(f"{partition_col} IS NULL")
+    return " OR ".join(preds)
 
 
 def _sql_literal(v) -> str:

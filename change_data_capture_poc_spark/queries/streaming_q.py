@@ -649,3 +649,118 @@ def streaming_chunk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = chunk_sliding_window(stream.select("doc_id", "text"))
     return _drain(out, "streaming_chunk_tbl", "append")
+
+
+def _semdedup_assign_oracle() -> str:
+    # Shares the batch SemDeDup machinery verbatim: the seed-argmin
+    # assignment CTE (kept in lockstep with collect_centroids +
+    # centroid_argmin_expr) and the zero-norm-guarded normalization the
+    # batch oracle uses. Import is cycle-free (datapipe depends only on
+    # registry + sources).
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _SEED_ASSIGN_SQL,
+    )
+
+    return f"""
+    WITH {_SEED_ASSIGN_SQL},
+    norm AS (
+        SELECT vec_id, cid,
+               list_transform(e, x -> x /
+                   CASE WHEN sqrt(list_dot_product(e, e)) = 0
+                        THEN 1 ELSE sqrt(list_dot_product(e, e)) END) AS u
+        FROM asgn
+    )
+    SELECT x.vec_id, x.cid AS cluster_id,
+           CAST(COUNT(y.vec_id) AS BIGINT) AS n_near_lower,
+           COUNT(y.vec_id) > 0 AS dropped
+    FROM norm x LEFT JOIN norm y
+      ON x.cid = y.cid AND y.vec_id < x.vec_id
+     AND ROUND(list_dot_product(x.u, y.u), 6) >= 0.30
+    GROUP BY x.vec_id, x.cid
+    """
+
+
+@register(
+    "streaming_semdedup_assign_drain",
+    oracle=_semdedup_assign_oracle(),
+    doc="STREAMING semantic dedup gate — the batch<->stream twin the "
+        "other dedup families already have (streaming_minhash_band_"
+        "drain for MinHash LSH): arriving vectors are assigned to the "
+        "SAME 8 deterministic seed centroids as dedup_semantic_"
+        "semdedup (collect_centroids + centroid_argmin_expr folded "
+        "into the map stage — stateless), then checked against the "
+        "BATCH index for a lower-id same-cluster member above the "
+        "0.30 cosine threshold (keep-lowest, the batch rule). The "
+        "join is stream-static on the cluster id, so a streamed "
+        "vector only ever meets its own cluster block — the SemDeDup "
+        "bounding argument unchanged on the stream (at 100 TB the "
+        "cluster count grows ~sqrt(N), holding blocks bounded). "
+        "Output per streamed vector: cluster, near-dup count below "
+        "it, dropped flag; complete-mode drain equals the batch "
+        "LEFT-JOIN aggregate the oracle states.",
+)
+def streaming_semdedup_assign_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+        collect_centroids,
+        dot_product,
+        unit_normalize,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    static = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    seeds = collect_centroids(static, 8)
+    # Batch index: assignment + normalized vector per existing member.
+    index = static.select(
+        F.col("vec_id").alias("b_vec_id"),
+        centroid_argmin_expr(seeds).getField("cid").alias("cid"),
+        unit_normalize(F.col("e")).alias("b_u"),
+    )
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .parquet(_embeddings_stream_dir(sf_dir))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "e"
+            ),
+        )
+        .select(
+            "vec_id",
+            centroid_argmin_expr(seeds).getField("cid").alias("cid"),
+            unit_normalize(F.col("e")).alias("u"),
+        )
+    )
+    # Stream-static LEFT join keyed on the cluster id; the near-dup
+    # test (lower-id member above threshold) lives in the join
+    # condition so zero-match vectors still emit a row. Cosine rounds
+    # at 1e-6 with NO epsilon — lockstep with the batch SemDeDup
+    # threshold convention (dedup_semantic_semdedup).
+    cond = (
+        (F.col("cid") == F.col("b_cid"))
+        & (F.col("b_vec_id") < F.col("vec_id"))
+        & (
+            F.round(dot_product(F.col("u"), F.col("b_u")), 6)
+            >= F.lit(0.30)
+        )
+    )
+    joined = stream.join(
+        index.withColumnRenamed("cid", "b_cid"), cond, "left"
+    )
+    agg = joined.groupBy("vec_id", "cid").agg(
+        F.count("b_vec_id").cast("long").alias("n_near_lower")
+    )
+    out = agg.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        "n_near_lower",
+        (F.col("n_near_lower") > 0).alias("dropped"),
+    )
+    return _drain(out, "streaming_semdedup_assign_tbl", "complete")

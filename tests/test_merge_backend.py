@@ -15,6 +15,7 @@ from change_data_capture_poc_spark.cdc.merge_backend import (
     DeltaReplaceWhereBackend,
     ParquetOverwriteBackend,
     get_merge_backend,
+    replace_where_predicate,
 )
 
 
@@ -85,9 +86,49 @@ def test_backend_selection_and_env_gate(monkeypatch):
     with pytest.raises(KeyError):
         get_merge_backend("iceberg-typo")
     # delta-spark is absent in this container: the Delta backend is an
-    # env-gated deployment tier and must fail loudly, not silently.
-    with pytest.raises(ImportError):
+    # env-gated deployment tier and must fail loudly, not silently —
+    # and the raise must tell the operator both the cause and the
+    # tested fallback (contract: selection covered BOTH ways).
+    with pytest.raises(ImportError, match="delta-spark is not installed"):
         DeltaReplaceWhereBackend()
+    with pytest.raises(
+        ImportError, match="SPARK_GRAFT_MERGE_BACKEND=parquet"
+    ):
+        DeltaReplaceWhereBackend()
+    # Env-var selection of the delta tier hits the same gate: the
+    # selection logic resolves 'delta' (not KeyError), then the
+    # constructor raises because the runtime lacks the dependency.
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_BACKEND", "delta")
+    with pytest.raises(ImportError, match="delta-spark"):
+        get_merge_backend()
+
+
+def test_replace_where_predicate_contract():
+    """The Delta branch's partition-scoping predicate, pinned as a
+    pure function (delta-spark can't run here, but the replaceWhere
+    string it would commit is testable logic, not I/O)."""
+    assert replace_where_predicate("bucket", []) is None
+    assert replace_where_predicate("bucket", [3]) == "bucket IN (3)"
+    assert (
+        replace_where_predicate("bucket", [1, 2])
+        == "bucket IN (1, 2)"
+    )
+    # Strings single-quote with '' escaping (ANSI), never repr().
+    assert (
+        replace_where_predicate("day", ["2024-01-01", "o'brien"])
+        == "day IN ('2024-01-01', 'o''brien')"
+    )
+    # A NULL partition value needs IS NULL — IN () never matches NULL.
+    assert (
+        replace_where_predicate("bucket", [7, None])
+        == "bucket IN (7) OR bucket IS NULL"
+    )
+    assert replace_where_predicate("bucket", [None]) == "bucket IS NULL"
+    # Booleans render as SQL literals, not Python's True/False.
+    assert (
+        replace_where_predicate("flag", [True, False])
+        == "flag IN (true, false)"
+    )
 
 
 def test_incremental_scd2_uses_backend(spark, tmp_path):
