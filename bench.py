@@ -96,6 +96,9 @@ HEADLINE = (
     "text_heavy_hitters_misra_gries",  # 2-pass sketch heavy hitters
     "ann_ivf_multiprobe_recall",    # multiprobe IVF vs ground truth
     "corpus_chunk_dedup_rate",      # chunk-level duplication readout
+    "dedup_substring_suffix_runs",  # ExactSubstr suffix-gram run merge
+    "text_kneser_ney_bigram_score", # interpolated KN bigram LM
+    "text_pii_redact_classes",      # multi-class PII counts
 )
 
 

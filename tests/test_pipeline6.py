@@ -1,0 +1,129 @@
+"""Invariant checks for the round-6 operators (pipeline6_q +
+streaming_semdedup_assign_drain).
+
+The DuckDB oracle (tools/check_correctness.py) pins exact values;
+these tests pin the semantic invariants that hold at ANY scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import all_queries
+
+
+def test_substring_runs_invariants(spark, sf_dir):
+    """Every reported duplicated run spans >= K tokens, per-doc totals
+    are consistent (sum >= max >= K), and no doc reports more
+    duplicated tokens than it has."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import _SS_K
+
+    out = all_queries()["dedup_substring_suffix_runs"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "synthetic corpus repeats spans; expected hits"
+    doc_tokens = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_dup_runs >= 1
+        assert r.max_run_tokens >= _SS_K
+        assert r.dup_tokens >= r.max_run_tokens
+        # Runs are disjoint maximal islands, so their token extents
+        # can overlap each other only through the K-1 tail — but
+        # never exceed the document itself.
+        assert r.dup_tokens <= doc_tokens[r.doc_id] + (
+            r.n_dup_runs * (_SS_K - 1)
+        )
+
+
+def test_substring_runs_find_planted_duplicate(spark, tmp_path):
+    """A corpus with one planted 12-token repeat across two docs
+    reports exactly one run of 12 tokens in each, and an
+    all-unique doc reports nothing."""
+    from change_data_capture_poc_spark.queries import pipeline6_q
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        dedup_substring_suffix_runs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+            (3, " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in dedup_substring_suffix_runs(spark, path).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d].n_dup_runs == 1
+        assert out[d].max_run_tokens == 12
+        assert out[d].dup_tokens == 12
+
+
+def test_pii_classes_cover_every_row(spark, sf_dir):
+    """The synthesized contact blob plants email/phone/ipv4/url in
+    every row, so those classes must hit every customer; counts are
+    internally consistent for all classes."""
+    out = all_queries()["text_pii_redact_classes"].fn(spark, sf_dir)
+    rows = {r.pii_class: r for r in out.collect()}
+    assert set(rows) == {"email", "phone", "ipv4", "url", "digit_run"}
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    )
+    for name in ("email", "phone", "ipv4", "url"):
+        assert rows[name].n_rows_hit == n_cust, name
+        assert rows[name].n_matches >= n_cust
+    for r in rows.values():
+        assert r.n_matches >= r.n_rows_hit >= 0
+        assert r.matched_chars >= r.n_matches  # every match >= 1 char
+
+
+def test_kneser_ney_scores_are_proper(spark, sf_dir):
+    """Log-probs are negative (all probabilities < 1), an unseen
+    history implies an unseen bigram, and the scored doc set equals
+    the Stupid Backoff scorer's (same split, same >=2-token rule)."""
+    qs = all_queries()
+    kn = qs["text_kneser_ney_bigram_score"].fn(spark, sf_dir).collect()
+    sb = qs["text_stupid_backoff_score"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in kn} == {r.doc_id for r in sb}
+    sb_by_id = {r.doc_id: r for r in sb}
+    for r in kn:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob < 0
+        assert 0 <= r.n_unseen_hist <= r.n_unseen_bigram <= r.n_bigrams
+        assert r.n_bigrams == sb_by_id[r.doc_id].n_bigrams
+
+
+def test_streaming_semdedup_matches_batch_semdedup(spark, sf_dir):
+    """The streamed per-vector dropped flags must reproduce the batch
+    SemDeDup readout exactly: per-cluster dropped counts equal
+    dedup_semantic_semdedup's n_dropped and membership counts equal
+    n_members (shared centroids, shared keep-lowest rule)."""
+    qs = all_queries()
+    stream_rows = (
+        qs["streaming_semdedup_assign_drain"].fn(spark, sf_dir).collect()
+    )
+    batch = {
+        r.cluster_id: r
+        for r in qs["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()
+    }
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(stream_rows) == n_emb
+    by_cluster: dict[int, list] = {}
+    for r in stream_rows:
+        assert r.dropped == (r.n_near_lower > 0)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == set(batch)
+    for cid, rs in by_cluster.items():
+        assert len(rs) == batch[cid].n_members
+        assert sum(1 for r in rs if r.dropped) == batch[cid].n_dropped

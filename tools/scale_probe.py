@@ -126,6 +126,9 @@ PROBES = (
     "text_heavy_hitters_misra_gries",
     "ann_ivf_multiprobe_recall",
     "corpus_chunk_dedup_rate",
+    "dedup_substring_suffix_runs",
+    "text_kneser_ney_bigram_score",
+    "text_pii_redact_classes",
 )
 
 
