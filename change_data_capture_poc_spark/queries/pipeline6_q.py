@@ -190,7 +190,10 @@ def _pii_oracle() -> str:
                AS BIGINT) AS n_matches,
            CAST(SUM(strlen(array_to_string(
                regexp_extract_all(blob, '{pat}'), ''))) AS BIGINT)
-               AS matched_chars
+               AS matched_chars,
+           CAST(SUM(('0x' || substring(md5(
+               regexp_replace(blob, '{pat}', '[{name.upper()}]', 'g')
+           ), 1, 8))::BIGINT) AS BIGINT) AS redacted_checksum
     FROM b""")
     return (
         f"WITH b AS (SELECT {_PII_BLOB_SQL} AS blob FROM customer)"
@@ -212,10 +215,14 @@ def _pii_oracle() -> str:
         "construction; both engines build the identical blob — the "
         "dedup_exact_normalized perturbation pattern). Patterns "
         "avoid lookaround/backrefs so the same literal runs on Java "
-        "regex and RE2. Scale shape: pure map stage at scan "
+        "regex and RE2. The redaction output itself is pinned: "
+        "redacted_checksum sums a 32-bit md5 prefix of each row's "
+        "regexp_replace-to-typed-placeholder text, so placeholder "
+        "position and surrounding bytes must match across engines, "
+        "not just match counts. Scale shape: pure map stage at scan "
         "bandwidth — per-class counts are map-side partial "
-        "aggregates; the redaction itself (regexp_replace to typed "
-        "placeholders) is the same zero-shuffle map.",
+        "aggregates; the only exchanges are the five 1-row-per-"
+        "partition global-agg merges (nothing corpus-sized moves).",
 )
 def text_pii_redact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -224,9 +231,19 @@ def text_pii_redact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_class = []
     for name, pat in _PII_CLASSES:
         matches = F.regexp_extract_all("blob", F.lit(pat), F.lit(0))
+        # The redaction itself, pinned per row: an order-insensitive
+        # 32-bit md5-prefix checksum over the REDACTED text proves the
+        # replacement output (placeholder position + surrounding text),
+        # not just match counts, is engine-identical.
+        redacted = F.regexp_replace(
+            "blob", F.lit(pat), F.lit(f"[{name.upper()}]")
+        )
+        row_sum = F.conv(
+            F.substring(F.md5(redacted.cast("binary")), 1, 8), 16, 10
+        ).cast("long")
         per_class.append(
             b.select(
-                matches.alias("m")
+                matches.alias("m"), row_sum.alias("rc")
             ).agg(
                 F.lit(name).alias("pii_class"),
                 F.sum((F.size("m") > 0).cast("long"))
@@ -236,6 +253,7 @@ def text_pii_redact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length(F.array_join("m", "")))
                 .cast("long")
                 .alias("matched_chars"),
+                F.sum("rc").cast("long").alias("redacted_checksum"),
             )
         )
     out = per_class[0]
