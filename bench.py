@@ -98,7 +98,9 @@ HEADLINE = (
     "corpus_chunk_dedup_rate",      # chunk-level duplication readout
     "dedup_substring_suffix_runs",  # ExactSubstr suffix-gram run merge
     "text_kneser_ney_bigram_score", # interpolated KN bigram LM
-    "text_pii_redact_classes",      # multi-class PII counts
+    "text_pii_redact_classes",      # multi-class PII counts + checksums
+    "agg_hll_portable",             # oracle-exact portable HLL sketch
+    "corpus_bottomk_consistent_sample",  # deterministic bottom-k sample
 )
 
 

@@ -412,3 +412,221 @@ def text_kneser_ney_bigram_score(
         .alias("n_unseen_bigram"),
         F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_portable — cross-engine-exact HyperLogLog
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 index bits)
+_HLL_WBITS = 26      # 32-bit md5-prefix hash minus 6 index bits
+_HLL_ALPHA = 0.709   # canonical alpha_64
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, hv % {_HLL_M} AS j,
+               CASE WHEN instr(lpad(bin(hv // {_HLL_M}),
+                                    {_HLL_WBITS}, '0'), '1') = 0
+                    THEN {_HLL_WBITS + 1}
+                    ELSE instr(lpad(bin(hv // {_HLL_M}),
+                                    {_HLL_WBITS}, '0'), '1') END AS rho
+        FROM h
+    ),
+    reg AS (SELECT event_type, j, MAX(rho) AS m FROM r
+            GROUP BY event_type, j),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS hit,
+               SUM(CAST(1 << ({_HLL_WBITS + 1} - m) AS BIGINT)) AS isum
+        FROM reg GROUP BY event_type
+    ),
+    ex AS (SELECT event_type,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+    est AS (
+        SELECT s.event_type, s.hit,
+               CAST({_HLL_M} - s.hit AS BIGINT) AS zero_regs,
+               {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                   * CAST(1 << {_HLL_WBITS + 1} AS DOUBLE)
+                   / (s.isum + ({_HLL_M} - s.hit)
+                      * CAST(1 << {_HLL_WBITS + 1} AS BIGINT)) AS e_raw
+        FROM s
+    ),
+    fin AS (
+        SELECT event_type, hit, zero_regs,
+               CASE WHEN e_raw <= 2.5 * {_HLL_M} AND zero_regs > 0
+                    THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zero_regs)
+                    ELSE e_raw END AS e
+        FROM est
+    )
+    SELECT fin.event_type, ex.exact_distinct,
+           fin.hit AS registers_hit, fin.zero_regs,
+           ROUND(fin.e + 1e-9, 6) AS hll_estimate,
+           ROUND(ABS(fin.e - ex.exact_distinct) * 1.0
+                 / ex.exact_distinct + 1e-9, 6) AS rel_error
+    FROM fin JOIN ex USING (event_type)
+    """,
+    doc=f"PORTABLE HyperLogLog ({_HLL_M} registers, Flajolet et al. "
+        f"2007 formula incl. the linear-counting small-range "
+        f"correction): unlike agg_approx_sketches (engine-native "
+        f"HLL++/t-digest, whose internals legitimately differ across "
+        f"engines — rows-only check), this sketch is built from the "
+        f"md5-prefix hash BOTH engines compute identically, so the "
+        f"ESTIMATE itself is oracle-exact: register index = h mod "
+        f"{_HLL_M}, rank = first-1-bit position of the remaining "
+        f"{_HLL_WBITS} bits via lpad(bin(w)) string search (pure "
+        f"integer — no float log2 boundary risk), and the register "
+        f"sum is kept in scaled INTEGERS (sum of 2^(27-rho), one "
+        f"division at the end) so no cross-engine float summation "
+        f"order can perturb it. Emits estimate vs exact distinct + "
+        f"relative error per event_type — the calibration readout "
+        f"that justifies replacing exact distinct at 100 TB. Scale "
+        f"shape: one (event_type, register) shuffle over "
+        f"{_HLL_M}-bounded keys per group; registers merge "
+        f"associatively (MAX), the distributed-sketch property.",
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    wb, m = _HLL_WBITS, _HLL_M
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").alias("hv"),
+    )
+    pos = F.expr(
+        f"instr(lpad(bin(hv div {m}), {wb}, '0'), '1')"
+    )
+    r = h.select(
+        "event_type",
+        (F.col("hv") % m).alias("j"),
+        F.when(pos == 0, F.lit(wb + 1)).otherwise(pos).alias("rho"),
+    )
+    reg = r.groupBy("event_type", "j").agg(F.max("rho").alias("m"))
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {wb + 1} - m) AS BIGINT)")
+        ).alias("isum"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    scale = 1 << (wb + 1)
+    e_raw = (
+        F.lit(_HLL_ALPHA * m * m * float(scale))
+        / (F.col("isum") + (F.lit(m) - F.col("hit")) * F.lit(scale))
+    )
+    est = s.select(
+        "event_type",
+        "hit",
+        (F.lit(m) - F.col("hit")).cast("long").alias("zero_regs"),
+        e_raw.alias("e_raw"),
+    )
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("zero_regs") > 0),
+        F.lit(float(m)) * F.log(F.lit(m) * 1.0 / F.col("zero_regs")),
+    ).otherwise(F.col("e_raw"))
+    fin = est.select(
+        "event_type",
+        F.col("hit").alias("registers_hit"),
+        "zero_regs",
+        e.alias("e"),
+    )
+    return fin.join(ex, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "registers_hit",
+        "zero_regs",
+        F.round(F.col("e") + F.lit(1e-9), 6).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("e") - F.col("exact_distinct"))
+            * 1.0
+            / F.col("exact_distinct")
+            + F.lit(1e-9),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bottomk_consistent_sample
+# ---------------------------------------------------------------------------
+
+_BK_K = 20  # sample size per source stratum
+
+
+@register(
+    "corpus_bottomk_consistent_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS sample_hash
+        FROM documents
+    )
+    SELECT source, doc_id, sample_hash,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+        SELECT source, doc_id, sample_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY sample_hash, doc_id) AS rk
+        FROM h
+    ) WHERE rk <= {_BK_K}
+    """,
+    doc=f"Consistent (bottom-k) sampling: each source stratum keeps "
+        f"the {_BK_K} docs with the SMALLEST md5-prefix hash of their "
+        f"id — the deterministic, engine-independent sample every "
+        f"curation loop needs for eyeballing and regression-diffing a "
+        f"corpus across pipeline versions (same ids in = same sample "
+        f"out, no RNG state, and a grown corpus only ever swaps "
+        f"members in/out by hash order — MinHash's bottom-k estimator "
+        f"applied as a sampler). Scale shape: hashing is map-side; "
+        f"the per-source cut is grouped_topk (partial heaps + "
+        f"k-bounded merge) because source cardinality is small and "
+        f"constant — a window would funnel the corpus into "
+        f"\\|sources\\| hot reducers; the final rank window runs over "
+        f"<= {_BK_K} x \\|sources\\| rows.",
+)
+def corpus_bottomk_consistent_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").alias("sample_hash"),
+    )
+    top = grouped_topk(
+        h, ["source"], [("sample_hash", True), ("doc_id", True)], _BK_K
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("sample_hash", "doc_id")
+    )
+    return top.select(
+        "source", "doc_id", "sample_hash", rk.cast("long").alias("sample_rank")
+    )

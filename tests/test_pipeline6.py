@@ -127,3 +127,77 @@ def test_streaming_semdedup_matches_batch_semdedup(spark, sf_dir):
     for cid, rs in by_cluster.items():
         assert len(rs) == batch[cid].n_members
         assert sum(1 for r in rs if r.dropped) == batch[cid].n_dropped
+
+
+def test_portable_hll_estimate_tracks_exact(spark, sf_dir):
+    """The portable HLL's estimate is deterministic and within the
+    expected error envelope for m=64 (~13% typical; allow 3 sigma),
+    and register accounting is consistent."""
+    out = all_queries()["agg_hll_portable"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.registers_hit + r.zero_regs == 64
+        assert r.hll_estimate > 0
+        # 3 * 1.04/sqrt(64) ~= 0.39; linear counting is tighter still.
+        assert r.rel_error <= 0.39, (r.event_type, r.rel_error)
+
+
+def test_portable_hll_is_deterministic(spark, sf_dir):
+    """Two evaluations produce identical estimates (no RNG, no
+    engine-native sketch state)."""
+    fn = all_queries()["agg_hll_portable"].fn
+    a = {r.event_type: r.hll_estimate for r in fn(spark, sf_dir).collect()}
+    b = {r.event_type: r.hll_estimate for r in fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_bottomk_sample_is_consistent_under_growth(spark, sf_dir):
+    """Bottom-k consistency: the sample of a SUBSET corpus agrees with
+    the full-corpus sample on every doc they both contain with rank
+    ordering preserved — the property that makes hash sampling
+    regression-diffable across corpus versions."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        corpus_bottomk_consistent_sample as bk,
+        _BK_K,
+    )
+
+    full = bk(spark, sf_dir).collect()
+    per_source: dict[str, list] = {}
+    for r in full:
+        per_source.setdefault(r.source, []).append(r)
+    for source, rows in per_source.items():
+        rows.sort(key=lambda r: r.sample_rank)
+        assert len(rows) <= _BK_K
+        hashes = [r.sample_hash for r in rows]
+        assert hashes == sorted(hashes)
+    # Subset corpus = every other doc; its bottom-k must be the
+    # bottom-k of the surviving members of the full ordering.
+    import pyspark.sql.functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_ids = {
+        r.doc_id for r in docs.where(SF.col("doc_id") % 2 == 0)
+        .select("doc_id").collect()
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.where(SF.col("doc_id") % 2 == 0).write.parquet(
+            f"{td}/documents.parquet"
+        )
+        half = bk(spark, td).collect()
+    half_by_source: dict[str, list] = {}
+    for r in half:
+        half_by_source.setdefault(r.source, []).append(r)
+    for source, rows in half_by_source.items():
+        rows.sort(key=lambda r: r.sample_rank)
+        expected = [
+            r.doc_id
+            for r in per_source.get(source, [])
+            if r.doc_id in half_ids
+        ]
+        got = [r.doc_id for r in rows]
+        # Full ordering restricted to survivors is a PREFIX of the
+        # subset sample (the subset may pull in new members beyond the
+        # full corpus's k-cut, but never reorder shared ones).
+        assert got[: len(expected)] == expected[: len(got)]

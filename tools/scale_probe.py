@@ -129,6 +129,8 @@ PROBES = (
     "dedup_substring_suffix_runs",
     "text_kneser_ney_bigram_score",
     "text_pii_redact_classes",
+    "agg_hll_portable",
+    "corpus_bottomk_consistent_sample",
 )
 
 
