@@ -101,6 +101,7 @@ HEADLINE = (
     "text_pii_redact_classes",      # multi-class PII counts + checksums
     "agg_hll_portable",             # oracle-exact portable HLL sketch
     "corpus_bottomk_consistent_sample",  # deterministic bottom-k sample
+    "dedup_substring_removal",      # ExactSubstr cleaned-corpus emit
 )
 
 

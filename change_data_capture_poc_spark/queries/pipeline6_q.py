@@ -630,3 +630,131 @@ def corpus_bottomk_consistent_sample(
     return top.select(
         "source", "doc_id", "sample_hash", rk.cast("long").alias("sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_removal — ExactSubstr removal semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, s.pos,
+               md5(array_to_string(w[s.pos + 1 : s.pos + {_SS_K}], ' '))
+                   AS gh
+        FROM t, LATERAL (
+            SELECT unnest(range(len(w) - {_SS_K} + 1)) AS pos
+        ) s
+        WHERE len(w) >= {_SS_K}
+    ),
+    keeper AS (
+        SELECT gh, MIN(doc_id * 1000000 + pos) AS keep_key,
+               COUNT(*) AS occ
+        FROM g GROUP BY gh
+    ),
+    -- every token position covered by a NON-KEEPER duplicated gram
+    drop_pos AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.i AS tok_pos
+        FROM g
+        JOIN keeper k USING (gh),
+             LATERAL (SELECT unnest(range({_SS_K})) AS i) o
+        WHERE k.occ > 1
+          AND g.doc_id * 1000000 + g.pos != k.keep_key
+    ),
+    toks AS (
+        SELECT doc_id, u.tok, u.i - 1 AS tok_pos
+        FROM t, LATERAL (
+            SELECT unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS i
+        ) u
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(drop_pos.tok_pos) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+               list(toks.tok ORDER BY toks.tok_pos)
+                   FILTER (WHERE drop_pos.tok_pos IS NULL), ' '), '')
+               AS text_kept
+    FROM toks
+    LEFT JOIN drop_pos
+      ON toks.doc_id = drop_pos.doc_id
+     AND toks.tok_pos = drop_pos.tok_pos
+    GROUP BY toks.doc_id
+    """,
+    doc=f"ExactSubstr REMOVAL (Lee et al. 2022 §4: 'remove all but one "
+        f"occurrence'): a token is dropped iff some duplicated "
+        f"{_SS_K}-gram occurrence covering it is NOT that gram's "
+        f"global first occurrence (min (doc_id, pos)) — the first "
+        f"copy of any repeated passage survives intact, every later "
+        f"copy loses exactly the repeated tokens, and unique text is "
+        f"untouched. Companion to dedup_substring_suffix_runs (the "
+        f"detection readout); this emits the CLEANED corpus (per-doc "
+        f"kept text reassembled in position order + removal counts). "
+        f"Scale shape: gram keys are md5 (text never travels to the "
+        f"keeper agg); coverage expansion is a map-side K-fold "
+        f"position explode; the kept-text reassembly is one "
+        f"doc_id-keyed shuffle. The keeper join is AQE-decided "
+        f"(gram table grows with the corpus).",
+)
+def dedup_substring_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = t.where(F.size("w") >= _SS_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {_SS_K}),"
+                f"  p -> md5(array_join(slice(w, p + 1, {_SS_K}), ' ')))"
+            )
+        ).alias("pos", "gh"),
+    )
+    keeper = grams.groupBy("gh").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("keep_key"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    drop_pos = (
+        grams.join(keeper, "gh")
+        .where(
+            (F.col("occ") > 1)
+            & (
+                F.col("doc_id") * 1000000 + F.col("pos")
+                != F.col("keep_key")
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, {_SS_K - 1}),"
+                       f" i -> pos + i)")
+            ).alias("tok_pos"),
+        )
+        .distinct()
+    )
+    toks = t.select(
+        "doc_id", F.posexplode("w").alias("tok_pos", "tok")
+    )
+    joined = toks.join(
+        drop_pos.withColumn("dropped", F.lit(True)),
+        ["doc_id", "tok_pos"],
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.expr(
+                "transform("
+                "  array_sort(collect_list(CASE WHEN dropped IS NULL THEN "
+                "    struct(tok_pos, tok) END)),"
+                "  s -> s.tok)"
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

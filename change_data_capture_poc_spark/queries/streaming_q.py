@@ -764,3 +764,71 @@ def streaming_semdedup_assign_drain(
         (F.col("n_near_lower") > 0).alias("dropped"),
     )
     return _drain(out, "streaming_semdedup_assign_tbl", "complete")
+
+
+def _suffixgram_dup_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline6_q import _SS_K
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               md5(array_to_string(w[s.pos + 1 : s.pos + {_SS_K}], ' '))
+                   AS gh
+        FROM t, LATERAL (
+            SELECT unnest(range(len(w) - {_SS_K} + 1)) AS pos
+        ) s
+        WHERE len(w) >= {_SS_K}
+    )
+    SELECT gh AS gram_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS earliest_doc
+    FROM g GROUP BY gh
+    HAVING COUNT(*) >= 2
+    """
+
+
+@register(
+    "streaming_suffixgram_dup_drain",
+    oracle=_suffixgram_dup_oracle(),
+    doc="STREAMING exact-substring dedup front line — the stream twin "
+        "of dedup_substring_suffix_runs' detection stage (the pairing "
+        "minhash bands / chunking / semdedup already have): documents "
+        "arrive as a stream, every overlapping 8-token suffix-gram is "
+        "hashed IN THE MAP STAGE (stateless — same md5 gram keys as "
+        "the batch path), and a running per-gram aggregate maintains "
+        "occurrence count + earliest doc. Grams reaching >= 2 are the "
+        "live duplicated-substring set an ExactSubstr gate routes to "
+        "run-merging/removal; state is one row per duplicated gram, "
+        "the gram-hash shuffle is the only shuffle. Complete-mode "
+        "drain equals the batch GROUP BY the oracle states.",
+)
+def streaming_suffixgram_dup_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline6_q import _SS_K
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    grams = stream.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= _SS_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {_SS_K}),"
+                f"  p -> md5(array_join(slice(w, p + 1, {_SS_K}), ' ')))"
+            )
+        ).alias("gram_hash"),
+    )
+    agg = (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("earliest_doc"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return _drain(agg, "streaming_suffixgram_dup_tbl", "complete")

@@ -201,3 +201,51 @@ def test_bottomk_sample_is_consistent_under_growth(spark, sf_dir):
         # subset sample (the subset may pull in new members beyond the
         # full corpus's k-cut, but never reorder shared ones).
         assert got[: len(expected)] == expected[: len(got)]
+
+
+def test_substring_removal_keeps_first_occurrence(spark, tmp_path):
+    """Removal semantics: the globally-first copy of a repeated
+    passage survives intact, later copies lose exactly the repeated
+    tokens, unique docs come back verbatim."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        dedup_substring_removal,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = " ".join(f"u{i}" for i in range(30))
+    d1 = f"a1 a2 a3 {shared} a4 a5"
+    d2 = f"b1 b2 {shared} b3 b4 b5 b6"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, uniq)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    out = {
+        r.doc_id: r for r in dedup_substring_removal(spark, path).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].text_kept == d1
+    assert out[2].n_removed == 12
+    assert out[2].text_kept == "b1 b2 b3 b4 b5 b6"
+    assert out[3].n_removed == 0 and out[3].text_kept == uniq
+
+
+def test_substring_removal_consistent_with_runs(spark, sf_dir):
+    """Every doc's removal count is bounded by its total tokens, and a
+    doc with no detected duplicated runs removes nothing."""
+    qs = all_queries()
+    removal = {
+        r.doc_id: r
+        for r in qs["dedup_substring_removal"].fn(spark, sf_dir).collect()
+    }
+    runs_docs = {
+        r.doc_id
+        for r in qs["dedup_substring_suffix_runs"].fn(spark, sf_dir)
+        .collect()
+    }
+    for doc_id, r in removal.items():
+        assert 0 <= r.n_removed <= r.n_tokens
+        if doc_id not in runs_docs:
+            assert r.n_removed == 0
+        kept_tokens = r.text_kept.split(" ") if r.text_kept else []
+        assert len(kept_tokens) == r.n_tokens - r.n_removed

@@ -131,6 +131,7 @@ PROBES = (
     "text_pii_redact_classes",
     "agg_hll_portable",
     "corpus_bottomk_consistent_sample",
+    "dedup_substring_removal",
 )
 
 
