@@ -102,6 +102,7 @@ HEADLINE = (
     "agg_hll_portable",             # oracle-exact portable HLL sketch
     "corpus_bottomk_consistent_sample",  # deterministic bottom-k sample
     "dedup_substring_removal",      # ExactSubstr cleaned-corpus emit
+    "corpus_filter_funnel_attribution",  # FineWeb-style gate attribution
 )
 
 

@@ -758,3 +758,151 @@ def dedup_substring_removal(
             " ",
         ).alias("text_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_filter_funnel_attribution
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("length", "gopher_rules", "exact_dup", "classifier")
+
+
+def _funnel_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _QCLS_SCORE_SQL,
+        _QF_RULE_SQL,
+    )
+
+    return f"""
+    WITH {_QF_RULE_SQL},
+    {_QCLS_SCORE_SQL},
+    fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    kp AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp),
+    st AS (
+        SELECT d.doc_id,
+               CASE WHEN qrule.drop_reason IN ('too_short', 'too_long')
+                    THEN 1
+                    WHEN qrule.drop_reason IS NOT NULL THEN 2
+                    WHEN d.doc_id != kp.keeper THEN 3
+                    WHEN COALESCE(qscore.score, 0.0) < 0.5 THEN 4
+                    ELSE 0 END AS stage
+        FROM documents d
+        JOIN qrule ON d.doc_id = qrule.doc_id
+        JOIN fp ON d.doc_id = fp.doc_id
+        JOIN kp ON fp.fp = kp.fp
+        LEFT JOIN qscore ON d.doc_id = qscore.doc_id
+    ),
+    c AS (SELECT stage, COUNT(*) AS n FROM st WHERE stage > 0
+          GROUP BY stage),
+    tot AS (SELECT COUNT(*) AS t FROM st),
+    stages AS (SELECT unnest([1, 2, 3, 4]) AS stage),
+    j AS (SELECT s.stage, COALESCE(c.n, 0) AS n_dropped
+          FROM stages s LEFT JOIN c ON s.stage = c.stage),
+    cum AS (SELECT stage, n_dropped,
+                   SUM(n_dropped) OVER (ORDER BY stage) AS cumdrop
+            FROM j)
+    SELECT CAST(cum.stage AS INT) AS stage,
+           CASE cum.stage WHEN 1 THEN 'length'
+                          WHEN 2 THEN 'gopher_rules'
+                          WHEN 3 THEN 'exact_dup'
+                          ELSE 'classifier' END AS stage_name,
+           CAST(tot.t - (cumdrop - n_dropped) AS BIGINT) AS n_in,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(tot.t - cumdrop AS BIGINT) AS n_out,
+           ROUND(n_dropped * 1.0
+                 / NULLIF(tot.t - (cumdrop - n_dropped), 0) + 1e-9, 6)
+               AS drop_rate
+    FROM cum, tot
+    """
+
+
+@register(
+    "corpus_filter_funnel_attribution",
+    oracle=_funnel_oracle(),
+    doc="Filter-funnel attribution (the FineWeb-style ablation "
+        "readout): the corpus flows through the quality gates IN "
+        "ORDER — length bounds, remaining Gopher rules, exact dedup "
+        "(keep-lowest doc_id per md5 fingerprint), classifier score "
+        "< 0.5 — and each stage reports docs in, docs dropped AT that "
+        "stage (marginal attribution: a doc counts against the FIRST "
+        "gate that rejects it), docs surviving, and the stage drop "
+        "rate. This is the decision table behind every pipeline-order "
+        "debate (is the classifier redundant after the rules? how "
+        "much does dedup cost after quality filtering?). Composes the "
+        "REGISTERED text_quality_filter and "
+        "text_quality_classifier_score plans plus one fingerprint "
+        "keeper-agg — per-doc stage assignment is map-side after "
+        "three doc_id-keyed joins; the funnel arithmetic runs on a "
+        "4-row frame (global_window over stages, the documented "
+        "bounded-frame case).",
+)
+def corpus_filter_funnel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.windows import global_window
+    from change_data_capture_poc_spark.queries.datapipe import (
+        text_quality_classifier_score,
+        text_quality_filter,
+    )
+
+    qf = text_quality_filter(spark, sf_dir).select("doc_id", "drop_reason")
+    qs = text_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    kp = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    st = (
+        d.select("doc_id")
+        .join(qf, "doc_id")
+        .join(fp, "doc_id")
+        .join(kp, "fp")
+        .join(qs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("drop_reason").isin("too_short", "too_long"), 1
+            )
+            .when(F.col("drop_reason").isNotNull(), 2)
+            .when(F.col("doc_id") != F.col("keeper"), 3)
+            .when(F.coalesce(F.col("score"), F.lit(0.0)) < 0.5, 4)
+            .otherwise(0)
+            .alias("stage"),
+        )
+    )
+    c = st.where(F.col("stage") > 0).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = st.agg(F.count(F.lit(1)).alias("t"))
+    stages = spark.createDataFrame(
+        [(i + 1, name) for i, name in enumerate(_FUNNEL_STAGES)],
+        "stage int, stage_name string",
+    )
+    j = stages.join(c, "stage", "left").select(
+        "stage",
+        "stage_name",
+        F.coalesce("n", F.lit(0)).alias("n_dropped"),
+    )
+    w = global_window("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = j.withColumn("cumdrop", F.sum("n_dropped").over(w))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        (F.col("t") - (F.col("cumdrop") - F.col("n_dropped")))
+        .cast("long")
+        .alias("n_in"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        (F.col("t") - F.col("cumdrop")).cast("long").alias("n_out"),
+        F.round(
+            F.col("n_dropped")
+            * 1.0
+            / F.nullif(
+                F.col("t") - (F.col("cumdrop") - F.col("n_dropped")),
+                F.lit(0),
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("drop_rate"),
+    )

@@ -249,3 +249,23 @@ def test_substring_removal_consistent_with_runs(spark, sf_dir):
             assert r.n_removed == 0
         kept_tokens = r.text_kept.split(" ") if r.text_kept else []
         assert len(kept_tokens) == r.n_tokens - r.n_removed
+
+
+def test_filter_funnel_conserves_docs(spark, sf_dir):
+    """Funnel arithmetic: each stage's n_out = n_in - n_dropped, the
+    next stage's n_in equals it, and stage-1 n_in equals the corpus."""
+    out = sorted(
+        all_queries()["corpus_filter_funnel_attribution"]
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage_name for r in out] == [
+        "length", "gopher_rules", "exact_dup", "classifier",
+    ]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out[0].n_in == n_docs
+    for i, r in enumerate(out):
+        assert r.n_out == r.n_in - r.n_dropped
+        if i + 1 < len(out):
+            assert out[i + 1].n_in == r.n_out

@@ -132,6 +132,7 @@ PROBES = (
     "agg_hll_portable",
     "corpus_bottomk_consistent_sample",
     "dedup_substring_removal",
+    "corpus_filter_funnel_attribution",
 )
 
 
