@@ -269,3 +269,31 @@ def test_filter_funnel_conserves_docs(spark, sf_dir):
         assert r.n_out == r.n_in - r.n_dropped
         if i + 1 < len(out):
             assert out[i + 1].n_in == r.n_out
+
+
+def test_portable_hll_registers_merge_associatively(spark, sf_dir):
+    """The distributed-sketch property the 100 TB design rests on:
+    building registers on two disjoint halves and MAX-merging them
+    yields exactly the whole-corpus estimate."""
+    import tempfile
+
+    import pyspark.sql.functions as SF
+
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        agg_hll_portable,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = {
+        r.event_type: r.hll_estimate
+        for r in agg_hll_portable(spark, sf_dir).collect()
+    }
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(f"{td}/events.parquet")
+        # Same corpus, different physical split: estimates must match
+        # whole-corpus exactly (register MAX is order/partition-free).
+        again = {
+            r.event_type: r.hll_estimate
+            for r in agg_hll_portable(spark, td).collect()
+        }
+    assert whole == again
