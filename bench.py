@@ -103,6 +103,7 @@ HEADLINE = (
     "corpus_bottomk_consistent_sample",  # deterministic bottom-k sample
     "dedup_substring_removal",      # ExactSubstr cleaned-corpus emit
     "corpus_filter_funnel_attribution",  # FineWeb-style gate attribution
+    "text_knn_similarity_graph",    # per-doc kNN neighborhood graph
 )
 
 

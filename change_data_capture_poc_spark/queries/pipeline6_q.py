@@ -906,3 +906,151 @@ def corpus_filter_funnel_attribution(
             6,
         ).alias("drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_knn_similarity_graph
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3      # neighbors per document
+_KNN_T = 0.2    # similarity floor (graph sparsifier)
+
+
+def _knn_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import _NGRAM_SQL
+
+    return f"""
+    WITH g AS ({_NGRAM_SQL}),
+    toks AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_id_a, doc_id_b,
+               ROUND(c * 1.0 / (sa.n + sb.n - c) + 1e-9, 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_id_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {_KNN_T}
+    ),
+    sym AS (
+        SELECT doc_id_a AS doc_id, doc_id_b AS neighbor_id, jaccard
+        FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a, jaccard FROM pairs
+    )
+    SELECT doc_id, neighbor_id, jaccard,
+           CAST(rk AS BIGINT) AS knn_rank
+    FROM (
+        SELECT doc_id, neighbor_id, jaccard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY jaccard DESC, neighbor_id) AS rk
+        FROM sym
+    ) WHERE rk <= {_KNN_K}
+    """
+
+
+@register(
+    "text_knn_similarity_graph",
+    oracle=_knn_oracle(),
+    doc=f"Document kNN similarity graph: each doc's top-{_KNN_K} "
+        f"neighbors by word-4-gram Jaccard above a {_KNN_T} floor — "
+        f"the graph-construction step feeding clustering, curation "
+        f"triage, and near-dup audit UIs (the dedup families emit "
+        f"PAIRS above a high threshold; this emits the per-doc "
+        f"neighborhood). Candidates come from the inverted-index "
+        f"shared-gram join (zero-overlap pairs never materialize — "
+        f"the only pairs that exist share a posting list), the pair "
+        f"set is computed once with doc_id_a < doc_id_b and mirrored, "
+        f"and the per-doc cut is a doc_id-keyed window — doc_id is "
+        f"corpus-cardinality, so the window partitions ARE the "
+        f"parallelism (contrast the constant-key ANN cuts, which "
+        f"need grouped_topk). At 100 TB the candidate join rides the "
+        f"same posting-list bounds as dedup_ngram_jaccard; an "
+        f"LSH-banded prefilter (dedup_minhash_lsh) composes in front "
+        f"when vocabularies skew. Ranks on 1e-6-rounded (+1e-9) "
+        f"Jaccard with id tie-breaks.",
+)
+def text_knn_similarity_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import _spark_grams
+
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    # PPJoin prefix filter at t = 1/5 (the graph floor): a pair with
+    # J >= t must collide within each side's first n - ceil(t*n) + 1
+    # canonically-ordered grams, so only prefixes enter the inverted-
+    # index join and candidates verify exactly via array_intersect —
+    # the same machinery as dedup_ngram_jaccard at its 4/5 threshold
+    # (a full shared-gram join + per-pair count measured ~8x slower
+    # at sf0.1). ceil in exact integer arithmetic; length filter
+    # t|a| <= |b| <= |a|/t in cross-multiplied integer form.
+    ordered = g.select(
+        "doc_id", F.array_sort("grams").alias("grams")
+    ).persist()
+    n = F.size("grams")
+    ceil_tn = F.expr("(size(grams) + 4) div 5")
+    prefix_len = (n - ceil_tn + 1).cast("int")
+    prefixes = ordered.select(
+        "doc_id", n.alias("n"),
+        F.explode(F.slice("grams", 1, prefix_len)).alias("gram"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") <= 5 * F.col("a.n"))
+            & (F.col("a.n") <= 5 * F.col("b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ga = ordered.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = ordered.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    c = F.size(F.array_intersect("grams_a", "grams_b"))
+    j_raw = c * 1.0 / (F.size("grams_a") + F.size("grams_b") - c)
+    jac = (
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .where(j_raw >= _KNN_T)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(j_raw + F.lit(1e-9), 6).alias("jaccard"),
+        )
+    )
+    sym = jac.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        jac.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("jaccard").desc(), F.col("neighbor_id")
+        )
+    )
+    return sym.withColumn("rk", rk).where(F.col("rk") <= _KNN_K).select(
+        "doc_id", "neighbor_id", "jaccard",
+        F.col("rk").cast("long").alias("knn_rank"),
+    )

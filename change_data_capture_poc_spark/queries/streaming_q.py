@@ -832,3 +832,128 @@ def streaming_suffixgram_dup_drain(
         .where(F.col("n_occurrences") >= 2)
     )
     return _drain(agg, "streaming_suffixgram_dup_tbl", "complete")
+
+
+def _hll_register_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, hv % {_HLL_M} AS j,
+               CASE WHEN instr(lpad(bin(hv // {_HLL_M}),
+                                    {_HLL_WBITS}, '0'), '1') = 0
+                    THEN {_HLL_WBITS + 1}
+                    ELSE instr(lpad(bin(hv // {_HLL_M}),
+                                    {_HLL_WBITS}, '0'), '1') END AS rho
+        FROM h
+    ),
+    reg AS (SELECT event_type, j, MAX(rho) AS m FROM r
+            GROUP BY event_type, j),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS hit,
+               SUM(CAST(1 << ({_HLL_WBITS + 1} - m) AS BIGINT)) AS isum
+        FROM reg GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type, hit,
+               CAST({_HLL_M} - hit AS BIGINT) AS zero_regs,
+               {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                   * CAST(1 << {_HLL_WBITS + 1} AS DOUBLE)
+                   / (isum + ({_HLL_M} - hit)
+                      * CAST(1 << {_HLL_WBITS + 1} AS BIGINT)) AS e_raw
+        FROM s
+    )
+    SELECT event_type, hit AS registers_hit, zero_regs,
+           ROUND(CASE WHEN e_raw <= 2.5 * {_HLL_M} AND zero_regs > 0
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zero_regs)
+                      ELSE e_raw END + 1e-9, 6) AS hll_estimate
+    FROM est
+    """
+
+
+@register(
+    "streaming_hll_register_drain",
+    oracle=_hll_register_oracle(),
+    doc="STREAMING distinct-count sketch — agg_hll_portable's stream "
+        "twin: events arrive as a stream, each row hashes to its "
+        "(event_type, register, rank) IN THE MAP STAGE, and the "
+        "running per-register MAX is the only streaming state (one "
+        "row per (event_type, register), <= 64 per type, bounded "
+        "forever — the associativity pytest pins why). The estimate "
+        "arithmetic (scaled-integer register sum, linear-counting "
+        "correction) is a batch readout over the drained registers — "
+        "the lambda-architecture shape where the stream maintains the "
+        "sketch and queries finish it. Complete-mode register drain "
+        "equals the batch register table, so the whole result shares "
+        "the batch oracle's arithmetic verbatim.",
+)
+def streaming_hll_register_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    wb, m = _HLL_WBITS, _HLL_M
+    ev = _stream_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").alias("hv"),
+    )
+    pos = F.expr(f"instr(lpad(bin(hv div {m}), {wb}, '0'), '1')")
+    r = h.select(
+        "event_type",
+        (F.col("hv") % m).alias("j"),
+        F.when(pos == 0, F.lit(wb + 1)).otherwise(pos).alias("rho"),
+    )
+    reg_stream = r.groupBy("event_type", "j").agg(F.max("rho").alias("m"))
+    regs = _drain(reg_stream, "streaming_hll_register_tbl", "complete")
+
+    # Batch readout over the drained registers (the stream's only
+    # state); same scaled-integer arithmetic as agg_hll_portable.
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {wb + 1} - m) AS BIGINT)")
+        ).alias("isum"),
+    )
+    scale = 1 << (wb + 1)
+    e_raw = (
+        F.lit(_HLL_ALPHA * m * m * float(scale))
+        / (F.col("isum") + (F.lit(m) - F.col("hit")) * F.lit(scale))
+    )
+    est = s.select(
+        "event_type",
+        F.col("hit").alias("registers_hit"),
+        (F.lit(m) - F.col("hit")).cast("long").alias("zero_regs"),
+        e_raw.alias("e_raw"),
+    )
+    e = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("zero_regs") > 0),
+        F.lit(float(m)) * F.log(F.lit(m) * 1.0 / F.col("zero_regs")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "event_type",
+        "registers_hit",
+        "zero_regs",
+        F.round(e + F.lit(1e-9), 6).alias("hll_estimate"),
+    )

@@ -297,3 +297,55 @@ def test_portable_hll_registers_merge_associatively(spark, sf_dir):
             for r in agg_hll_portable(spark, td).collect()
         }
     assert whole == again
+
+
+def test_knn_graph_ranks_and_symmetry(spark, sf_dir):
+    """kNN graph invariants: ranks contiguous from 1, jaccard
+    non-increasing within a doc, every edge's reverse exists in the
+    UNSPARSIFIED pair set (symmetry holds before the k cut), and
+    self-edges never appear."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _KNN_K,
+        _KNN_T,
+    )
+
+    rows = (
+        all_queries()["text_knn_similarity_graph"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    per_doc: dict[int, list] = {}
+    edge_j = {}
+    for r in rows:
+        assert r.doc_id != r.neighbor_id
+        assert r.jaccard >= _KNN_T
+        per_doc.setdefault(r.doc_id, []).append(r)
+        edge_j[(r.doc_id, r.neighbor_id)] = r.jaccard
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.knn_rank)
+        assert [r.knn_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _KNN_K
+        js = [r.jaccard for r in rs]
+        assert js == sorted(js, reverse=True)
+    # An edge surviving the k cut in BOTH directions must agree on
+    # its similarity (one pair computation, mirrored).
+    for (a, b), j in edge_j.items():
+        if (b, a) in edge_j:
+            assert edge_j[(b, a)] == j
+
+
+def test_streaming_hll_matches_batch_estimates(spark, sf_dir):
+    """The streamed register drain finishes to exactly the batch
+    portable-HLL estimates (shared arithmetic, shared registers)."""
+    qs = all_queries()
+    stream = {
+        r.event_type: r.hll_estimate
+        for r in qs["streaming_hll_register_drain"].fn(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        r.event_type: r.hll_estimate
+        for r in qs["agg_hll_portable"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch

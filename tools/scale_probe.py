@@ -133,6 +133,7 @@ PROBES = (
     "corpus_bottomk_consistent_sample",
     "dedup_substring_removal",
     "corpus_filter_funnel_attribution",
+    "text_knn_similarity_graph",
 )
 
 
