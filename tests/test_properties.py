@@ -556,3 +556,113 @@ def test_chunk_sliding_window_matches_model(spark, docs):
             assert text == " ".join(want)
             covered.update(range(ci * S, min(ci * S + W, n)))
         assert covered == set(range(n))  # no token falls between chunks
+
+
+# Tiny-vocabulary random documents: a 3-letter alphabet over short
+# docs makes repeated 4-grams (and repeated RUNS of them) common, so
+# the gaps-and-islands merge sees adjacent, overlapping, and disjoint
+# duplicated regions — the shapes that break naive run logic.
+_run_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=24
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_run_docs)
+@settings(**_SETTINGS)
+def test_substring_runs_match_model(spark, docs):
+    """dedup_substring_suffix_runs vs a naive Python model: duplicated
+    K-gram start positions -> merged maximal runs -> per-doc
+    (n_runs, dup_tokens, max_run) — with K shrunk to 4 so tiny random
+    docs actually collide."""
+    import collections
+
+    from change_data_capture_poc_spark.queries import pipeline6_q
+
+    K = 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # Model: gram -> occurrence count over all (doc, pos).
+    occ = collections.Counter()
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - K + 1):
+            occ[tuple(toks[p:p + K])] += 1
+    expected = {}
+    for i, toks in enumerate(docs):
+        dup_pos = [
+            p
+            for p in range(len(toks) - K + 1)
+            if occ[tuple(toks[p:p + K])] > 1
+        ]
+        if not dup_pos:
+            continue
+        runs = []
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            runs.append((start, prev))
+            start = prev = p
+        runs.append((start, prev))
+        expected[i] = (
+            len(runs),
+            sum(p1 - p0 + K for p0, p1 in runs),
+            max(p1 - p0 + K for p0, p1 in runs),
+        )
+
+    import tempfile
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    orig_k = pipeline6_q._SS_K
+    pipeline6_q._SS_K = K
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(f"{td}/documents.parquet")
+            got = {
+                r.doc_id: (r.n_dup_runs, r.dup_tokens, r.max_run_tokens)
+                for r in pipeline6_q.dedup_substring_suffix_runs(
+                    spark, td
+                ).collect()
+            }
+    finally:
+        pipeline6_q._SS_K = orig_k
+    assert got == expected
+
+
+@given(hvs=st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_hll_rho_matches_python_model(spark, hvs):
+    """The portable HLL's first-1-bit rank trick (lpad(bin(w)) string
+    search) vs a direct Python bit scan, over adversarial 32-bit
+    hashes (0, powers of two, all-ones)."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    def model_rho(hv: int) -> int:
+        w = hv // _HLL_M
+        for i in range(_HLL_WBITS):
+            if w & (1 << (_HLL_WBITS - 1 - i)):
+                return i + 1
+        return _HLL_WBITS + 1
+
+    df = spark.createDataFrame([(h,) for h in hvs], "hv bigint")
+    pos = F.expr(
+        f"instr(lpad(bin(hv div {_HLL_M}), {_HLL_WBITS}, '0'), '1')"
+    )
+    got = {
+        r.hv: r.rho
+        for r in df.select(
+            "hv",
+            F.when(pos == 0, F.lit(_HLL_WBITS + 1))
+            .otherwise(pos)
+            .alias("rho"),
+        ).collect()
+    }
+    for h in hvs:
+        assert got[h] == model_rho(h), h
