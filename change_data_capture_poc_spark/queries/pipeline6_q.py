@@ -1,23 +1,37 @@
-"""Round-6 pipeline operators: exact-substring dedup, multi-class PII
-redaction, and Kneser-Ney interpolated bigram scoring.
+"""Round-6 pipeline operators.
 
 Completes the dedup family (exact / near / semantic / span /
-**substring**) and upgrades two curation stages flagged by the round-5
-review:
+**substring**, detection AND removal), broadens curation hygiene, and
+adds the portable-sketch / sampling / graph readouts a corpus loop
+runs between passes:
 
-- ``dedup_substring_suffix_runs`` — Lee et al. 2022 ("Deduplicating
-  Training Data Makes Language Models Better") exact-substring dedup
-  semantics: every duplicated token window of length >= K is found via
-  overlapping suffix-grams and merged into maximal duplicated runs per
-  document — the ExactSubstr counterpart to the non-overlapping
-  ``text_span_dedup_c4`` pass.
+- ``dedup_substring_suffix_runs`` / ``dedup_substring_removal`` — Lee
+  et al. 2022 ("Deduplicating Training Data Makes Language Models
+  Better") ExactSubstr semantics: overlapping suffix-grams find every
+  duplicated window of length >= K at any alignment; gaps-and-islands
+  merges them into maximal runs (detection), and the removal variant
+  emits the cleaned corpus keeping each repeated passage's global
+  first occurrence.
 - ``text_pii_redact_classes`` — email / phone / IPv4 / URL / digit-run
   PII families (the ``text_pii_redact`` digit-only pass broadened),
-  map-only portable regex.
+  map-only portable regex, redacted-output checksums pinned.
 - ``text_kneser_ney_bigram_score`` — interpolated Kneser-Ney bigram LM
   (Kneser & Ney 1995; the discounting the published quality-filter LMs
   use — CCNet scores with KenLM's modified-KN 5-grams) next to the
   Stupid Backoff scorer, same train/test hash split.
+- ``agg_hll_portable`` — HyperLogLog built from md5-prefix hashes both
+  engines compute identically, so the estimate itself is oracle-exact
+  (the engine-native sketches stay rows-only by design).
+- ``corpus_bottomk_consistent_sample`` — deterministic bottom-k-by-hash
+  sampling per source stratum (growth-consistent, RNG-free).
+- ``corpus_filter_funnel_attribution`` — FineWeb-style marginal gate
+  attribution over the registered quality filters.
+- ``text_knn_similarity_graph`` — per-doc Jaccard neighborhoods via a
+  PPJoin prefix filter at the graph floor.
+
+Stream twins live in ``streaming_q``: ``streaming_semdedup_assign_
+drain``, ``streaming_suffixgram_dup_drain``, ``streaming_hll_register_
+drain``.
 
 Same determinism rules as the rest of the surface: no rand(); every
 cross-engine float is rounded at 1e-6 with +1e-9 pre-round; shuffles
