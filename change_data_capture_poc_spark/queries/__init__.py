@@ -12,6 +12,15 @@ Modules:
 - ``cdc_ops_q``   — CDC maintenance ops (net-effect compaction,
                     snapshot diff, checksums, incremental merge,
                     fuzzy join, EMA)
+- ``pipeline3_q`` — corpus curation (splits, budgets, spans, rerank,
+                    kmeans/PCA, evals)
+- ``pipeline4_q`` — chunking, multiprobe IVF, backoff LM, winnowing,
+                    heavy hitters, sampling
+- ``pipeline5_q`` — CCNet perplexity pruning, IVF hard negatives,
+                    tokenizer fertility
+- ``pipeline6_q`` — ExactSubstr detection+removal, PII classes,
+                    Kneser-Ney, portable HLL, bottom-k sampling,
+                    filter funnel, kNN graph
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
