@@ -21,6 +21,9 @@ Modules:
 - ``pipeline6_q`` — ExactSubstr detection+removal, PII classes,
                     Kneser-Ney, portable HLL, bottom-k sampling,
                     filter funnel, kNN graph
+- ``pipeline7_q`` — portable Count-Min sketch, PQ/ADC recall,
+                    semantic decontamination, Zipf fit, bitext
+                    margin mining
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -35,3 +38,4 @@ import change_data_capture_poc_spark.queries.pipeline3_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline5_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline6_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline7_q  # noqa: F401

@@ -1,0 +1,653 @@
+"""Round-7 pipeline operators.
+
+Extends the sketch / ANN / hygiene / statistics families with the
+remaining published shapes a 100 TB curation loop runs:
+
+- ``agg_cms_portable`` — Count-Min sketch (Cormode & Muthukrishnan
+  2005) built from md5 hashes BOTH engines compute identically, so
+  the per-item estimates themselves are oracle-exact (the companion
+  to ``agg_hll_portable``'s distinct counting: CMS answers point
+  frequency queries). Registers merge associatively (SUM) — the
+  distributed-sketch property; the overestimate invariant
+  (estimate >= exact, always) is pytest-pinned.
+- ``ann_pq_adc_recall`` — Product Quantization with asymmetric
+  distance computation (Jegou et al. 2011, the FAISS IVF-PQ scale
+  path): vectors collapse to M small codes, queries score candidates
+  via a tiny lookup table, recall@k is measured against exact truth.
+- ``decontaminate_semantic_embedding`` — semantic (embedding-cosine)
+  benchmark decontamination, the near-dup-robust complement to
+  ``decontaminate_ngram_overlap``'s surface-form check.
+- ``bitext_margin_mining`` — margin-based parallel-text mining
+  (Artetxe & Schwenk 2019, the LASER/CCMatrix miner): candidate score
+  = cosine normalized by the mean of both directions' top-k
+  neighborhoods, which kills hub vectors that plain cosine ranks
+  first.
+
+Stream twin in ``streaming_q``: ``streaming_cms_register_drain``.
+
+Same determinism rules as the rest of the surface: no rand(); every
+cross-engine float is rounded at 1e-6 with +1e-9 pre-round; corpus
+text/vectors never shuffle — only hashes, codes, and count tables do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# agg_cms_portable — cross-engine-exact Count-Min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4   # hash rows (independent via row-salted md5)
+_CMS_W = 32  # buckets per row (small on purpose: the synthetic
+             # ~40-word vocabulary needs real collisions for the
+             # estimate-vs-exact readout to be informative)
+
+
+def _cms_bucket_sql(row: int, word_expr: str, engine: str) -> str:
+    """Bucket index for one hash row, as an engine-specific SQL string.
+
+    Same md5-prefix integer both engines compute: row salt || ':' ||
+    token, first 8 hex chars as a BIGINT, mod width.
+    """
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST(concat('{row}:', {word_expr}) "
+            f"AS BINARY)), 1, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+        )
+    return (
+        f"('0x' || substring(md5('{row}:' || {word_expr}), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+@register(
+    "agg_cms_portable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    t AS (SELECT word FROM tok WHERE word != ''),
+    reg AS (
+        SELECT r.j, {_cms_bucket_sql(0, 'word', 'duck')
+                     .replace("'0:'", "CAST(r.j AS VARCHAR) || ':'")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t, (SELECT unnest(range({_CMS_D})) AS j) r
+        GROUP BY r.j, b
+    ),
+    ex AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+           FROM t GROUP BY word),
+    wb AS (
+        SELECT ex.word, ex.exact_count, r.j,
+               {_cms_bucket_sql(0, 'ex.word', 'duck')
+                .replace("'0:'", "CAST(r.j AS VARCHAR) || ':'")} AS b
+        FROM ex, (SELECT unnest(range({_CMS_D})) AS j) r
+    )
+    SELECT wb.word, wb.exact_count,
+           CAST(MIN(reg.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(reg.cnt) - wb.exact_count AS BIGINT) AS overcount
+    FROM wb JOIN reg ON wb.j = reg.j AND wb.b = reg.b
+    GROUP BY wb.word, wb.exact_count
+    """,
+    doc=f"PORTABLE Count-Min sketch ({_CMS_D} rows x {_CMS_W} buckets, "
+        f"Cormode & Muthukrishnan 2005) over the document token "
+        f"stream: each token increments one bucket per hash row "
+        f"(row-salted md5-prefix integers both engines compute "
+        f"identically), and a word's frequency estimate is the MIN of "
+        f"its {_CMS_D} bucket counts — so, like agg_hll_portable, the "
+        f"ESTIMATE itself is oracle-exact, not just the input rows. "
+        f"Emits estimate vs exact count and the overcount per word "
+        f"(never negative — the CMS one-sided-error guarantee, pinned "
+        f"by pytest along with register-merge associativity: SUM "
+        f"commutes with sharding, the distributed-sketch property). "
+        f"Scale shape: the sketch is ONE shuffle over "
+        f"{_CMS_D}x{_CMS_W} = {_CMS_D * _CMS_W} bounded keys with "
+        f"map-side combine — at 100 TB the registers stay "
+        f"{_CMS_D * _CMS_W} rows while exact per-word counting grows "
+        f"with the vocabulary; the estimate join broadcasts the "
+        f"{_CMS_D * _CMS_W}-row register table onto the vocab frame.",
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    # Registers: one (row, bucket) count per token per hash row.
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(_cms_bucket_sql(j, "word", "spark")).alias("b"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    )
+    reg = (
+        t.select(jb.alias("jb"))
+        .select("jb.j", "jb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ex = t.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    wb = ex.select(
+        "word",
+        "exact_count",
+        jb.alias("jb"),
+    ).select("word", "exact_count", "jb.j", "jb.b")
+    est = (
+        wb.join(F.broadcast(reg), ["j", "b"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "word",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_semantic_embedding
+# ---------------------------------------------------------------------------
+
+_DSE_NB = 16      # benchmark (eval-set) vectors: vec_id < 16
+_DSE_THRESH = 0.35  # contamination cosine ceiling (this corpus's true
+                    # neighbors sit near cos 0.39-0.49; see SCALING.md)
+
+
+def _collect_bench_vectors(e) -> list[tuple[int, list[float], float]]:
+    """Collect the benchmark vectors (bounded at _DSE_NB rows) with
+    their L2 norms folded left-to-right — the same IEEE sequence both
+    engines' folds execute, so the literal norm is bit-identical to
+    an in-engine sqrt(list_dot_product(b, b))."""
+    import math
+
+    rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.where(F.col("vec_id") < _DSE_NB).collect()
+    )
+    out = []
+    for vid, vec in rows:
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        n = math.sqrt(acc)
+        out.append((vid, vec, n if n != 0.0 else 1.0))
+    return out
+
+
+@register(
+    "decontaminate_semantic_embedding",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, v FROM e WHERE vec_id < {_DSE_NB}),
+    c AS (SELECT * FROM e WHERE vec_id >= {_DSE_NB}),
+    sc AS (
+        SELECT c.vec_id, c.label,
+               MAX(ROUND(list_dot_product(c.v, b.v) /
+                   ((CASE WHEN sqrt(list_dot_product(c.v, c.v)) = 0
+                          THEN 1 ELSE sqrt(list_dot_product(c.v, c.v))
+                     END) *
+                    (CASE WHEN sqrt(list_dot_product(b.v, b.v)) = 0
+                          THEN 1 ELSE sqrt(list_dot_product(b.v, b.v))
+                     END)) + 1e-9, 6)) AS mx
+        FROM c, b GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE mx >= {_DSE_THRESH}) AS BIGINT)
+               AS n_contaminated,
+           ROUND(AVG(mx) + 1e-9, 6) AS avg_max_cos,
+           MAX(mx) AS top_max_cos
+    FROM sc GROUP BY label
+    """,
+    doc=f"SEMANTIC benchmark decontamination: flag corpus vectors "
+        f"whose max cosine to any of the {_DSE_NB} benchmark (eval-"
+        f"set) embeddings reaches {_DSE_THRESH} — the paraphrase-"
+        f"robust complement to decontaminate_ngram_overlap (surface "
+        f"n-grams miss reworded eval leakage; embedding cosine "
+        f"catches it — the check run before trusting benchmark "
+        f"deltas). Per-label readout: corpus size, contaminated "
+        f"count, mean/max of the max-cosine. Scale shape: the "
+        f"benchmark set is collected ({_DSE_NB} rows, the blessed "
+        f"bounded-collect) and folded into the MAP STAGE as a "
+        f"greatest() over literal-vector cosines — the corpus is "
+        f"never shuffled, never joined, and the only exchange is the "
+        f"|labels|-row dashboard rollup. Benchmark norms are folded "
+        f"driver-side with the same left-to-right IEEE sequence the "
+        f"engines' folds execute (zero-norm -> 1 guard on both "
+        f"sides, matching functions/vectors.safe_l2_norm).",
+)
+def decontaminate_semantic_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = _collect_bench_vectors(e)
+    cos_terms = ", ".join(
+        "round(aggregate(zip_with(v, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+        + "), (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        + " / (nv * CAST('" + repr(n) + "' AS DOUBLE)) + 1e-9, 6)"
+        for _vid, vec, n in bench
+    )
+    from change_data_capture_poc_spark.functions.vectors import safe_l2_norm
+
+    c = e.where(F.col("vec_id") >= _DSE_NB).withColumn(
+        "nv", safe_l2_norm(F.col("v"))
+    )
+    sc = c.select(
+        "label", F.expr(f"greatest({cos_terms})").alias("mx")
+    )
+    return sc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("mx") >= _DSE_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(F.avg("mx") + F.lit(1e-9), 6).alias("avg_max_cos"),
+        F.max("mx").alias("top_max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_adc_recall — product quantization + asymmetric distance
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4     # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = the 64-dim embeddings)
+_PQ_C = 8     # codewords per subspace (= slices of vectors id < 8)
+_PQ_NQ = 8    # queries: vec_id in [8, 16)
+_PQ_K = 5     # recall@k
+
+
+def _pq_l2_duck(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) "
+        f"+ 1e-9, 6)"
+    )
+
+
+def _pq_oracle() -> str:
+    m_tbl = f"(SELECT unnest(range({_PQ_M})) AS m) mm"
+    sub = f"e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}]"
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sub AS (SELECT e.vec_id, mm.m, {sub} AS s FROM e, {m_tbl}),
+    cb AS (SELECT vec_id AS cid, m, s AS cs FROM sub
+           WHERE vec_id < {_PQ_C}),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_l2_duck('s.s', 'c.cs')}, c.cid
+                   ) AS rn
+            FROM sub s JOIN cb c USING (m)
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS q_id, s.m, c.cid,
+               {_pq_l2_duck('s.s', 'c.cs')} AS pdist
+        FROM sub s JOIN cb c USING (m)
+        WHERE s.vec_id >= {_PQ_C} AND s.vec_id < {_PQ_C + _PQ_NQ}
+    ),
+    adc AS (
+        SELECT l.q_id, en.vec_id AS neighbor_id,
+               ROUND(SUM(l.pdist) + 1e-9, 6) AS adc_dist
+        FROM enc en JOIN lut l ON en.m = l.m AND en.code = l.cid
+        WHERE en.vec_id != l.q_id
+        GROUP BY l.q_id, en.vec_id
+    ),
+    pred AS (
+        SELECT q_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, neighbor_id)
+                <= {_PQ_K}
+    ),
+    truth AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_pq_l2_duck('e.v', 'q.v')}, e.vec_id
+                   ) AS rn
+            FROM e, e q
+            WHERE q.vec_id >= {_PQ_C} AND q.vec_id < {_PQ_C + _PQ_NQ}
+              AND e.vec_id != q.vec_id
+        ) WHERE rn <= {_PQ_K}
+    ),
+    hits AS (
+        SELECT t.q_id,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits
+        FROM truth t LEFT JOIN pred p
+            ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+        GROUP BY t.q_id
+    )
+    SELECT q_id, n_hits,
+           ROUND(n_hits / {_PQ_K}.0 + 1e-9, 6) AS recall
+    FROM hits
+    """
+
+
+@register(
+    "ann_pq_adc_recall",
+    oracle=_pq_oracle(),
+    doc=f"Product Quantization with asymmetric distance (Jegou et al. "
+        f"2011 — the FAISS IVF-PQ scale path): each vector is encoded "
+        f"as {_PQ_M} small codes (argmin over {_PQ_C} codewords per "
+        f"{_PQ_SUB}-dim subspace, codewords = slices of the first "
+        f"{_PQ_C} vectors), a query scores ANY candidate via a "
+        f"{_PQ_M}x{_PQ_C} lookup table of precomputed subspace "
+        f"distances, and recall@{_PQ_K} is measured against exact "
+        f"full-dim L2 truth — the compression-vs-recall readout run "
+        f"before shipping a PQ index. Scale shape: encoding is "
+        f"MAP-SIDE argmin over literal codewords (zero shuffles — the "
+        f"corpus crosses the network as {_PQ_M} bytes of codes, the "
+        f"whole point of PQ: 64 doubles -> {_PQ_M} codes is a 128x "
+        f"store shrink); the ADC scan looks partial distances up in a "
+        f"{_PQ_NQ * _PQ_M * _PQ_C}-entry literal LUT (collected from "
+        f"an in-engine computed {_PQ_NQ * _PQ_M * _PQ_C}-row frame, "
+        f"the blessed bounded collect) and cuts via grouped_topk; "
+        f"the exact side is the deliberate eval-gate brute force. "
+        f"All partial distances are 1e-6-rounded before the "
+        f"{_PQ_M}-term ADC sum so no cross-engine float order "
+        f"survives.",
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.where(F.col("vec_id") < _PQ_C).collect()
+    )
+
+    def sub_lits(vec: list[float], m: int) -> str:
+        return ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)"
+            for x in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        )
+
+    def code_expr(m: int) -> F.Column:
+        cands = ", ".join(
+            f"struct(round(aggregate(zip_with("
+            f"slice(v, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
+            f"array({sub_lits(vec, m)}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b) "
+            f"+ 1e-9, 6) AS dist, {cid} AS cid)"
+            for cid, vec in cb
+        )
+        return F.expr(f"least({cands}).cid")
+
+    codes = e.select(
+        "vec_id", *[code_expr(m).alias(f"code_{m}") for m in range(_PQ_M)]
+    )
+
+    # LUT computed IN-ENGINE (query-subvector x codeword distances,
+    # same rounded arithmetic as encoding), then collected — bounded
+    # at NQ*M*C rows by construction.
+    qe = e.where(
+        (F.col("vec_id") >= _PQ_C) & (F.col("vec_id") < _PQ_C + _PQ_NQ)
+    )
+    lut_parts = []
+    for m in range(_PQ_M):
+        for cid, vec in cb:
+            lut_parts.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(cid).alias("cid"),
+                    F.expr(
+                        f"round(aggregate(zip_with("
+                        f"slice(v, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
+                        f"array({sub_lits(vec, m)}), "
+                        f"(x, y) -> (x - y) * (x - y)), "
+                        f"0D, (a, b) -> a + b) + 1e-9, 6)"
+                    ).alias("pdist"),
+                )
+            )
+    lut_rows = (
+        qe.select("vec_id", F.explode(F.array(*lut_parts)).alias("p"))
+        .select("vec_id", "p.m", "p.cid", "p.pdist")
+        .collect()
+    )
+    lut = {(int(r["vec_id"]), int(r["m"]), int(r["cid"])): float(r["pdist"])
+           for r in lut_rows}
+    q_ids = sorted({k[0] for k in lut})
+    flat = [
+        lut[(q, m, c)]
+        for q in q_ids
+        for m in range(_PQ_M)
+        for c in range(_PQ_C)
+    ]
+    lut_sql = "array(" + ", ".join(
+        f"CAST('{x!r}' AS DOUBLE)" for x in flat
+    ) + ")"
+    q_meta = qe.sparkSession.createDataFrame(
+        [(q, i) for i, q in enumerate(q_ids)], "q_id bigint, q_idx int"
+    )
+    adc = F.expr(
+        "round("
+        + " + ".join(
+            f"element_at({lut_sql}, (q_idx * {_PQ_M} + {m}) * {_PQ_C} "
+            f"+ code_{m} + 1)"
+            for m in range(_PQ_M)
+        )
+        + " + 1e-9, 6)"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q_meta))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+        )
+    )
+    pred = grouped_topk(
+        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+
+    qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    exact_scored = (
+        e.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("dist"),
+        )
+    )
+    truth = grouped_topk(
+        exact_scored, ["q_id"], [("dist", True), ("neighbor_id", True)], _PQ_K
+    ).select("q_id", "neighbor_id")
+
+    hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
+        "q_id"
+    ).agg(F.count("hit").cast("long").alias("n_hits"))
+    return hits.select(
+        "q_id",
+        "n_hits",
+        F.round(F.col("n_hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
+            "recall"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitext_margin_mining — margin-normalized nearest-neighbor matching
+# ---------------------------------------------------------------------------
+
+_BMM_NQ = 8  # "source side" sentences: vec_id < 8 (the bounded set)
+_BMM_K = 4   # neighborhood size for the margin normalizer
+
+
+def _bmm_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product(t.v, s.v) /"
+        " ((CASE WHEN sqrt(list_dot_product(t.v, t.v)) = 0 THEN 1"
+        "        ELSE sqrt(list_dot_product(t.v, t.v)) END) *"
+        "  (CASE WHEN sqrt(list_dot_product(s.v, s.v)) = 0 THEN 1"
+        "        ELSE sqrt(list_dot_product(s.v, s.v)) END)) + 1e-9, 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (SELECT * FROM e WHERE vec_id < {_BMM_NQ}),
+    t AS (SELECT * FROM e WHERE vec_id >= {_BMM_NQ}),
+    sc AS (
+        SELECT s.vec_id AS q_id, t.vec_id AS neighbor_id,
+               {cos} AS cosine
+        FROM t, s
+    ),
+    fwd AS (
+        SELECT q_id, ROUND(AVG(cosine) + 1e-9, 6) AS fwd_mean FROM (
+            SELECT q_id, cosine FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, neighbor_id) <= {_BMM_K}
+        ) GROUP BY q_id
+    ),
+    bwd AS (
+        SELECT neighbor_id, ROUND(AVG(cosine) + 1e-9, 6) AS bwd_mean
+        FROM (
+            SELECT neighbor_id, cosine FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                ORDER BY cosine DESC, q_id) <= {_BMM_K}
+        ) GROUP BY neighbor_id
+    ),
+    m AS (
+        SELECT sc.q_id, sc.neighbor_id, sc.cosine,
+               ROUND(sc.cosine / ((f.fwd_mean + b.bwd_mean) / 2)
+                     + 1e-9, 6) AS margin
+        FROM sc JOIN fwd f USING (q_id) JOIN bwd b USING (neighbor_id)
+    )
+    SELECT q_id, neighbor_id AS match_id, cosine, margin FROM m
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY margin DESC, neighbor_id) <= 1
+    """
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=_bmm_oracle(),
+    doc=f"Margin-based bitext mining (Artetxe & Schwenk 2019 — the "
+        f"LASER/CCMatrix parallel-corpus miner): a candidate pair's "
+        f"score is its cosine RATIO-NORMALIZED by the mean cosine of "
+        f"both sides' top-{_BMM_K} neighborhoods — margin = cos(x,y) "
+        f"/ ((fwd_k(x) + bwd_k(y)) / 2) — which demotes hub vectors "
+        f"that plain cosine ranks first (the known failure of raw-"
+        f"cosine mining). Emits the top match per source sentence "
+        f"with cosine and margin. Scale shape: the {_BMM_NQ} source "
+        f"vectors are collected and folded into the MAP STAGE as a "
+        f"literal cosine array, so the backward (candidate-side) "
+        f"neighborhood mean is computed per row with ZERO shuffles "
+        f"(sort of an {_BMM_NQ}-element array); the forward "
+        f"neighborhood and the final match both cut through "
+        f"grouped_topk (k-bounded exchange); the corpus is scanned "
+        f"twice and never shuffled.",
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = _collect_bench_vectors(e.where(F.col("vec_id") < _BMM_NQ))
+    src_ids = [vid for vid, _v, _n in bench]
+    from change_data_capture_poc_spark.functions.vectors import safe_l2_norm
+
+    cos_terms = ", ".join(
+        "round(aggregate(zip_with(v, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+        + "), (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        + " / (nv * CAST('" + repr(n) + "' AS DOUBLE)) + 1e-9, 6)"
+        for _vid, vec, n in bench
+    )
+    ids_sql = ", ".join(f"CAST({i} AS BIGINT)" for i in src_ids)
+    t = (
+        e.where(F.col("vec_id") >= _BMM_NQ)
+        .withColumn("nv", safe_l2_norm(F.col("v")))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"array({cos_terms})").alias("carr"),
+        )
+    )
+    # Backward neighborhood mean: per candidate row, mean of its
+    # top-k cosines over the source set — an array sort, map-side.
+    bwd = F.expr(
+        f"round(aggregate(slice(array_sort(carr), "
+        f"{_BMM_NQ - _BMM_K + 1}, {_BMM_K}), 0D, (a, b) -> a + b) "
+        f"/ {_BMM_K}.0 + 1e-9, 6)"
+    )
+    scored = (
+        t.withColumn("bwd_mean", bwd)
+        .select(
+            "neighbor_id",
+            "bwd_mean",
+            F.posexplode("carr").alias("qi", "cosine"),
+        )
+        .withColumn(
+            "q_id", F.expr(f"element_at(array({ids_sql}), qi + 1)")
+        )
+        .drop("qi")
+    )
+    fwd = (
+        grouped_topk(
+            scored.select("q_id", "neighbor_id", "cosine"),
+            ["q_id"],
+            [("cosine", False), ("neighbor_id", True)],
+            _BMM_K,
+        )
+        .groupBy("q_id")
+        .agg(F.round(F.avg("cosine") + F.lit(1e-9), 6).alias("fwd_mean"))
+    )
+    m = scored.join(F.broadcast(fwd), "q_id").withColumn(
+        "margin",
+        F.round(
+            F.col("cosine")
+            / ((F.col("fwd_mean") + F.col("bwd_mean")) / 2)
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return grouped_topk(
+        m.select("q_id", "neighbor_id", "cosine", "margin"),
+        ["q_id"],
+        [("margin", False), ("neighbor_id", True)],
+        1,
+    ).select(
+        "q_id", F.col("neighbor_id").alias("match_id"), "cosine", "margin"
+    )

@@ -957,3 +957,109 @@ def streaming_hll_register_drain(
         "zero_regs",
         F.round(e + F.lit(1e-9), 6).alias("hll_estimate"),
     )
+
+
+def _cms_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _CMS_D,
+        _cms_bucket_sql,
+    )
+
+    bucket = _cms_bucket_sql(0, "word", "duck").replace(
+        "'0:'", "CAST(r.j AS VARCHAR) || ':'"
+    )
+    bucket_w = _cms_bucket_sql(0, "ex.word", "duck").replace(
+        "'0:'", "CAST(r.j AS VARCHAR) || ':'"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    t AS (SELECT word FROM tok WHERE word != ''),
+    reg AS (
+        SELECT r.j, {bucket} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t, (SELECT unnest(range({_CMS_D})) AS j) r
+        GROUP BY r.j, b
+    ),
+    ex AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+           FROM t GROUP BY word),
+    wb AS (
+        SELECT ex.word, r.j, {bucket_w} AS b
+        FROM ex, (SELECT unnest(range({_CMS_D})) AS j) r
+    )
+    SELECT wb.word, CAST(MIN(reg.cnt) AS BIGINT) AS cms_estimate
+    FROM wb JOIN reg ON wb.j = reg.j AND wb.b = reg.b
+    GROUP BY wb.word
+    """
+
+
+@register(
+    "streaming_cms_register_drain",
+    oracle=_cms_oracle(),
+    doc="STREAMING frequency sketch — agg_cms_portable's stream twin "
+        "(the same lambda shape as streaming_hll_register_drain): "
+        "document tokens arrive as a stream, each one hashes to its "
+        "(row, bucket) register IN THE MAP STAGE, and the running "
+        "per-register COUNT is the only streaming state (bounded at "
+        "rows x width forever; counts merge by SUM — the "
+        "associativity the batch pytest pins). The word-level "
+        "estimate readout (MIN over the word's buckets) finishes "
+        "batch-side over the drained registers joined to the vocab "
+        "frame, sharing the batch oracle's arithmetic verbatim. "
+        "Complete-mode register drain equals the batch register "
+        "table, so estimates match the batch sketch exactly.",
+)
+def streaming_cms_register_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _cms_bucket_sql,
+        _CMS_D,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    t = stream.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(_cms_bucket_sql(j, "word", "spark")).alias("b"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    )
+    reg_stream = (
+        t.select(jb.alias("jb"))
+        .select("jb.j", "jb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    regs = _drain(reg_stream, "streaming_cms_register_tbl", "complete")
+
+    # Batch readout over the drained registers (the stream's only
+    # state): per-word MIN over its buckets, same arithmetic as
+    # agg_cms_portable.
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    wb = ex.select("word", jb.alias("jb")).select("word", "jb.j", "jb.b")
+    return (
+        wb.join(F.broadcast(regs), ["j", "b"])
+        .groupBy("word")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )

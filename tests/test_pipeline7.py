@@ -1,0 +1,239 @@
+"""Invariant checks for the round-7 operators (pipeline7_q +
+streaming_cms_register_drain).
+
+The DuckDB oracle (tools/check_correctness.py) pins exact values;
+these tests pin the semantic invariants that hold at ANY scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import all_queries
+
+
+def test_cms_overestimate_invariant(spark, sf_dir):
+    """Count-Min never underestimates (the one-sided error guarantee),
+    and every word's estimate is at most the total token count."""
+    out = all_queries()["agg_cms_portable"].fn(spark, sf_dir).collect()
+    assert out, "expected vocabulary rows"
+    total = sum(r.exact_count for r in out)
+    for r in out:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.overcount == r.cms_estimate - r.exact_count
+        assert r.cms_estimate <= total
+
+
+def test_cms_register_merge_associativity(spark, sf_dir):
+    """Registers built on two disjoint shards and SUMMED equal the
+    registers built on the whole corpus — the property that lets the
+    sketch be maintained per-partition / per-stream-batch and merged."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _CMS_D,
+        _cms_bucket_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def registers(df):
+        t = df.select(
+            F.explode(F.split("text", " ")).alias("word")
+        ).where(F.col("word") != "")
+        jb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket_sql(j, "word", "spark")).alias(
+                            "b"
+                        ),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        )
+        rows = (
+            t.select(jb.alias("jb"))
+            .select("jb.j", "jb.b")
+            .groupBy("j", "b")
+            .count()
+            .collect()
+        )
+        return {(r.j, r.b): r["count"] for r in rows}
+
+    whole = registers(d)
+    even = registers(d.where(F.col("doc_id") % 2 == 0))
+    odd = registers(d.where(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for part in (even, odd):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    """The stream-maintained registers yield exactly the batch
+    sketch's word estimates (integer-exact, no tolerance)."""
+    batch = {
+        r.word: r.cms_estimate
+        for r in all_queries()["agg_cms_portable"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        r.word: r.cms_estimate
+        for r in all_queries()["streaming_cms_register_drain"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_pq_recall_bounds_and_code_range(spark, sf_dir):
+    """Recall@k lies in [0, 1] with n_hits consistent; every emitted
+    query appears exactly once; PQ codes stay within the codebook."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _PQ_K,
+        _PQ_NQ,
+    )
+
+    out = all_queries()["ann_pq_adc_recall"].fn(spark, sf_dir).collect()
+    assert len(out) == _PQ_NQ
+    assert len({r.q_id for r in out}) == _PQ_NQ
+    for r in out:
+        assert 0 <= r.n_hits <= _PQ_K
+        assert abs(r.recall - r.n_hits / _PQ_K) < 2e-6
+    # The synthetic embeddings cluster by label, so ADC over 4x16
+    # subspaces should recover a nonzero share of true neighbors
+    # overall — a PQ wired to garbage codes would sit at ~0.
+    assert sum(r.n_hits for r in out) > 0
+
+
+def test_pq_codebook_vector_encodes_to_itself(spark, sf_dir):
+    """A vector that IS codeword c in every subspace must encode to
+    codes with zero subspace distance — i.e. the argmin picks a
+    codeword whose subvector is identical (distance 0)."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _PQ_C,
+        _PQ_M,
+        _PQ_SUB,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in e.where(F.col("vec_id") < _PQ_C).collect()
+    }
+    cands = sorted(cb.items())
+    for _vid, vec in cands:
+        for m in range(_PQ_M):
+            own = vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            # distance to the argmin codeword must be 0 (its own
+            # subvector, or an identical one with a lower cid)
+            best = min(
+                (
+                    sum((x - y) * (x - y) for x, y in zip(own, c[m * _PQ_SUB : (m + 1) * _PQ_SUB])),
+                    cid,
+                )
+                for cid, c in cands
+            )
+            assert best[0] == 0.0
+
+
+def test_semantic_decontamination_matches_model(spark, sf_dir):
+    """Per-label contaminated counts match a driver-side float64
+    recompute of max-cosine-to-benchmark (within rounding tolerance
+    of the 1e-6 grid)."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _DSE_NB,
+        _DSE_THRESH,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    bench = [
+        [float(x) for x in r.v] for r in sorted(rows, key=lambda r: r.vec_id)
+        if r.vec_id < _DSE_NB
+    ]
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return n if n != 0.0 else 1.0
+
+    model: dict = {}
+    for r in rows:
+        if r.vec_id < _DSE_NB:
+            continue
+        v = [float(x) for x in r.v]
+        mx = max(
+            sum(a * b for a, b in zip(v, bv)) / (norm(v) * norm(bv))
+            for bv in bench
+        )
+        lab = int(r.label)
+        n_vecs, n_cont = model.get(lab, (0, 0))
+        model[lab] = (n_vecs + 1, n_cont + (1 if mx >= _DSE_THRESH - 2e-6 else 0))
+
+    out = all_queries()["decontaminate_semantic_embedding"].fn(
+        spark, sf_dir
+    ).collect()
+    assert {r.label for r in out} == set(model)
+    for r in out:
+        n_vecs, n_cont = model[r.label]
+        assert r.n_vecs == n_vecs
+        # Threshold-boundary rounding can move a vector by one grid
+        # step at most.
+        assert abs(r.n_contaminated - n_cont) <= 1
+
+
+def test_bitext_margin_matches_model(spark, sf_dir):
+    """The mined match per source maximizes the margin per a
+    driver-side recompute (to float tolerance), and margins demote
+    at least as well as raw cosine (margin match != cosine match is
+    allowed, margin of the chosen match is maximal)."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _BMM_K,
+        _BMM_NQ,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    vecs = {int(r.vec_id): [float(x) for x in r.v] for r in rows}
+    src = {i: vecs[i] for i in sorted(vecs) if i < _BMM_NQ}
+    tgt = {i: vecs[i] for i in sorted(vecs) if i >= _BMM_NQ}
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return n if n != 0.0 else 1.0
+
+    cos = {
+        (q, t): sum(a * b for a, b in zip(qv, tv)) / (norm(qv) * norm(tv))
+        for q, qv in src.items()
+        for t, tv in tgt.items()
+    }
+    fwd = {
+        q: sum(sorted((cos[(q, t)] for t in tgt), reverse=True)[:_BMM_K])
+        / _BMM_K
+        for q in src
+    }
+    bwd = {
+        t: sum(sorted((cos[(q, t)] for q in src), reverse=True)[:_BMM_K])
+        / _BMM_K
+        for t in tgt
+    }
+    margin = {
+        (q, t): cos[(q, t)] / ((fwd[q] + bwd[t]) / 2) for q, t in cos
+    }
+    out = all_queries()["bitext_margin_mining"].fn(spark, sf_dir).collect()
+    assert len(out) == _BMM_NQ
+    for r in out:
+        best = max(margin[(r.q_id, t)] for t in tgt)
+        assert margin[(r.q_id, r.match_id)] >= best - 5e-6
+        assert abs(r.margin - margin[(r.q_id, r.match_id)]) < 5e-5
