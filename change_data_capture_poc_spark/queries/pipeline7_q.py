@@ -22,6 +22,18 @@ remaining published shapes a 100 TB curation loop runs:
   = cosine normalized by the mean of both directions' top-k
   neighborhoods, which kills hub vectors that plain cosine ranks
   first.
+- ``corpus_doremi_domain_weights`` — DoReMi (Xie et al. 2023) domain
+  reweighting: one exponentiated-gradient step on per-domain excess
+  loss (generic vs in-domain unigram LM), integer-millinat exact.
+- ``bpe_train_iterative_merges`` — the real iterative BPE trainer
+  (Sennrich et al. 2016): 3 merge rounds where round r's counts
+  depend on round r-1's applied merges; greedy application is
+  relational (gaps-and-islands run parity), not a sequential fold.
+- ``events_anomaly_mad_robust`` — median/MAD modified z-score outlier
+  screen (Iglewicz & Hoaglin), the heavy-tail-safe zscore twin.
+- ``graph_triangle_count_dupgraph`` — id-oriented triangle counting
+  over the MinHash-LSH candidate graph (template-farm vs chain
+  topology readout).
 
 Stream twin in ``streaming_q``: ``streaming_cms_register_drain``.
 
@@ -650,4 +662,557 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).select(
         "q_id", F.col("neighbor_id").alias("match_id"), "cosine", "margin"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_doremi_domain_weights
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 1.0     # exponentiated-gradient step size
+_DRM_SMOOTH = 0.01  # uniform smoothing mass
+
+
+@register(
+    "corpus_doremi_domain_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    stc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+            FROM tok WHERE tok != '' GROUP BY source, tok),
+    td AS (SELECT source, SUM(c_st) AS t_dom FROM stc GROUP BY source),
+    cg AS (SELECT tok, SUM(c_st) AS c_g FROM stc GROUP BY tok),
+    tg AS (SELECT SUM(c_st) AS t_all FROM stc),
+    scored AS (
+        SELECT s.source, s.c_st,
+               CAST(ROUND(-ln(s.c_st * 1.0 / td.t_dom) * 1000 + 1e-9, 0)
+                    AS BIGINT) AS mnat_dom,
+               CAST(ROUND(-ln(cg.c_g * 1.0 / tg.t_all) * 1000 + 1e-9, 0)
+                    AS BIGINT) AS mnat_glob
+        FROM stc s JOIN td USING (source) JOIN cg USING (tok), tg
+    ),
+    dom AS (
+        SELECT source,
+               CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+               SUM(c_st * mnat_glob) AS mn_glob,
+               SUM(c_st * mnat_dom) AS mn_dom
+        FROM scored GROUP BY source
+    ),
+    raw AS (
+        SELECT source, n_tokens,
+               ROUND((mn_glob - mn_dom) * 1.0 / n_tokens / 1000
+                     + 1e-9, 6) AS excess_nats,
+               ROUND((n_tokens * 1.0
+                      / (SELECT SUM(n_tokens) FROM dom))
+                     * exp({_DRM_ETA} * (mn_glob - mn_dom) * 1.0
+                           / n_tokens / 1000) + 1e-9, 6) AS w_raw
+        FROM dom
+    ),
+    k AS (SELECT COUNT(*) AS k, SUM(w_raw) AS z FROM raw)
+    SELECT source, n_tokens, excess_nats,
+           ROUND((1 - {_DRM_SMOOTH}) * w_raw / k.z
+                 + {_DRM_SMOOTH} / k.k + 1e-9, 6) AS doremi_weight
+    FROM raw, k
+    """,
+    doc=f"DoReMi-style domain reweighting (Xie et al. 2023, one "
+        f"exponentiated-gradient step): each source's EXCESS LOSS is "
+        f"how much worse the domain-agnostic unigram LM scores its "
+        f"tokens than its own in-domain unigram LM (the proxy/"
+        f"reference pair, re-expressed with the same count-table LMs "
+        f"the CCNet/backoff queries use); weights update as "
+        f"size_share * exp(eta * excess), normalized, then mixed "
+        f"with {_DRM_SMOOTH} uniform smoothing — exactly the "
+        f"published update rule, so hard-for-generic-models domains "
+        f"gain sampling mass. Cross-engine float discipline: "
+        f"per-token negative log-probs land on an integer MILLINAT "
+        f"grid (one ROUND per distinct (source, token) pair), so the "
+        f"corpus-sized sums are exact integer arithmetic — no "
+        f"summation-order risk survives into the exp. Scale shape: "
+        f"ONE (source, token) count shuffle; the global-model join "
+        f"is count-table-sized (AQE decides); everything after is "
+        f"|sources|-row arithmetic with 1-row totals broadcast.",
+)
+def corpus_doremi_domain_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    td = stc.groupBy("source").agg(F.sum("c_st").alias("t_dom"))
+    cg = stc.groupBy("tok").agg(F.sum("c_st").alias("c_g"))
+    tg = stc.agg(F.sum("c_st").alias("t_all"))
+    scored = (
+        stc.join(F.broadcast(td), "source")
+        .join(cg, "tok")  # count-table join: AQE decides the strategy
+        .crossJoin(F.broadcast(tg))
+        .select(
+            "source",
+            "c_st",
+            F.round(
+                -F.log(F.col("c_st") * 1.0 / F.col("t_dom")) * 1000
+                + F.lit(1e-9),
+                0,
+            )
+            .cast("long")
+            .alias("mnat_dom"),
+            F.round(
+                -F.log(F.col("c_g") * 1.0 / F.col("t_all")) * 1000
+                + F.lit(1e-9),
+                0,
+            )
+            .cast("long")
+            .alias("mnat_glob"),
+        )
+    )
+    dom = scored.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_tokens"),
+        F.sum(F.col("c_st") * F.col("mnat_glob")).alias("mn_glob"),
+        F.sum(F.col("c_st") * F.col("mnat_dom")).alias("mn_dom"),
+    )
+    tot = dom.agg(F.sum("n_tokens").alias("all_tokens"))
+    excess = (
+        (F.col("mn_glob") - F.col("mn_dom")) * 1.0 / F.col("n_tokens") / 1000
+    )
+    raw = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(excess + F.lit(1e-9), 6).alias("excess_nats"),
+        F.round(
+            (F.col("n_tokens") * 1.0 / F.col("all_tokens"))
+            * F.exp(F.lit(_DRM_ETA) * excess)
+            + F.lit(1e-9),
+            6,
+        ).alias("w_raw"),
+    )
+    k = raw.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("z")
+    )
+    return raw.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_tokens",
+        "excess_nats",
+        F.round(
+            F.lit(1 - _DRM_SMOOTH) * F.col("w_raw") / F.col("z")
+            + F.lit(_DRM_SMOOTH) / F.col("k")
+            + F.lit(1e-9),
+            6,
+        ).alias("doremi_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_iterative_merges — 3 rounds of greedy BPE merge training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-round BPE trainer in DuckDB SQL.
+
+    Greedy left-to-right merge application is expressed relationally
+    (no sequential fold): match positions that overlap can only be
+    runs of a self-pair (l = r), and greedy selects every other
+    position within each maximal run — a gaps-and-islands parity
+    test, identical on both engines.
+    """
+    rounds = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+    pc{r} AS (
+        SELECT v.toks[s.i + 1] AS l, v.toks[s.i + 2] AS r2,
+               SUM(v.n) AS cnt
+        FROM v{p} v, LATERAL (
+            SELECT unnest(range(len(v.toks) - 1)) AS i
+        ) s
+        WHERE len(v.toks) >= 2
+        GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT l, r2, CAST(cnt AS BIGINT) AS cnt FROM pc{r}
+             ORDER BY cnt DESC, l, r2 LIMIT 1),
+    mpos{r} AS (
+        SELECT v.word, s.i AS pos
+        FROM v{p} v, LATERAL (
+            SELECT unnest(range(len(v.toks) - 1)) AS i
+        ) s, b{r} b
+        WHERE len(v.toks) >= 2
+          AND v.toks[s.i + 1] = b.l AND v.toks[s.i + 2] = b.r2
+    ),
+    isl{r} AS (
+        SELECT word, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY word ORDER BY pos) AS grp
+        FROM mpos{r}
+    ),
+    sel{r} AS (
+        SELECT word, pos,
+               (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+                   AS keep
+        FROM isl{r}
+    ),
+    pos{r} AS (
+        SELECT v.word, v.n, s.i AS pos, v.toks[s.i + 1] AS sym
+        FROM v{p} v, LATERAL (
+            SELECT unnest(range(len(v.toks))) AS i
+        ) s
+    ),
+    v{r} AS (
+        SELECT word, ANY_VALUE(n) AS n,
+               list(CASE WHEN m.keep THEN p.sym || (SELECT r2 FROM b{r})
+                         ELSE p.sym END ORDER BY p.pos) AS toks
+        FROM pos{r} p
+        LEFT JOIN (SELECT word, pos, keep FROM sel{r} WHERE keep) m
+            USING (word, pos)
+        LEFT JOIN (SELECT word, pos + 1 AS pos, keep
+                   FROM sel{r} WHERE keep) cons USING (word, pos)
+        WHERE cons.keep IS NULL
+        GROUP BY word
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS left_sym, r2 AS right_sym, "
+        f"l || r2 AS merged_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wc AS (
+        SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok != '' GROUP BY tok
+    ),
+    v0 AS (
+        SELECT word, n,
+               string_split(rtrim(regexp_replace(word, '(.)', '\\1 ',
+                                                 'g')), ' ') AS toks
+        FROM wc
+    ),
+    {",".join(rounds)}
+    {finals}
+    """
+
+
+@register(
+    "bpe_train_iterative_merges",
+    oracle=_bpe_oracle(),
+    doc=f"BPE tokenizer TRAINING to {_BPE_ROUNDS} merge rounds "
+        f"(Sennrich et al. 2016): per round, count adjacent symbol "
+        f"pairs over the frequency-weighted vocabulary, pick the most "
+        f"frequent pair (count-desc, pair-asc tiebreak), and apply "
+        f"the merge greedily left-to-right — extends bpe_pair_merges "
+        f"(single-round candidate counts) to the real iterative "
+        f"trainer whose round-r counts depend on round-(r-1) merges. "
+        f"Greedy application is RELATIONAL, not a sequential fold: "
+        f"overlapping matches only arise as runs of a self-pair "
+        f"(l = r), and greedy keeps every other position in each run "
+        f"— a gaps-and-islands parity test (the same machinery as "
+        f"dedup_substring_suffix_runs), bit-identical across engines. "
+        f"Scale shape: all rounds run on the WORD-FREQUENCY table "
+        f"(vocab-bounded, ~O(corpus^0.5) by Heaps' law) — the corpus "
+        f"itself is tokenized once into counts and never re-read; "
+        f"per round there is one pair-count shuffle over the vocab "
+        f"frame plus word-keyed windows, and the chosen pair is a "
+        f"bounded 1-row collect (the kmeans_multi_iter pattern).",
+)
+def bpe_train_iterative_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    v = wc.select(
+        "word",
+        "n",
+        F.split(
+            F.rtrim(F.regexp_replace("word", "(.)", "$1 ")), " "
+        ).alias("toks"),
+    )
+    out = None
+    for _r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            v.where(F.size("toks") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 2), i -> "
+                        "struct(element_at(toks, i + 1) AS l, "
+                        "element_at(toks, i + 2) AS r2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r2")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        best_df = pairs.orderBy(F.col("cnt").desc(), "l", "r2").limit(1)
+        best = best_df.collect()[0]  # bounded 1-row collect per round
+        l_lit, r_lit = best["l"], best["r2"]
+        row = best_df.select(
+            F.lit(_r).alias("merge_round"),
+            F.col("l").alias("left_sym"),
+            F.col("r2").alias("right_sym"),
+            F.concat(F.col("l"), F.col("r2")).alias("merged_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+
+        # Apply the merge: match positions, greedy run-parity select,
+        # rebuild token arrays in position order (word-keyed windows
+        # over the vocab frame only).
+        pos = v.select(
+            "word", "n", F.posexplode("toks").alias("pos", "sym")
+        )
+        mpos = (
+            v.where(F.size("toks") >= 2)
+            .select(
+                "word",
+                F.explode(
+                    F.expr("sequence(0, size(toks) - 2)")
+                ).alias("pos"),
+                "toks",
+            )
+            .where(
+                (F.expr("element_at(toks, pos + 1)") == F.lit(l_lit))
+                & (F.expr("element_at(toks, pos + 2)") == F.lit(r_lit))
+            )
+            .select("word", "pos")
+        )
+        wrn = Window.partitionBy("word").orderBy("pos")
+        grp = F.col("pos") - F.row_number().over(wrn)
+        wgrp = Window.partitionBy("word", "grp")
+        sel = (
+            mpos.withColumn("grp", grp)
+            .withColumn(
+                "keep",
+                ((F.col("pos") - F.min("pos").over(wgrp)) % 2) == 0,
+            )
+            .where("keep")
+            .select("word", "pos", "keep")
+        )
+        cons = sel.select(
+            "word", (F.col("pos") + 1).alias("pos"), F.col("keep").alias("c")
+        )
+        merged = (
+            pos.join(sel, ["word", "pos"], "left")
+            .join(cons, ["word", "pos"], "left")
+            .where(F.col("c").isNull())
+            .withColumn(
+                "sym2",
+                F.when(
+                    F.col("keep"), F.concat(F.col("sym"), F.lit(r_lit))
+                ).otherwise(F.col("sym")),
+            )
+        )
+        v = merged.groupBy("word").agg(
+            F.first("n").alias("n"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, sym2))), "
+                "x -> x.sym2)"
+            ).alias("toks"),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad_robust
+# ---------------------------------------------------------------------------
+
+_MAD_SCALE = 0.6745  # Iglewicz & Hoaglin modified z-score constant
+_MAD_CUT = 3.5       # their recommended outlier cut
+
+
+@register(
+    "events_anomaly_mad_robust",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, ANY_VALUE(m.med) AS med,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND({_MAD_SCALE} * (e.value - m.med) / m.mad + 1e-9, 6)
+               AS modified_z
+    FROM events e JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+      AND ABS(ROUND({_MAD_SCALE} * (e.value - m.med) / m.mad
+              + 1e-9, 6)) > {_MAD_CUT}
+    """,
+    doc=f"MAD-robust outlier screen (Iglewicz & Hoaglin 1993 modified "
+        f"z-score: {_MAD_SCALE}*(x - median)/MAD, cut at "
+        f"{_MAD_CUT}) — the heavy-tail-safe twin of "
+        f"events_anomaly_zscore: mean/stddev are themselves dragged "
+        f"by the outliers they are supposed to flag (masking), while "
+        f"median/MAD have a 50% breakdown point — the screen to trust "
+        f"on power-law metric columns. Scale shape: two exact grouped "
+        f"percentile passes (the agg_exact_median truth path — at "
+        f"100 TB swap in the t-digest sketch for the same plan "
+        f"shape), then the |event_types|-row moments broadcast back "
+        f"onto a single corpus scan; zero corpus shuffles beyond the "
+        f"grouped percentiles.",
+)
+def events_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    mz = F.round(
+        F.lit(_MAD_SCALE)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad")
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .withColumn("modified_z", mz)
+        .where(F.abs(F.col("modified_z")) > _MAD_CUT)
+        .select("event_id", "event_type", "value", "modified_z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count_dupgraph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _BANDS,
+        _MH_HX_SQL,
+        _MH_MINS_SQL,
+        _NGRAM_SQL,
+    )
+
+    return f"""
+    WITH g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    e AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id
+                    AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT w.a, w.b, w.c
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b)
+    SELECT CAST((SELECT COUNT(DISTINCT v) FROM (
+               SELECT a AS v FROM e UNION ALL SELECT b FROM e
+           )) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_triangles
+    """
+
+
+@register(
+    "graph_triangle_count_dupgraph",
+    oracle=_triangle_oracle(),
+    doc="Triangle count over the MinHash-LSH candidate-pair graph "
+        "(vertices = documents, edges = band-bucket collisions, the "
+        "same edge set dedup_cluster_label_propagation consumes): "
+        "id-oriented wedge enumeration — every edge points low->high, "
+        "a wedge is two edges sharing their middle vertex, and a "
+        "wedge closes iff its (low, high) endpoints are an edge "
+        "(Cohen 2009's MapReduce formulation; the production "
+        "refinement orders by DEGREE instead of id, bounding wedges "
+        "at O(E^1.5) even on skewed graphs — noted, not needed at "
+        "this edge count). Triangle density distinguishes template "
+        "FARMS (near-cliques of mutual near-dups) from chain-shaped "
+        "false-positive collisions, the readout that decides whether "
+        "cluster-collapse dedup (keep one per component) is safe. "
+        "Scale shape: edges come from the banded candidate join "
+        "(never all-pairs); the wedge join and the closing check are "
+        "two hash equi-joins on vertex keys; output is one row.",
+)
+def graph_triangle_count_dupgraph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _spark_bands,
+        _spark_grams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = _spark_bands(_spark_grams(d))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    t = w.alias("w").join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    )
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .agg(F.countDistinct("v").cast("long").alias("n_vertices"))
+    )
+    stats = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(
+            t.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    )
+    return verts.crossJoin(stats).select(
+        "n_vertices", "n_edges", "n_wedges", "n_triangles"
     )

@@ -237,3 +237,150 @@ def test_bitext_margin_matches_model(spark, sf_dir):
         best = max(margin[(r.q_id, t)] for t in tgt)
         assert margin[(r.q_id, r.match_id)] >= best - 5e-6
         assert abs(r.margin - margin[(r.q_id, r.match_id)]) < 5e-5
+
+
+def test_doremi_weights_form_distribution(spark, sf_dir):
+    """Weights are a smoothed probability distribution and excess loss
+    is non-negative (the in-domain MLE unigram model never scores its
+    own domain worse than the pooled model)."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _DRM_SMOOTH,
+    )
+
+    out = all_queries()["corpus_doremi_domain_weights"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(out) >= 2
+    total = sum(r.doremi_weight for r in out)
+    assert abs(total - 1.0) < 1e-4
+    floor = _DRM_SMOOTH / len(out)
+    for r in out:
+        assert r.excess_nats >= -1e-3, r  # millinat grid rounding slack
+        assert r.doremi_weight >= floor - 1e-6
+
+
+def test_bpe_trainer_matches_python_reference(spark, sf_dir):
+    """The 3-round merge sequence equals a pure-Python greedy BPE
+    trainer run on the same word-frequency table (counts and chosen
+    pairs exact), and pair counts never increase across rounds."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _BPE_ROUNDS,
+    )
+
+    words: dict[str, int] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for w in r.text.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    vocab = {w: (list(w), n) for w, n in words.items()}
+
+    expected = []
+    for _ in range(_BPE_ROUNDS):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, n in vocab.values():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        expected.append((l, r, cnt))
+        for w, (toks, n) in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = (out, n)
+
+    got = sorted(
+        all_queries()["bpe_train_iterative_merges"].fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r.merge_round,
+    )
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == expected
+    counts_seq = [r.pair_count for r in got]
+    assert counts_seq == sorted(counts_seq, reverse=True)
+
+
+def test_mad_outliers_match_python_reference(spark, sf_dir):
+    """Flagged event ids equal a float64 recompute (linear-interp
+    median, Iglewicz-Hoaglin modified z); boundary rows may differ
+    only within the rounding grid."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _MAD_CUT,
+        _MAD_SCALE,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        mid = (n - 1) / 2
+        lo, hi = s[int(mid)], s[int(mid + 0.5)]
+        return lo + (hi - lo) * (mid - int(mid))
+
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    expect = {}
+    for et, rs in by_type.items():
+        med = median([r.value for r in rs])
+        mad = median([abs(r.value - med) for r in rs])
+        if mad <= 0:
+            continue
+        for r in rs:
+            mz = _MAD_SCALE * (r.value - med) / mad
+            if abs(mz) > _MAD_CUT:
+                expect[r.event_id] = mz
+
+    got = {
+        r.event_id: r.modified_z
+        for r in all_queries()["events_anomaly_mad_robust"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for eid in set(expect) ^ set(got):
+        mz = expect.get(eid, got.get(eid))
+        assert abs(abs(mz) - _MAD_CUT) < 1e-4, (eid, mz)
+    for eid in set(expect) & set(got):
+        assert abs(expect[eid] - got[eid]) < 1e-4
+
+
+def test_triangle_count_matches_python_reference(spark, sf_dir):
+    """Wedge and triangle counts equal a pure-Python enumeration over
+    the same edge set, and triangles never exceed wedges."""
+    edges = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir)
+        .collect()
+    }
+    succ: dict = {}
+    for a, b in edges:
+        succ.setdefault(a, set()).add(b)
+    wedges = triangles = 0
+    for a, bs in succ.items():
+        for b in bs:
+            for c in succ.get(b, ()):
+                wedges += 1
+                if c in succ.get(a, ()):
+                    triangles += 1
+
+    out = all_queries()["graph_triangle_count_dupgraph"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert out.n_edges == len(edges)
+    assert out.n_wedges == wedges
+    assert out.n_triangles == triangles
+    assert out.n_triangles <= out.n_wedges
