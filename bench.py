@@ -104,6 +104,14 @@ HEADLINE = (
     "dedup_substring_removal",      # ExactSubstr cleaned-corpus emit
     "corpus_filter_funnel_attribution",  # FineWeb-style gate attribution
     "text_knn_similarity_graph",    # per-doc kNN neighborhood graph
+    "agg_cms_portable",             # oracle-exact Count-Min sketch
+    "ann_pq_adc_recall",            # product-quantization ADC recall
+    "decontaminate_semantic_embedding",  # embedding-cosine decontamination
+    "bitext_margin_mining",         # margin-normalized bitext matching
+    "corpus_doremi_domain_weights", # DoReMi EG-step domain reweighting
+    "bpe_train_iterative_merges",   # 3-round iterative BPE trainer
+    "events_anomaly_mad_robust",    # median/MAD modified z outliers
+    "graph_triangle_count_dupgraph",  # dup-graph triangle census
 )
 
 

@@ -134,6 +134,14 @@ PROBES = (
     "dedup_substring_removal",
     "corpus_filter_funnel_attribution",
     "text_knn_similarity_graph",
+    "agg_cms_portable",
+    "ann_pq_adc_recall",
+    "decontaminate_semantic_embedding",
+    "bitext_margin_mining",
+    "corpus_doremi_domain_weights",
+    "bpe_train_iterative_merges",
+    "events_anomaly_mad_robust",
+    "graph_triangle_count_dupgraph",
 )
 
 
