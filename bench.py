@@ -112,6 +112,9 @@ HEADLINE = (
     "bpe_train_iterative_merges",   # 3-round iterative BPE trainer
     "events_anomaly_mad_robust",    # median/MAD modified z outliers
     "graph_triangle_count_dupgraph",  # dup-graph triangle census
+    "corpus_weighted_priority_sample",  # A-Res weighted sampling
+    "dedup_bloom_portable",         # Bloom span dedup, measured FPR
+    "ann_ivf_pq_recall",            # composed IVF-PQ index recall
 )
 
 

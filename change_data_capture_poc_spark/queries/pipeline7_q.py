@@ -34,8 +34,18 @@ remaining published shapes a 100 TB curation loop runs:
 - ``graph_triangle_count_dupgraph`` — id-oriented triangle counting
   over the MinHash-LSH candidate graph (template-farm vs chain
   topology readout).
+- ``corpus_weighted_priority_sample`` — Efraimidis-Spirakis A-Res
+  weighted sampling without replacement (deterministic md5 uniforms),
+  the weighted companion to bottom-k consistent sampling.
+- ``dedup_bloom_portable`` — Bloom-filter span membership with
+  MEASURED false-positive rate vs exact truth (the Dolma-style dedup
+  front line; third portable sketch after HLL and CMS).
+- ``ann_ivf_pq_recall`` — the composed FAISS-style IVF-PQ index:
+  coarse-partition probing + PQ asymmetric-distance scoring, graded
+  against exact truth with candidate counts.
 
-Stream twin in ``streaming_q``: ``streaming_cms_register_drain``.
+Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
+``streaming_bloom_bitset_drain``.
 
 Same determinism rules as the rest of the surface: no rand(); every
 cross-engine float is rounded at 1e-6 with +1e-9 pre-round; corpus
@@ -363,68 +373,60 @@ def _pq_oracle() -> str:
     """
 
 
-@register(
-    "ann_pq_adc_recall",
-    oracle=_pq_oracle(),
-    doc=f"Product Quantization with asymmetric distance (Jegou et al. "
-        f"2011 — the FAISS IVF-PQ scale path): each vector is encoded "
-        f"as {_PQ_M} small codes (argmin over {_PQ_C} codewords per "
-        f"{_PQ_SUB}-dim subspace, codewords = slices of the first "
-        f"{_PQ_C} vectors), a query scores ANY candidate via a "
-        f"{_PQ_M}x{_PQ_C} lookup table of precomputed subspace "
-        f"distances, and recall@{_PQ_K} is measured against exact "
-        f"full-dim L2 truth — the compression-vs-recall readout run "
-        f"before shipping a PQ index. Scale shape: encoding is "
-        f"MAP-SIDE argmin over literal codewords (zero shuffles — the "
-        f"corpus crosses the network as {_PQ_M} bytes of codes, the "
-        f"whole point of PQ: 64 doubles -> {_PQ_M} codes is a 128x "
-        f"store shrink); the ADC scan looks partial distances up in a "
-        f"{_PQ_NQ * _PQ_M * _PQ_C}-entry literal LUT (collected from "
-        f"an in-engine computed {_PQ_NQ * _PQ_M * _PQ_C}-row frame, "
-        f"the blessed bounded collect) and cuts via grouped_topk; "
-        f"the exact side is the deliberate eval-gate brute force. "
-        f"All partial distances are 1e-6-rounded before the "
-        f"{_PQ_M}-term ADC sum so no cross-engine float order "
-        f"survives.",
-)
-def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
-
-    e = load_table(spark, sf_dir, "embeddings").select(
+def _pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cb = sorted(
+
+
+def _pq_codebook(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The _PQ_C codeword source vectors — bounded collect."""
+    return sorted(
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in e.where(F.col("vec_id") < _PQ_C).collect()
     )
 
-    def sub_lits(vec: list[float], m: int) -> str:
-        return ", ".join(
-            f"CAST('{x!r}' AS DOUBLE)"
-            for x in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
-        )
+
+def _pq_sub_lits(vec: list[float], m: int) -> str:
+    return ", ".join(
+        f"CAST('{x!r}' AS DOUBLE)"
+        for x in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+    )
+
+
+def _pq_code_cols(cb: list[tuple[int, list[float]]]) -> list[F.Column]:
+    """Map-side PQ encoding: per-subspace argmin over literal
+    codewords (zero shuffles), 1e-6-rounded dist + lowest-cid tie."""
 
     def code_expr(m: int) -> F.Column:
         cands = ", ".join(
             f"struct(round(aggregate(zip_with("
             f"slice(v, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
-            f"array({sub_lits(vec, m)}), "
+            f"array({_pq_sub_lits(vec, m)}), "
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b) "
             f"+ 1e-9, 6) AS dist, {cid} AS cid)"
             for cid, vec in cb
         )
         return F.expr(f"least({cands}).cid")
 
-    codes = e.select(
-        "vec_id", *[code_expr(m).alias(f"code_{m}") for m in range(_PQ_M)]
-    )
+    return [code_expr(m).alias(f"code_{m}") for m in range(_PQ_M)]
 
-    # LUT computed IN-ENGINE (query-subvector x codeword distances,
-    # same rounded arithmetic as encoding), then collected — bounded
-    # at NQ*M*C rows by construction.
-    qe = e.where(
+
+def _pq_queries(e: DataFrame) -> DataFrame:
+    return e.where(
         (F.col("vec_id") >= _PQ_C) & (F.col("vec_id") < _PQ_C + _PQ_NQ)
     )
+
+
+def _pq_adc_parts(
+    qe: DataFrame, cb: list[tuple[int, list[float]]]
+) -> tuple[DataFrame, F.Column]:
+    """(q_meta frame, ADC distance column) for scoring coded vectors.
+
+    The LUT is computed IN-ENGINE (query-subvector x codeword
+    distances, same rounded arithmetic as encoding), then collected —
+    bounded at NQ*M*C rows by construction — and folded back in as a
+    literal array indexed by (q_idx, m, code)."""
     lut_parts = []
     for m in range(_PQ_M):
         for cid, vec in cb:
@@ -435,7 +437,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(
                         f"round(aggregate(zip_with("
                         f"slice(v, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
-                        f"array({sub_lits(vec, m)}), "
+                        f"array({_pq_sub_lits(vec, m)}), "
                         f"(x, y) -> (x - y) * (x - y)), "
                         f"0D, (a, b) -> a + b) + 1e-9, 6)"
                     ).alias("pdist"),
@@ -470,16 +472,13 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " + 1e-9, 6)"
     )
-    scored = (
-        codes.crossJoin(F.broadcast(q_meta))
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
-        )
-    )
-    pred = grouped_topk(
-        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
-    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+    return q_meta, adc
+
+
+def _pq_exact_truth(e: DataFrame, qe: DataFrame) -> DataFrame:
+    """Exact full-dim L2 top-k per query — the deliberate eval-gate
+    brute force both PQ recall queries grade against."""
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     exact_scored = (
@@ -500,10 +499,55 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
-    truth = grouped_topk(
+    return grouped_topk(
         exact_scored, ["q_id"], [("dist", True), ("neighbor_id", True)], _PQ_K
     ).select("q_id", "neighbor_id")
 
+
+@register(
+    "ann_pq_adc_recall",
+    oracle=_pq_oracle(),
+    doc=f"Product Quantization with asymmetric distance (Jegou et al. "
+        f"2011 — the FAISS IVF-PQ scale path): each vector is encoded "
+        f"as {_PQ_M} small codes (argmin over {_PQ_C} codewords per "
+        f"{_PQ_SUB}-dim subspace, codewords = slices of the first "
+        f"{_PQ_C} vectors), a query scores ANY candidate via a "
+        f"{_PQ_M}x{_PQ_C} lookup table of precomputed subspace "
+        f"distances, and recall@{_PQ_K} is measured against exact "
+        f"full-dim L2 truth — the compression-vs-recall readout run "
+        f"before shipping a PQ index. Scale shape: encoding is "
+        f"MAP-SIDE argmin over literal codewords (zero shuffles — the "
+        f"corpus crosses the network as {_PQ_M} bytes of codes, the "
+        f"whole point of PQ: 64 doubles -> {_PQ_M} codes is a 128x "
+        f"store shrink); the ADC scan looks partial distances up in a "
+        f"{_PQ_NQ * _PQ_M * _PQ_C}-entry literal LUT (collected from "
+        f"an in-engine computed {_PQ_NQ * _PQ_M * _PQ_C}-row frame, "
+        f"the blessed bounded collect) and cuts via grouped_topk; "
+        f"the exact side is the deliberate eval-gate brute force. "
+        f"All partial distances are 1e-6-rounded before the "
+        f"{_PQ_M}-term ADC sum so no cross-engine float order "
+        f"survives.",
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = _pq_embeddings(spark, sf_dir)
+    cb = _pq_codebook(e)
+    codes = e.select("vec_id", *_pq_code_cols(cb))
+    qe = _pq_queries(e)
+    q_meta, adc = _pq_adc_parts(qe, cb)
+    scored = (
+        codes.crossJoin(F.broadcast(q_meta))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+        )
+    )
+    pred = grouped_topk(
+        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+
+    truth = _pq_exact_truth(e, qe)
     hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
         "q_id"
     ).agg(F.count("hit").cast("long").alias("n_hits"))
@@ -1215,4 +1259,456 @@ def graph_triangle_count_dupgraph(
     )
     return verts.crossJoin(stats).select(
         "n_vertices", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_priority_sample — Efraimidis-Spirakis A-Res sampling
+# ---------------------------------------------------------------------------
+
+_WPS_K = 20          # sample size per source stratum
+_WPS_U_DEN = 4294967297.0  # 2^32 + 1: md5-prefix -> u in (0, 1)
+
+
+@register(
+    "corpus_weighted_priority_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id, n_chars,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT + 1) / {_WPS_U_DEN} AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    p AS (
+        SELECT source, doc_id, n_chars,
+               ROUND(ln(u) / n_chars + 1e-9, 6) AS priority
+        FROM h
+    )
+    SELECT source, doc_id, n_chars, priority
+    FROM p
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id)
+            <= {_WPS_K}
+    """,
+    doc=f"WEIGHTED sampling without replacement (Efraimidis & "
+        f"Spirakis 2006 A-Res): each doc draws priority u^(1/w) — "
+        f"computed as ln(u)/w for numeric stability — with u a "
+        f"deterministic md5-prefix uniform and w = n_chars (the "
+        f"quality/size weight), and the top-{_WPS_K} priorities per "
+        f"source ARE a weight-proportional sample. The weighted "
+        f"companion to corpus_bottomk_consistent_sample (uniform "
+        f"bottom-k): same determinism (no rand(), reproducible across "
+        f"runs AND engines), same growth-consistency (a doc's "
+        f"priority never changes as the corpus grows, so samples "
+        f"evolve by displacement only — the streaming-friendly "
+        f"property the published reservoir algorithm is built on). "
+        f"Scale shape: priorities are MAP-SIDE; the only exchange is "
+        f"grouped_topk's k-bounded merge per source — never a corpus "
+        f"sort.",
+)
+def corpus_weighted_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_WPS_U_DEN)
+    p = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
+            "priority"
+        ),
+    )
+    return grouped_topk(
+        p, ["source"], [("priority", False), ("doc_id", True)], _WPS_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_portable — Bloom-filter span dedup with measured FPR
+# ---------------------------------------------------------------------------
+
+_BLM_K = 8        # span length in tokens (the ExactSubstr window)
+_BLM_M = 65536    # filter bits (the join_bloom_prefiltered magnitude)
+_BLM_H = 3        # hash functions (row-salted md5, CMS-style)
+
+
+def _blm_bit_sql(h: int, gh_expr: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST(concat('{h}:', {gh_expr}) "
+            f"AS BINARY)), 1, 8), 16, 10) AS BIGINT) % {_BLM_M}"
+        )
+    return (
+        f"('0x' || substring(md5('{h}:' || {gh_expr}), 1, 8))"
+        f"::BIGINT % {_BLM_M}"
+    )
+
+
+def _blm_oracle() -> str:
+    tr_bits = ", ".join(
+        _blm_bit_sql(h, "gh", "duck") for h in range(_BLM_H)
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT s.h < 80 AS is_train,
+               md5(array_to_string(w[u.i + 1 : u.i + {_BLM_K}], ' '))
+                   AS gh
+        FROM s, LATERAL (
+            SELECT unnest(range(len(w) - {_BLM_K} + 1)) AS i
+        ) u
+        WHERE len(w) >= {_BLM_K}
+    ),
+    tr AS (SELECT DISTINCT gh FROM g WHERE is_train),
+    te AS (SELECT DISTINCT gh FROM g WHERE NOT is_train),
+    bits AS (
+        SELECT DISTINCT unnest([{tr_bits}]) AS bit FROM tr
+    ),
+    probe AS (
+        SELECT te.gh,
+               (SELECT COUNT(*) FROM bits
+                WHERE bit IN ({tr_bits})) = {_BLM_H} AS flagged,
+               te.gh IN (SELECT gh FROM tr) AS is_dup
+        FROM te
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           ROUND((SELECT COUNT(*) FROM bits) * 1.0 / {_BLM_M}
+                 + 1e-9, 6) AS fill_ratio,
+           CAST(COUNT(*) AS BIGINT) AS n_test_spans,
+           CAST(COUNT(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_true_dup,
+           CAST(COUNT(*) FILTER (WHERE flagged AND NOT is_dup) AS BIGINT)
+               AS n_false_pos,
+           ROUND(COUNT(*) FILTER (WHERE flagged AND NOT is_dup) * 1.0
+                 / GREATEST(COUNT(*) FILTER (WHERE NOT is_dup), 1)
+                 + 1e-9, 6) AS fp_rate
+    FROM probe
+    """
+
+
+@register(
+    "dedup_bloom_portable",
+    oracle=_blm_oracle(),
+    doc=f"PORTABLE Bloom-filter span dedup with MEASURED false-"
+        f"positive rate (the Dolma-style dedup front line): the "
+        f"train-split's distinct {_BLM_K}-token span fingerprints set "
+        f"{_BLM_H} row-salted md5 bits each in a {_BLM_M}-bit filter; "
+        f"test-split spans are flagged iff all {_BLM_H} bits are set, "
+        f"and the flags are compared against EXACT membership (the "
+        f"semi-join truth) to report the realized FPR next to the "
+        f"fill ratio — the calibration that decides whether a Bloom "
+        f"pre-filter can replace the exact dedup shuffle at 100 TB. "
+        f"Third portable sketch alongside agg_hll_portable (distinct "
+        f"count) and agg_cms_portable (frequency): membership. Scale "
+        f"shape: the bit set is bounded at {_BLM_M} rows FOREVER "
+        f"(bits merge by OR/distinct — the same associativity as the "
+        f"other sketches, pinned by the stream twin); probing "
+        f"broadcasts the bit table; only the exact-truth check "
+        f"shuffles span keys, and it exists precisely to grade the "
+        f"sketch that would replace it.",
+)
+def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("h"),
+    ).where(F.size("w") >= _BLM_K)
+    g = (
+        s.select(
+            (F.col("h") < 80).alias("is_train"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_BLM_K}),"
+                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
+                    f"  ' ')))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    tr = g.where("is_train").select("gh").distinct()
+    te = g.where(~F.col("is_train")).select("gh").distinct()
+    bit_exprs = [
+        F.expr(_blm_bit_sql(h, "gh", "spark")) for h in range(_BLM_H)
+    ]
+    bits = (
+        tr.select(F.explode(F.array(*bit_exprs)).alias("bit")).distinct()
+    )
+    probe_bits = te.select(
+        "gh", F.posexplode(F.array(*bit_exprs)).alias("hi", "bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    flagged = te.join(hits, "gh", "left").select(
+        "gh", (F.coalesce(F.col("n_set"), F.lit(0)) == _BLM_H).alias("flagged")
+    )
+    truth = flagged.join(
+        tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
+    ).select(
+        "gh", "flagged", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
+    )
+    bcount = bits.agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    ).select(
+        "bits_set",
+        F.round(
+            F.col("bits_set") * 1.0 / _BLM_M + F.lit(1e-9), 6
+        ).alias("fill_ratio"),
+    )
+    stats = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_spans"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).withColumn(
+        "fp_rate",
+        F.round(
+            F.col("n_false_pos")
+            * 1.0
+            / F.greatest(
+                F.col("n_test_spans") - F.col("n_true_dup"), F.lit(1)
+            )
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return F.broadcast(bcount).crossJoin(stats).select(
+        "bits_set",
+        "fill_ratio",
+        "n_test_spans",
+        "n_flagged",
+        "n_true_dup",
+        "n_false_pos",
+        "fp_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_pq_recall — the composed FAISS-style IVF-PQ index
+# ---------------------------------------------------------------------------
+
+_IVFPQ_PROBES = 2  # coarse partitions probed per query
+
+
+def _ivfpq_oracle() -> str:
+    m_tbl = f"(SELECT unnest(range({_PQ_M})) AS m) mm"
+    sub = f"e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}]"
+    cl2 = _pq_l2_duck("x.v", "c.cv")
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sub AS (SELECT e.vec_id, mm.m, {sub} AS s FROM e, {m_tbl}),
+    cb AS (SELECT vec_id AS cid, m, s AS cs FROM sub
+           WHERE vec_id < {_PQ_C}),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_l2_duck('s.s', 'c.cs')}, c.cid
+                   ) AS rn
+            FROM sub s JOIN cb c USING (m)
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS q_id, s.m, c.cid,
+               {_pq_l2_duck('s.s', 'c.cs')} AS pdist
+        FROM sub s JOIN cb c USING (m)
+        WHERE s.vec_id >= {_PQ_C} AND s.vec_id < {_PQ_C + _PQ_NQ}
+    ),
+    cent AS (SELECT vec_id AS ccid, v AS cv FROM e
+             WHERE vec_id < {_PQ_C}),
+    asgn AS (
+        SELECT vec_id, ccid FROM (
+            SELECT x.vec_id, c.ccid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {cl2}, c.ccid) AS rn
+            FROM e x, cent c
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT q_id, ccid FROM (
+            SELECT x.vec_id AS q_id, c.ccid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {cl2}, c.ccid) AS rn
+            FROM e x, cent c
+            WHERE x.vec_id >= {_PQ_C} AND x.vec_id < {_PQ_C + _PQ_NQ}
+        ) WHERE rn <= {_IVFPQ_PROBES}
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM qprobe p JOIN asgn a ON a.ccid = p.ccid
+        WHERE a.vec_id != p.q_id
+    ),
+    nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY q_id),
+    adc AS (
+        SELECT c.q_id, c.neighbor_id,
+               ROUND(SUM(l.pdist) + 1e-9, 6) AS adc_dist
+        FROM cand c
+        JOIN enc en ON en.vec_id = c.neighbor_id
+        JOIN lut l ON l.q_id = c.q_id AND en.m = l.m AND en.code = l.cid
+        GROUP BY c.q_id, c.neighbor_id
+    ),
+    pred AS (
+        SELECT q_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, neighbor_id)
+                <= {_PQ_K}
+    ),
+    truth AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_pq_l2_duck('e.v', 'q.v')}, e.vec_id
+                   ) AS rn
+            FROM e, e q
+            WHERE q.vec_id >= {_PQ_C} AND q.vec_id < {_PQ_C + _PQ_NQ}
+              AND e.vec_id != q.vec_id
+        ) WHERE rn <= {_PQ_K}
+    ),
+    hits AS (
+        SELECT t.q_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits
+        FROM truth t LEFT JOIN pred p
+            ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+        GROUP BY t.q_id
+    )
+    SELECT h.q_id, nc.n_candidates, h.n_hits,
+           ROUND(h.n_hits / {_PQ_K}.0 + 1e-9, 6) AS recall
+    FROM hits h JOIN nc USING (q_id)
+    """
+
+
+@register(
+    "ann_ivf_pq_recall",
+    oracle=_ivfpq_oracle(),
+    doc=f"The COMPOSED FAISS-style IVF-PQ index (Jegou et al. 2011): "
+        f"a coarse quantizer ({_PQ_C} centroids, map-side argmin — "
+        f"the kmeans_multi_iter machinery) partitions the corpus; a "
+        f"query probes its {_IVFPQ_PROBES} nearest partitions "
+        f"(recall/latency knob, same as ann_ivf_multiprobe_recall) "
+        f"and scores ONLY those candidates by PQ asymmetric distance "
+        f"(the ann_pq_adc_recall machinery, non-residual codebooks "
+        f"noted — FAISS's default encodes residuals for extra "
+        f"precision); recall@{_PQ_K} and candidate counts vs exact "
+        f"truth quantify the full compounding: IVF cuts candidates "
+        f"~{_PQ_C}/{_IVFPQ_PROBES}x, PQ cuts bytes-per-candidate "
+        f"128x, so the serving scan touches ~1/{_PQ_C * 64}th the "
+        f"data of brute force. Scale shape: assignment and encoding "
+        f"are both map-side literal argmins (zero shuffles); the "
+        f"probe join broadcasts {_PQ_NQ * _IVFPQ_PROBES} (q_id, "
+        f"partition) rows; ADC reads the literal LUT; all cuts via "
+        f"grouped_topk.",
+)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+        collect_centroids,
+    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = _pq_embeddings(spark, sf_dir)
+    cb = _pq_codebook(e)
+    cents = collect_centroids(e, _PQ_C, "vec_id", "v")
+
+    codes = e.select(
+        "vec_id",
+        centroid_argmin_expr(cents, "v").getField("cid").alias("ccid"),
+        *_pq_code_cols(cb),
+    )
+    qe = _pq_queries(e)
+
+    # Probe set: top-N nearest coarse centroids per query — ranked
+    # over an NQ x C frame (bounded by construction).
+    cand_structs = ", ".join(
+        f"struct(round(aggregate(zip_with(v, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+        + f" + 1e-9, 6) AS dist, CAST({ccid} AS BIGINT) AS ccid)"
+        for ccid, cv in cents
+    )
+    wq = Window.partitionBy("q_id").orderBy("dist", "ccid")
+    qprobe = (
+        qe.select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.expr(f"array({cand_structs})")).alias("dc"),
+        )
+        .select("q_id", F.col("dc.dist").alias("dist"),
+                F.col("dc.ccid").alias("ccid"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVFPQ_PROBES)
+        .select("q_id", "ccid")
+    )
+
+    q_meta, adc = _pq_adc_parts(qe, cb)
+    cand = (
+        codes.join(F.broadcast(qprobe), "ccid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_meta), "q_id")
+    )
+    nc = cand.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    pred = grouped_topk(
+        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+
+    truth = _pq_exact_truth(e, qe)
+    hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
+        "q_id"
+    ).agg(F.count("hit").cast("long").alias("n_hits"))
+    return hits.join(F.broadcast(nc), "q_id").select(
+        "q_id",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
+            "recall"
+        ),
     )

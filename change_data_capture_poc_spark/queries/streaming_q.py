@@ -1063,3 +1063,162 @@ def streaming_cms_register_drain(
         .groupBy("word")
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
     )
+
+
+def _bloom_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _blm_oracle,
+    )
+
+    return _blm_oracle()
+
+
+@register(
+    "streaming_bloom_bitset_drain",
+    oracle=_bloom_oracle(),
+    doc="STREAMING Bloom membership sketch — dedup_bloom_portable's "
+        "stream twin (completing the portable-sketch trio's stream "
+        "pairings: HLL registers, CMS registers, Bloom bits): "
+        "train-split documents arrive as a stream, each span "
+        "fingerprint sets its 3 bits IN THE MAP STAGE, and the "
+        "distinct bit set is the only streaming state (bounded at m "
+        "= 65536 rows forever; bits merge by set-union — the OR "
+        "associativity that lets every executor/batch maintain its own "
+        "filter and union at the end). The probe readout (test-split "
+        "flags, exact-truth FPR grading) finishes batch-side over "
+        "the drained bit set, sharing the batch oracle verbatim.",
+)
+def streaming_bloom_bitset_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _BLM_H,
+        _BLM_K,
+        _BLM_M,
+        _blm_bit_sql,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    split_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tr_grams = (
+        stream.withColumn("h", split_hash)
+        .where(F.col("h") < 80)
+        .select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= _BLM_K)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_BLM_K}),"
+                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
+                    f"  ' ')))"
+                )
+            ).alias("gh")
+        )
+    )
+    bit_exprs = [
+        F.expr(_blm_bit_sql(h, "gh", "spark")) for h in range(_BLM_H)
+    ]
+    bit_stream = (
+        tr_grams.select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    bits = _drain(
+        bit_stream, "streaming_bloom_bitset_tbl", "complete"
+    ).select("bit")
+
+    # Batch readout over the drained bit set (the stream's only
+    # state): probe the test split and grade vs exact membership,
+    # same arithmetic as dedup_bloom_portable.
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", F.split("text", " ").alias("w"), split_hash.alias("h")
+    ).where(F.size("w") >= _BLM_K)
+    g = (
+        s.select(
+            (F.col("h") < 80).alias("is_train"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_BLM_K}),"
+                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
+                    f"  ' ')))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    tr = g.where("is_train").select("gh").distinct()
+    te = g.where(~F.col("is_train")).select("gh").distinct()
+    probe_bits = te.select(
+        "gh", F.explode(F.array(*bit_exprs)).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    flagged = te.join(hits, "gh", "left").select(
+        "gh",
+        (F.coalesce(F.col("n_set"), F.lit(0)) == _BLM_H).alias("flagged"),
+    )
+    truth = flagged.join(
+        tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
+    ).select(
+        "gh",
+        "flagged",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    bcount = bits.agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    ).select(
+        "bits_set",
+        F.round(
+            F.col("bits_set") * 1.0 / _BLM_M + F.lit(1e-9), 6
+        ).alias("fill_ratio"),
+    )
+    stats = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_spans"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).withColumn(
+        "fp_rate",
+        F.round(
+            F.col("n_false_pos")
+            * 1.0
+            / F.greatest(
+                F.col("n_test_spans") - F.col("n_true_dup"), F.lit(1)
+            )
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return F.broadcast(bcount).crossJoin(stats).select(
+        "bits_set",
+        "fill_ratio",
+        "n_test_spans",
+        "n_flagged",
+        "n_true_dup",
+        "n_false_pos",
+        "fp_rate",
+    )

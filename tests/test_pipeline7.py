@@ -384,3 +384,75 @@ def test_triangle_count_matches_python_reference(spark, sf_dir):
     assert out.n_wedges == wedges
     assert out.n_triangles == triangles
     assert out.n_triangles <= out.n_wedges
+
+
+def test_weighted_priority_sample_matches_model(spark, sf_dir):
+    """Per-source samples equal the A-Res top-k of a driver-side
+    float64 recompute (deterministic u from the same md5 prefix)."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _WPS_K,
+        _WPS_U_DEN,
+    )
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "doc_id", "n_chars")
+        .where(F.col("n_chars") > 0)
+        .collect()
+    )
+    by_source: dict = {}
+    for r in rows:
+        hv = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (hv + 1) / _WPS_U_DEN
+        pk = math.log(u) / r.n_chars
+        by_source.setdefault(r.source, []).append((pk, r.doc_id))
+    expect = {
+        src: {d for _pk, d in sorted(v, key=lambda t: (-t[0], t[1]))[:_WPS_K]}
+        for src, v in by_source.items()
+    }
+    got: dict = {}
+    for r in (
+        all_queries()["corpus_weighted_priority_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+    ):
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert got == expect
+
+
+def test_bloom_no_false_negatives_and_stream_twin(spark, sf_dir):
+    """The Bloom guarantee: every true duplicate is flagged (zero
+    false negatives); rates are sane; and the stream-maintained bit
+    set yields the identical readout row."""
+    batch = all_queries()["dedup_bloom_portable"].fn(spark, sf_dir).collect()
+    assert len(batch) == 1
+    b = batch[0]
+    assert b.n_flagged >= b.n_true_dup  # no false negatives, ever
+    assert b.n_false_pos == b.n_flagged - b.n_true_dup
+    assert 0 <= b.fp_rate <= 1
+    assert 0 < b.fill_ratio < 1
+    stream = (
+        all_queries()["streaming_bloom_bitset_drain"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_ivf_pq_recall_bounds(spark, sf_dir):
+    """Composed IVF-PQ: one row per query, candidates strictly fewer
+    than brute force, recall consistent with hits."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _PQ_K,
+        _PQ_NQ,
+    )
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    out = all_queries()["ann_ivf_pq_recall"].fn(spark, sf_dir).collect()
+    assert len(out) == _PQ_NQ
+    assert len({r.q_id for r in out}) == _PQ_NQ
+    for r in out:
+        assert 0 < r.n_candidates < n_corpus - 1
+        assert 0 <= r.n_hits <= _PQ_K
+        assert abs(r.recall - r.n_hits / _PQ_K) < 2e-6

@@ -142,6 +142,9 @@ PROBES = (
     "bpe_train_iterative_merges",
     "events_anomaly_mad_robust",
     "graph_triangle_count_dupgraph",
+    "corpus_weighted_priority_sample",
+    "dedup_bloom_portable",
+    "ann_ivf_pq_recall",
 )
 
 
