@@ -45,7 +45,9 @@ remaining published shapes a 100 TB curation loop runs:
   against exact truth with candidate counts.
 
 Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
-``streaming_bloom_bitset_drain``.
+``streaming_bloom_bitset_drain``, ``streaming_weighted_reservoir_
+drain`` (A-Res reservoir via ``applyInPandasWithState``, state = the
+k-row reservoir itself).
 
 Same determinism rules as the rest of the surface: no rand(); every
 cross-engine float is rounded at 1e-6 with +1e-9 pre-round; corpus

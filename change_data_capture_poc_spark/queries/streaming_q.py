@@ -1222,3 +1222,94 @@ def streaming_bloom_bitset_drain(
         "n_false_pos",
         "fp_rate",
     )
+
+
+def _wps_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _WPS_K,
+        _WPS_U_DEN,
+    )
+
+    return f"""
+    WITH h AS (
+        SELECT source, doc_id, n_chars,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT + 1) / {_WPS_U_DEN} AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    p AS (
+        SELECT source, doc_id, n_chars,
+               ROUND(ln(u) / n_chars + 1e-9, 6) AS priority
+        FROM h
+    )
+    SELECT source, doc_id, n_chars, priority
+    FROM p
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id)
+            <= {_WPS_K}
+    """
+
+
+@register(
+    "streaming_weighted_reservoir_drain",
+    oracle=_wps_oracle(),
+    doc="STREAMING weighted reservoir sampling — "
+        "corpus_weighted_priority_sample's stream twin and the "
+        "textbook A-Res use case (Efraimidis & Spirakis designed the "
+        "priority key precisely so a reservoir can be maintained "
+        "one-pass over a stream): documents arrive as a stream, each "
+        "computes its deterministic priority u^(1/w) IN THE MAP "
+        "STAGE, and applyInPandasWithState keeps per source EXACTLY "
+        "the current top-k reservoir plus a seen-counter — state "
+        "bounded at k rows per source FOREVER, every arrival either "
+        "displaces the reservoir minimum or is dropped. Update-mode "
+        "drain + keep-latest-version readout equals the batch A-Res "
+        "query, sharing its oracle verbatim — the determinism that "
+        "makes a streaming sample auditable after the fact.",
+)
+def streaming_weighted_reservoir_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _WPS_K,
+        _WPS_U_DEN,
+    )
+    from change_data_capture_poc_spark.streaming.stateful import (
+        weighted_reservoir,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_WPS_U_DEN)
+    scored = (
+        stream.where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
+                "priority"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    out = weighted_reservoir(scored, _WPS_K)
+    drained = _drain(out, "streaming_weighted_reservoir_tbl", "update")
+    w = Window.partitionBy("source")
+    return (
+        drained.withColumn("vmax", F.max("version").over(w))
+        .where(F.col("version") == F.col("vmax"))
+        .select("source", "doc_id", "n_chars", "priority")
+    )

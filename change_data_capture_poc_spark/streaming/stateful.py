@@ -82,3 +82,85 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (A-Res) — the other bounded-state shape
+# ---------------------------------------------------------------------------
+
+RESERVOIR_STATE_SCHEMA = (
+    "priorities ARRAY<DOUBLE>, doc_ids ARRAY<LONG>, "
+    "n_chars_arr ARRAY<LONG>, n_seen LONG"
+)
+RESERVOIR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def _make_reservoir_update(k: int):
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (source,) = key
+        if state.exists:
+            prios, ids, chars, seen = state.get
+            rows = list(zip(prios, ids, chars))
+        else:
+            rows, seen = [], 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            rows.extend(
+                zip(
+                    pdf["priority"].tolist(),
+                    pdf["doc_id"].tolist(),
+                    pdf["n_chars"].tolist(),
+                )
+            )
+            # A-Res: the reservoir IS the top-k priorities seen so
+            # far; merging per batch keeps state bounded at k rows.
+            rows.sort(key=lambda t: (-t[0], t[1]))
+            rows = rows[:k]
+        state.update(
+            (
+                [r[0] for r in rows],
+                [int(r[1]) for r in rows],
+                [int(r[2]) for r in rows],
+                seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(rows),
+                "doc_id": [int(r[1]) for r in rows],
+                "n_chars": [int(r[2]) for r in rows],
+                "priority": [r[0] for r in rows],
+                "version": [seen] * len(rows),
+            }
+        )
+
+    return _update
+
+
+def weighted_reservoir(docs: DataFrame, k: int) -> DataFrame:
+    """Per-source A-Res weighted reservoir over a document stream.
+
+    ``docs`` must carry (source, doc_id, n_chars, priority) with the
+    priority already computed map-side (deterministic u^(1/w) key).
+    State per source is EXACTLY the current k-row reservoir plus a
+    seen-counter — the textbook bounded-state streaming sampler: a
+    new row either displaces the reservoir minimum or is dropped,
+    so state never grows with the stream. Emissions carry a
+    ``version`` (rows seen) so an update-mode drain can keep each
+    source's latest reservoir.
+    """
+    return docs.groupBy("source").applyInPandasWithState(
+        _make_reservoir_update(k),
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -456,3 +456,21 @@ def test_ivf_pq_recall_bounds(spark, sf_dir):
         assert 0 < r.n_candidates < n_corpus - 1
         assert 0 <= r.n_hits <= _PQ_K
         assert abs(r.recall - r.n_hits / _PQ_K) < 2e-6
+
+
+def test_streaming_reservoir_equals_batch_sample(spark, sf_dir):
+    """The stream-maintained A-Res reservoir equals the batch weighted
+    sample exactly (same priorities, same displacement rule)."""
+    batch = {
+        (r.source, r.doc_id)
+        for r in all_queries()["corpus_weighted_priority_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    stream = {
+        (r.source, r.doc_id)
+        for r in all_queries()["streaming_weighted_reservoir_drain"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert stream == batch
