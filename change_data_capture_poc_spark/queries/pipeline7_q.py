@@ -789,6 +789,9 @@ def corpus_doremi_domain_weights(
         .where(F.col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+        .persist()  # count-table-sized; four downstream branches
+        # (domain totals, global counts, grand total, scoring) would
+        # otherwise each replay the corpus token shuffle
     )
     td = stc.groupBy("source").agg(F.sum("c_st").alias("t_dom"))
     cg = stc.groupBy("tok").agg(F.sum("c_st").alias("c_g"))
@@ -1066,7 +1069,8 @@ def bpe_train_iterative_merges(
                 "transform(array_sort(collect_list(struct(pos, sym2))), "
                 "x -> x.sym2)"
             ).alias("toks"),
-        )
+        ).persist()  # vocab-sized; cuts round r's actions from
+        # replaying rounds 1..r-1's whole merge lineage
     return out
 
 
@@ -1384,9 +1388,13 @@ def _blm_oracle() -> str:
         SELECT DISTINCT unnest([{tr_bits}]) AS bit FROM tr
     ),
     probe AS (
+        -- distinct-bit semantics: a gram whose hash functions collide
+        -- onto the same bit probes fewer than {_BLM_H} DISTINCT bits,
+        -- and is flagged iff every one of those is set
         SELECT te.gh,
                (SELECT COUNT(*) FROM bits
-                WHERE bit IN ({tr_bits})) = {_BLM_H} AS flagged,
+                WHERE bit IN ({tr_bits}))
+                   = len(list_distinct([{tr_bits}])) AS flagged,
                te.gh IN (SELECT gh FROM tr) AS is_dup
         FROM te
     )
@@ -1456,6 +1464,9 @@ def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
         .distinct()
+        .persist()  # distinct gram set; the bit-build, probe, and
+        # exact-truth branches would otherwise each replay the
+        # corpus gram explode (MEMORY_AND_DISK — spills, never OOMs)
     )
     tr = g.where("is_train").select("gh").distinct()
     te = g.where(~F.col("is_train")).select("gh").distinct()
@@ -1465,16 +1476,24 @@ def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = (
         tr.select(F.explode(F.array(*bit_exprs)).alias("bit")).distinct()
     )
-    probe_bits = te.select(
-        "gh", F.posexplode(F.array(*bit_exprs)).alias("hi", "bit")
-    )
+    # Distinct-bit semantics: when two hash functions collide onto one
+    # bit, the gram probes fewer than _BLM_H DISTINCT bits and is
+    # flagged iff every one of THOSE is set (counting matched probe
+    # rows instead would diverge from the set-membership oracle).
+    te_b = te.select(
+        "gh", F.array_distinct(F.array(*bit_exprs)).alias("gbits")
+    ).withColumn("n_bits", F.size("gbits"))
+    probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
     hits = (
         probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("gh")
+        .groupBy("gh", "n_bits")
         .agg(F.count(F.lit(1)).alias("n_set"))
     )
-    flagged = te.join(hits, "gh", "left").select(
-        "gh", (F.coalesce(F.col("n_set"), F.lit(0)) == _BLM_H).alias("flagged")
+    flagged = te_b.join(hits.select("gh", "n_set"), "gh", "left").select(
+        "gh",
+        (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_bits")).alias(
+            "flagged"
+        ),
     )
     truth = flagged.join(
         tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"

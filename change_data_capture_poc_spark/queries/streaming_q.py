@@ -1163,17 +1163,22 @@ def streaming_bloom_bitset_drain(
     )
     tr = g.where("is_train").select("gh").distinct()
     te = g.where(~F.col("is_train")).select("gh").distinct()
-    probe_bits = te.select(
-        "gh", F.explode(F.array(*bit_exprs)).alias("bit")
-    )
+    # Distinct-bit semantics, same as dedup_bloom_portable: a gram
+    # whose hash functions collide probes fewer distinct bits.
+    te_b = te.select(
+        "gh", F.array_distinct(F.array(*bit_exprs)).alias("gbits")
+    ).withColumn("n_bits", F.size("gbits"))
+    probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
     hits = (
         probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("gh")
+        .groupBy("gh", "n_bits")
         .agg(F.count(F.lit(1)).alias("n_set"))
     )
-    flagged = te.join(hits, "gh", "left").select(
+    flagged = te_b.join(hits.select("gh", "n_set"), "gh", "left").select(
         "gh",
-        (F.coalesce(F.col("n_set"), F.lit(0)) == _BLM_H).alias("flagged"),
+        (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_bits")).alias(
+            "flagged"
+        ),
     )
     truth = flagged.join(
         tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
