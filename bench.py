@@ -115,6 +115,7 @@ HEADLINE = (
     "corpus_weighted_priority_sample",  # A-Res weighted sampling
     "dedup_bloom_portable",         # Bloom span dedup, measured FPR
     "ann_ivf_pq_recall",            # composed IVF-PQ index recall
+    "corpus_weighted_build_e2e",    # gate->dedup->DoReMi->sample e2e
 )
 
 

@@ -44,6 +44,12 @@ remaining published shapes a 100 TB curation loop runs:
   coarse-partition probing + PQ asymmetric-distance scoring, graded
   against exact truth with candidate counts.
 
+- ``corpus_weighted_build_e2e`` — the composed flagship: admission
+  gate -> exact dedup -> DoReMi weights on the survivors ->
+  largest-remainder budget allocation -> per-source A-Res weighted
+  sample (shared builders keep it in lockstep with the standalone
+  queries).
+
 Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
 ``streaming_bloom_bitset_drain``, ``streaming_weighted_reservoir_
 drain`` (A-Res reservoir via ``applyInPandasWithState``, state = the
@@ -719,73 +725,66 @@ _DRM_ETA = 1.0     # exponentiated-gradient step size
 _DRM_SMOOTH = 0.01  # uniform smoothing mass
 
 
-@register(
-    "corpus_doremi_domain_weights",
-    oracle=f"""
-    WITH tok AS (
+def _doremi_sql(docs_cte: str) -> str:
+    """DuckDB CTE chain computing smoothed DoReMi weights from a
+    relation ``docs_cte(source, text)`` — ends in ``drm(source,
+    n_tokens, excess_nats, doremi_weight)``. Shared by the standalone
+    query and the composed weighted-build pipeline so the two oracles
+    cannot drift."""
+    return f"""
+    drm_tok AS (
         SELECT source, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        FROM {docs_cte}
     ),
-    stc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
-            FROM tok WHERE tok != '' GROUP BY source, tok),
-    td AS (SELECT source, SUM(c_st) AS t_dom FROM stc GROUP BY source),
-    cg AS (SELECT tok, SUM(c_st) AS c_g FROM stc GROUP BY tok),
-    tg AS (SELECT SUM(c_st) AS t_all FROM stc),
-    scored AS (
+    drm_stc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+            FROM drm_tok WHERE tok != '' GROUP BY source, tok),
+    drm_td AS (SELECT source, SUM(c_st) AS t_dom FROM drm_stc
+               GROUP BY source),
+    drm_cg AS (SELECT tok, SUM(c_st) AS c_g FROM drm_stc GROUP BY tok),
+    drm_tg AS (SELECT SUM(c_st) AS t_all FROM drm_stc),
+    drm_scored AS (
         SELECT s.source, s.c_st,
                CAST(ROUND(-ln(s.c_st * 1.0 / td.t_dom) * 1000 + 1e-9, 0)
                     AS BIGINT) AS mnat_dom,
                CAST(ROUND(-ln(cg.c_g * 1.0 / tg.t_all) * 1000 + 1e-9, 0)
                     AS BIGINT) AS mnat_glob
-        FROM stc s JOIN td USING (source) JOIN cg USING (tok), tg
+        FROM drm_stc s JOIN drm_td td USING (source)
+        JOIN drm_cg cg USING (tok), drm_tg tg
     ),
-    dom AS (
+    drm_dom AS (
         SELECT source,
                CAST(SUM(c_st) AS BIGINT) AS n_tokens,
                SUM(c_st * mnat_glob) AS mn_glob,
                SUM(c_st * mnat_dom) AS mn_dom
-        FROM scored GROUP BY source
+        FROM drm_scored GROUP BY source
     ),
-    raw AS (
+    drm_raw AS (
         SELECT source, n_tokens,
                ROUND((mn_glob - mn_dom) * 1.0 / n_tokens / 1000
                      + 1e-9, 6) AS excess_nats,
                ROUND((n_tokens * 1.0
-                      / (SELECT SUM(n_tokens) FROM dom))
+                      / (SELECT SUM(n_tokens) FROM drm_dom))
                      * exp({_DRM_ETA} * (mn_glob - mn_dom) * 1.0
                            / n_tokens / 1000) + 1e-9, 6) AS w_raw
-        FROM dom
+        FROM drm_dom
     ),
-    k AS (SELECT COUNT(*) AS k, SUM(w_raw) AS z FROM raw)
-    SELECT source, n_tokens, excess_nats,
-           ROUND((1 - {_DRM_SMOOTH}) * w_raw / k.z
-                 + {_DRM_SMOOTH} / k.k + 1e-9, 6) AS doremi_weight
-    FROM raw, k
-    """,
-    doc=f"DoReMi-style domain reweighting (Xie et al. 2023, one "
-        f"exponentiated-gradient step): each source's EXCESS LOSS is "
-        f"how much worse the domain-agnostic unigram LM scores its "
-        f"tokens than its own in-domain unigram LM (the proxy/"
-        f"reference pair, re-expressed with the same count-table LMs "
-        f"the CCNet/backoff queries use); weights update as "
-        f"size_share * exp(eta * excess), normalized, then mixed "
-        f"with {_DRM_SMOOTH} uniform smoothing — exactly the "
-        f"published update rule, so hard-for-generic-models domains "
-        f"gain sampling mass. Cross-engine float discipline: "
-        f"per-token negative log-probs land on an integer MILLINAT "
-        f"grid (one ROUND per distinct (source, token) pair), so the "
-        f"corpus-sized sums are exact integer arithmetic — no "
-        f"summation-order risk survives into the exp. Scale shape: "
-        f"ONE (source, token) count shuffle; the global-model join "
-        f"is count-table-sized (AQE decides); everything after is "
-        f"|sources|-row arithmetic with 1-row totals broadcast.",
-)
-def corpus_doremi_domain_weights(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    drm_k AS (SELECT COUNT(*) AS k, SUM(w_raw) AS z FROM drm_raw),
+    drm AS (
+        SELECT source, n_tokens, excess_nats,
+               ROUND((1 - {_DRM_SMOOTH}) * w_raw / k.z
+                     + {_DRM_SMOOTH} / k.k + 1e-9, 6) AS doremi_weight
+        FROM drm_raw, drm_k k
+    )"""
+
+
+def _doremi_weights(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_doremi_sql``: smoothed DoReMi weights
+    (source, n_tokens, excess_nats, doremi_weight) from a
+    (source, text) frame. One (source, token) count shuffle; the
+    global-model join is AQE-decided; everything downstream runs on
+    |sources|-row frames."""
     stc = (
-        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
@@ -853,6 +852,38 @@ def corpus_doremi_domain_weights(
             6,
         ).alias("doremi_weight"),
     )
+
+
+@register(
+    "corpus_doremi_domain_weights",
+    oracle=f"""
+    WITH d AS (SELECT source, text FROM documents),
+    {_doremi_sql('d')}
+    SELECT source, n_tokens, excess_nats, doremi_weight FROM drm
+    """,
+    doc=f"DoReMi-style domain reweighting (Xie et al. 2023, one "
+        f"exponentiated-gradient step): each source's EXCESS LOSS is "
+        f"how much worse the domain-agnostic unigram LM scores its "
+        f"tokens than its own in-domain unigram LM (the proxy/"
+        f"reference pair, re-expressed with the same count-table LMs "
+        f"the CCNet/backoff queries use); weights update as "
+        f"size_share * exp(eta * excess), normalized, then mixed "
+        f"with {_DRM_SMOOTH} uniform smoothing — exactly the "
+        f"published update rule, so hard-for-generic-models domains "
+        f"gain sampling mass. Cross-engine float discipline: "
+        f"per-token negative log-probs land on an integer MILLINAT "
+        f"grid (one ROUND per distinct (source, token) pair), so the "
+        f"corpus-sized sums are exact integer arithmetic — no "
+        f"summation-order risk survives into the exp. Scale shape: "
+        f"ONE (source, token) count shuffle; the global-model join "
+        f"is count-table-sized (AQE decides); everything after is "
+        f"|sources|-row arithmetic with 1-row totals broadcast.",
+)
+def corpus_doremi_domain_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _doremi_weights(d.select("source", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -1733,3 +1764,176 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_build_e2e — gate -> dedup -> DoReMi -> allocate -> sample
+# ---------------------------------------------------------------------------
+
+_WB_MIN_CHARS = 50   # admission gate (documented simple bound; the
+                     # full Gopher rule set is the registered
+                     # text_quality_filter / filter-funnel surface)
+_WB_BUDGET = 200     # total docs to sample across all sources
+
+
+def _wb_oracle() -> str:
+    return f"""
+    WITH gated AS (
+        SELECT source, doc_id, text, n_chars FROM documents
+        WHERE n_chars >= {_WB_MIN_CHARS}
+    ),
+    surv AS (
+        SELECT source, doc_id, text, n_chars FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    d AS (SELECT source, text FROM surv),
+    {_doremi_sql('d')},
+    alloc AS (
+        SELECT source,
+               fl + CASE WHEN rk <= {_WB_BUDGET} - SUM(fl) OVER ()
+                    THEN 1 ELSE 0 END AS k_s
+        FROM (
+            SELECT source,
+                   CAST(FLOOR({_WB_BUDGET} * doremi_weight + 1e-9)
+                        AS BIGINT) AS fl,
+                   ROW_NUMBER() OVER (ORDER BY
+                       ROUND({_WB_BUDGET} * doremi_weight + 1e-9
+                             - FLOOR({_WB_BUDGET} * doremi_weight
+                                     + 1e-9), 6) DESC, source) AS rk
+            FROM drm
+        )
+    ),
+    pri AS (
+        SELECT source, doc_id, n_chars,
+               ROUND(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT + 1)
+                        / {_WPS_U_DEN}) / n_chars + 1e-9, 6) AS priority
+        FROM surv WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY priority DESC, doc_id)
+                   AS sample_rank
+        FROM pri
+    )
+    SELECT r.source, r.doc_id, r.n_chars, r.priority,
+           CAST(r.sample_rank AS BIGINT) AS sample_rank
+    FROM ranked r JOIN alloc a USING (source)
+    WHERE r.sample_rank <= a.k_s
+    """
+
+
+@register(
+    "corpus_weighted_build_e2e",
+    oracle=_wb_oracle(),
+    doc=f"COMPOSED weighted corpus-build pipeline — the round-7 "
+        f"flagship, chaining this round's pieces end to end the way "
+        f"a real curation run does: admission gate (n_chars >= "
+        f"{_WB_MIN_CHARS}) -> exact dedup (keep-lowest doc_id per "
+        f"md5 fingerprint) -> DoReMi one-EG-step domain weights "
+        f"COMPUTED ON THE SURVIVORS (shared _doremi_sql/"
+        f"_doremi_weights builders, so this and the standalone query "
+        f"cannot drift) -> integer largest-remainder allocation of a "
+        f"{_WB_BUDGET}-doc budget across sources -> per-source A-Res "
+        f"weighted sample of exactly that allocation. The principled "
+        f"alternative to corpus_build_e2e's unweighted pipeline: "
+        f"sampling mass follows measured domain difficulty, not raw "
+        f"size. Scale shape: one fingerprint shuffle (dedup), one "
+        f"(source, token) count shuffle (DoReMi), allocation on the "
+        f"|sources|-row weight table, priorities map-side with the "
+        f"final cut via grouped_topk at the budget bound then a "
+        f"window over the <= {_WB_BUDGET}-per-source survivor frame "
+        f"(bounded by construction).",
+)
+def corpus_weighted_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.where(F.col("n_chars") >= _WB_MIN_CHARS).select(
+        "source", "doc_id", "text", "n_chars"
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        gated.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist()  # survivors feed both the DoReMi pass and the
+        # sampling pass; without the cache each replays gate+dedup
+    )
+    drm = _doremi_weights(surv.select("source", "text"))
+
+    # Integer largest-remainder allocation of the budget.
+    quota = F.lit(_WB_BUDGET) * F.col("doremi_weight") + F.lit(1e-9)
+    from change_data_capture_poc_spark.functions.windows import (
+        global_window,
+    )
+
+    fl = drm.select(
+        "source",
+        F.floor(quota).cast("long").alias("fl"),
+        F.round(quota - F.floor(quota), 6).alias("rem"),
+    )
+    alloc = (
+        fl.withColumn(
+            "rk",
+            F.row_number().over(
+                global_window(F.col("rem").desc(), "source")
+            ),
+        )
+        .withColumn(
+            "short",
+            F.lit(_WB_BUDGET)
+            - F.sum("fl").over(
+                Window.partitionBy(F.lit(0)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select(
+            "source",
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+            ).alias("k_s"),
+        )
+    )
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_WPS_U_DEN)
+    pri = surv.where(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
+            "priority"
+        ),
+    )
+    # Budget-bounded cut first (map-side partial top-k), then rank the
+    # <= BUDGET-per-source survivor frame — a window over a bounded
+    # frame, never the corpus.
+    pool = grouped_topk(
+        pri, ["source"], [("priority", False), ("doc_id", True)], _WB_BUDGET
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    ranked = pool.withColumn(
+        "sample_rank", F.row_number().over(wr).cast("long")
+    )
+    return ranked.join(F.broadcast(alloc), "source").where(
+        F.col("sample_rank") <= F.col("k_s")
+    ).select("source", "doc_id", "n_chars", "priority", "sample_rank")

@@ -474,3 +474,35 @@ def test_streaming_reservoir_equals_batch_sample(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_weighted_build_allocation_and_sample(spark, sf_dir):
+    """The composed pipeline samples exactly min(k_s, survivors) per
+    source, allocations sum to the budget, and every sampled doc
+    passed the gate and the dedup."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _WB_BUDGET,
+        _WB_MIN_CHARS,
+    )
+
+    out = all_queries()["corpus_weighted_build_e2e"].fn(
+        spark, sf_dir
+    ).collect()
+    assert out, "expected sampled docs"
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    # Gate respected; ranks contiguous from 1 per source.
+    by_src: dict = {}
+    for r in out:
+        assert docs[r.doc_id].n_chars >= _WB_MIN_CHARS
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # Dedup respected: no two sampled docs share a text.
+    texts = [docs[r.doc_id].text for r in out]
+    assert len(texts) == len(set(texts))
+    # Total never exceeds the budget (sources can run short of docs,
+    # so <= rather than ==).
+    assert len(out) <= _WB_BUDGET

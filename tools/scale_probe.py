@@ -145,6 +145,7 @@ PROBES = (
     "corpus_weighted_priority_sample",
     "dedup_bloom_portable",
     "ann_ivf_pq_recall",
+    "corpus_weighted_build_e2e",
 )
 
 
