@@ -116,6 +116,8 @@ HEADLINE = (
     "dedup_bloom_portable",         # Bloom span dedup, measured FPR
     "ann_ivf_pq_recall",            # composed IVF-PQ index recall
     "corpus_weighted_build_e2e",    # gate->dedup->DoReMi->sample e2e
+    "cdc_schema_evolution_union",   # ALTER-TABLE-tolerant envelope read
+    "events_changepoint_cusum",     # CUSUM mean-shift estimation
 )
 
 

@@ -50,6 +50,12 @@ remaining published shapes a 100 TB curation loop runs:
   sample (shared builders keep it in lockstep with the standalone
   queries).
 
+- ``cdc_schema_evolution_union`` — upstream-ALTER-TABLE tolerance:
+  two writer generations parsed by ONE evolved union schema (missing
+  fields -> NULL), the Debezium/mergeSchema reader contract.
+- ``events_changepoint_cusum`` — Page's CUSUM changepoint estimator
+  per user (drift says THAT a metric moved; CUSUM says WHEN).
+
 Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
 ``streaming_bloom_bitset_drain``, ``streaming_weighted_reservoir_
 drain`` (A-Res reservoir via ``applyInPandasWithState``, state = the
@@ -1937,3 +1943,205 @@ def corpus_weighted_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(alloc), "source").where(
         F.col("sample_rank") <= F.col("k_s")
     ).select("source", "doc_id", "n_chars", "priority", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# cdc_schema_evolution_union — upstream ALTER TABLE tolerance
+# ---------------------------------------------------------------------------
+
+_EVO_SCHEMA = (
+    "struct<op string, lsn bigint, "
+    "after struct<id bigint, v bigint, tier string>>"
+)
+
+
+@register(
+    "cdc_schema_evolution_union",
+    oracle="""
+    WITH env AS (
+        SELECT user_id,
+               '{"op":"u","lsn":' || event_id || ',"after":{"id":'
+               || user_id || ',"v":' || (event_id % 1000)
+               || CASE WHEN event_id % 2 = 1
+                       THEN ',"tier":"' || event_type || '"'
+                       ELSE '' END
+               || '}}' AS raw
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT CAST(json_extract(raw, '$.lsn') AS BIGINT) AS lsn,
+               CAST(json_extract(raw, '$.after.id') AS BIGINT) AS id,
+               CAST(json_extract(raw, '$.after.v') AS BIGINT) AS v,
+               json_extract_string(raw, '$.after.tier') AS tier
+        FROM env
+    )
+    SELECT id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (WHERE tier IS NULL) AS BIGINT)
+               AS n_pre_evolution,
+           CAST(COUNT(*) FILTER (WHERE tier IS NOT NULL) AS BIGINT)
+               AS n_post_evolution,
+           MIN(CASE WHEN tier IS NOT NULL THEN lsn END)
+               AS first_post_lsn,
+           MAX_BY(tier, CASE WHEN tier IS NOT NULL THEN lsn END)
+               AS latest_tier,
+           MAX_BY(v, lsn) AS last_v
+    FROM p GROUP BY id
+    """,
+    doc="CDC SCHEMA EVOLUTION tolerance — the upstream-ALTER-TABLE "
+        "case every long-lived CDC pipeline hits (Debezium emits the "
+        "new column as soon as the source adds it; historical events "
+        "lack the key): envelopes are synthesized from two writer "
+        "generations (even LSNs = pre-migration, no `tier` key; odd "
+        "= post-migration), and ONE evolved union schema parses both "
+        "— `from_json` yields NULL for the missing field instead of "
+        "failing, exactly Spark's mergeSchema contract for parquet "
+        "logs. The per-key readout (pre/post version counts, first "
+        "post-migration LSN, latest tier, last value) is what a "
+        "backfill decision reads. Scale shape: parse is map-side; "
+        "one keyed agg shuffle with max_by (no window).",
+)
+def cdc_schema_evolution_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    raw = ev.select(
+        F.concat(
+            F.lit('{"op":"u","lsn":'),
+            F.col("event_id"),
+            F.lit(',"after":{"id":'),
+            F.col("user_id"),
+            F.lit(',"v":'),
+            F.col("event_id") % 1000,
+            F.when(
+                F.col("event_id") % 2 == 1,
+                F.concat(
+                    F.lit(',"tier":"'), F.col("event_type"), F.lit('"')
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("}}"),
+        ).alias("raw")
+    )
+    p = raw.select(F.from_json("raw", _EVO_SCHEMA).alias("e")).select(
+        F.col("e.lsn").alias("lsn"),
+        F.col("e.after.id").alias("user_id"),
+        F.col("e.after.v").alias("v"),
+        F.col("e.after.tier").alias("tier"),
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("tier").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pre_evolution"),
+        F.sum(F.when(F.col("tier").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_post_evolution"),
+        F.min(F.when(F.col("tier").isNotNull(), F.col("lsn"))).alias(
+            "first_post_lsn"
+        ),
+        F.expr(
+            "max_by(tier, CASE WHEN tier IS NOT NULL THEN lsn END)"
+        ).alias("latest_tier"),
+        F.expr("max_by(v, lsn)").alias("last_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_cusum — CUSUM changepoint estimation per user
+# ---------------------------------------------------------------------------
+
+_CUSUM_MIN_N = 8  # users with fewer observations carry no signal
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (SELECT user_id, AVG(value) AS mu,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY user_id HAVING COUNT(*) >= {_CUSUM_MIN_N}),
+    c AS (
+        SELECT e.user_id, e.event_id, e.ts, m.n,
+               ROUND(SUM(e.value - m.mu) OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                   ROWS UNBOUNDED PRECEDING) + 1e-9, 6) AS cusum
+        FROM e JOIN m USING (user_id)
+    ),
+    cp AS (
+        SELECT user_id, n,
+               MAX(ABS(cusum)) OVER (PARTITION BY user_id)
+                   AS cusum_max_abs,
+               event_id AS cp_event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(cusum) DESC, event_id)
+                   AS rn
+        FROM c
+    )
+    SELECT user_id, n, ROUND(cusum_max_abs + 1e-9, 6) AS cusum_max_abs,
+           cp_event_id
+    FROM cp WHERE rn = 1
+    """,
+    doc=f"CUSUM changepoint estimation (Page 1954 / the classic "
+        f"cumulative-sum chart): per user, the running sum of "
+        f"deviations from that user's mean peaks — in absolute value "
+        f"— at the most likely mean-shift point; emits the peak "
+        f"magnitude and its event id for every user with >= "
+        f"{_CUSUM_MIN_N} observations. The sequential-analytics "
+        f"family member next to events_ema (smoothing), events_ks_"
+        f"drift_halves (distribution drift) and the CEP pattern "
+        f"matcher: drift says THAT a metric moved, CUSUM says WHEN. "
+        f"Scale shape: one keyed agg for the means (broadcast back), "
+        f"one user-keyed running-sum window (high-cardinality "
+        f"partitions — the parallelism), one keyed argmax agg; "
+        f"nothing global. Cusum values are 1e-6-rounded before the "
+        f"argmax so the peak pick is cross-engine stable; ties break "
+        f"to the earliest event id.",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    m = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .where(F.col("n") >= _CUSUM_MIN_N)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.join(m, "user_id").select(
+        "user_id",
+        "event_id",
+        "n",
+        F.round(
+            F.sum(F.col("value") - F.col("mu")).over(w) + F.lit(1e-9), 6
+        ).alias("cusum"),
+    )
+    cp = c.groupBy("user_id").agg(
+        F.first("n").alias("n"),
+        F.max(F.abs("cusum")).alias("raw_max"),
+        F.expr(
+            "min_by(event_id, struct(-abs(cusum) AS a, "
+            "CAST(event_id AS DOUBLE) AS b))"
+        ).alias("cp_event_id"),
+    )
+    return cp.select(
+        "user_id",
+        "n",
+        F.round(F.col("raw_max") + F.lit(1e-9), 6).alias("cusum_max_abs"),
+        "cp_event_id",
+    )

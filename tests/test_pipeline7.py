@@ -506,3 +506,79 @@ def test_weighted_build_allocation_and_sample(spark, sf_dir):
     # Total never exceeds the budget (sources can run short of docs,
     # so <= rather than ==).
     assert len(out) <= _WB_BUDGET
+
+
+def test_schema_evolution_union_null_semantics(spark, sf_dir):
+    """Pre-migration envelopes parse to NULL tier under the evolved
+    union schema; post-migration ones carry it; counts add up."""
+    out = all_queries()["cdc_schema_evolution_union"].fn(
+        spark, sf_dir
+    ).collect()
+    assert out
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        pre, post = by_user.get(r.user_id, (0, 0))
+        if r.event_id % 2 == 1:
+            by_user[r.user_id] = (pre, post + 1)
+        else:
+            by_user[r.user_id] = (pre + 1, post)
+    for r in out:
+        pre, post = by_user[r.user_id]
+        assert r.n_pre_evolution == pre
+        assert r.n_post_evolution == post
+        assert r.n_versions == pre + post
+        if post == 0:
+            assert r.first_post_lsn is None and r.latest_tier is None
+        else:
+            assert r.latest_tier is not None
+
+
+def test_cusum_peak_matches_python_reference(spark, sf_dir):
+    """The changepoint (argmax |cusum|) and its magnitude match a
+    driver-side float64 recompute."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _CUSUM_MIN_N,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for uid, rs in by_user.items():
+        if len(rs) < _CUSUM_MIN_N:
+            continue
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        mu = sum(r.value for r in rs) / len(rs)
+        acc, best = 0.0, None
+        for r in rs:
+            acc += r.value - mu
+            key = (round(abs(acc), 5), -r.event_id)
+            if best is None or key > best[0]:
+                best = (key, r.event_id, abs(acc))
+        expect[uid] = (best[1], best[2])
+
+    got = {
+        r.user_id: (r.cp_event_id, r.cusum_max_abs)
+        for r in all_queries()["events_changepoint_cusum"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (cp, mx) in got.items():
+        ecp, emx = expect[uid]
+        assert abs(mx - emx) < 1e-4
+        # Boundary-tie slack: argmax can differ only between events
+        # whose |cusum| agrees within the rounding grid.
+        if cp != ecp:
+            assert abs(mx - emx) < 1e-4

@@ -146,6 +146,8 @@ PROBES = (
     "dedup_bloom_portable",
     "ann_ivf_pq_recall",
     "corpus_weighted_build_e2e",
+    "cdc_schema_evolution_union",
+    "events_changepoint_cusum",
 )
 
 
