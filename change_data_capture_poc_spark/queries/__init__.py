@@ -21,9 +21,13 @@ Modules:
 - ``pipeline6_q`` — ExactSubstr detection+removal, PII classes,
                     Kneser-Ney, portable HLL, bottom-k sampling,
                     filter funnel, kNN graph
-- ``pipeline7_q`` — portable Count-Min sketch, PQ/ADC recall,
-                    semantic decontamination, Zipf fit, bitext
-                    margin mining
+- ``pipeline7_q`` — portable Count-Min sketch + Bloom-with-FPR,
+                    PQ/ADC + composed IVF-PQ recall, semantic
+                    decontamination, bitext margin mining, DoReMi
+                    reweighting, iterative BPE training, MAD/CUSUM
+                    robust statistics, dup-graph triangles, A-Res
+                    weighted sampling, schema-evolution CDC reads,
+                    and the composed weighted corpus build
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
