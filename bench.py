@@ -118,6 +118,8 @@ HEADLINE = (
     "corpus_weighted_build_e2e",    # gate->dedup->DoReMi->sample e2e
     "cdc_schema_evolution_union",   # ALTER-TABLE-tolerant envelope read
     "events_changepoint_cusum",     # CUSUM mean-shift estimation
+    "events_holt_linear_smoothing", # Holt level+trend fold
+    "dedup_cluster_best_representative",  # quality-keeper collapse
 )
 
 

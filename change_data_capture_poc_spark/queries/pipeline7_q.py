@@ -55,6 +55,10 @@ remaining published shapes a 100 TB curation loop runs:
   fields -> NULL), the Debezium/mergeSchema reader contract.
 - ``events_changepoint_cusum`` — Page's CUSUM changepoint estimator
   per user (drift says THAT a metric moved; CUSUM says WHEN).
+- ``events_holt_linear_smoothing`` — Holt double exponential
+  smoothing (level + trend fold, the trend-aware events_ema sibling).
+- ``dedup_cluster_best_representative`` — quality-keeper cluster
+  collapse: each near-dup component keeps its longest member.
 
 Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
 ``streaming_bloom_bitset_drain``, ``streaming_weighted_reservoir_
@@ -2144,4 +2148,203 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("raw_max") + F.lit(1e-9), 6).alias("cusum_max_abs"),
         "cp_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear_smoothing — double exponential smoothing per user
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.5   # level smoothing (alpha)
+_HOLT_B = 0.25  # trend smoothing (beta)
+_HOLT_MIN_N = 3  # need >= 3 points: 2 seed the state, 1+ folds
+
+
+@register(
+    "events_holt_linear_smoothing",
+    oracle=f"""
+    WITH RECURSIVE l AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vals
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= {_HOLT_MIN_N}
+    ),
+    r(user_id, i, level, trend) AS (
+        SELECT user_id, 2,
+               CAST(vals[2] AS DOUBLE),
+               CAST(vals[2] AS DOUBLE) - CAST(vals[1] AS DOUBLE)
+        FROM l
+        UNION ALL
+        SELECT r.user_id, r.i + 1,
+               {_HOLT_A} * CAST(l.vals[r.i + 1] AS DOUBLE)
+                   + (1 - {_HOLT_A}) * (r.level + r.trend),
+               {_HOLT_B} * (({_HOLT_A} * CAST(l.vals[r.i + 1] AS DOUBLE)
+                             + (1 - {_HOLT_A}) * (r.level + r.trend))
+                            - r.level)
+                   + (1 - {_HOLT_B}) * r.trend
+        FROM r JOIN l USING (user_id)
+        WHERE r.i < len(l.vals)
+    )
+    SELECT r.user_id,
+           CAST(len(l.vals) AS BIGINT) AS n_points,
+           ROUND(r.level + 1e-9, 6) AS level,
+           ROUND(r.trend + 1e-9, 6) AS trend,
+           ROUND(r.level + r.trend + 1e-9, 6) AS forecast_next
+    FROM r JOIN l USING (user_id)
+    WHERE r.i = len(l.vals)
+    """,
+    doc=f"Holt double exponential smoothing (level + trend, alpha="
+        f"{_HOLT_A}, beta={_HOLT_B}) per user — the trend-aware "
+        f"sibling of events_ema (single smoothing has no slope, so "
+        f"its one-step forecast always lags a drifting metric; Holt's "
+        f"second recurrence tracks the slope). State seeds from the "
+        f"first two observations, folds over the rest in event "
+        f"order, and emits the final level/trend plus the one-step "
+        f"forecast. The fold is order-sensitive — SQL windows cannot "
+        f"express it — so the Spark side folds a struct(level, "
+        f"trend) accumulator over the sorted value array in ONE "
+        f"aggregate() pass (same shape as events_ema), and the "
+        f"oracle replays the identical recurrence as a recursive "
+        f"CTE: both engines execute the same arithmetic in the same "
+        f"order, so the doubles match bit-for-bit before rounding. "
+        f"Scale shape: one keyed shuffle (sorted collect_list per "
+        f"user); the fold is JVM map-side.",
+)
+def events_holt_linear_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lst = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "value"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= _HOLT_MIN_N)
+        .select(
+            "user_id",
+            F.expr("transform(xs, s -> s.value)").alias("vals"),
+        )
+    )
+    a, b = _HOLT_A, _HOLT_B
+    # Seed exactly as the oracle: level = v2, trend = v2 - v1, fold
+    # from the 3rd element.
+    seed_fold = F.expr(
+        f"aggregate(slice(vals, 3, size(vals) - 2), "
+        f"named_struct('level', CAST(element_at(vals, 2) AS DOUBLE), "
+        f"'trend', CAST(element_at(vals, 2) AS DOUBLE) "
+        f"- CAST(element_at(vals, 1) AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'level', {a}D * x + {1 - a}D * (acc.level + acc.trend), "
+        f"'trend', {b}D * (({a}D * x + {1 - a}D * (acc.level + acc.trend))"
+        f" - acc.level) + {1 - b}D * acc.trend))"
+    )
+    return lst.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_points"),
+        seed_fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_points",
+        F.round(F.col("st.level") + F.lit(1e-9), 6).alias("level"),
+        F.round(F.col("st.trend") + F.lit(1e-9), 6).alias("trend"),
+        F.round(
+            F.col("st.level") + F.col("st.trend") + F.lit(1e-9), 6
+        ).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_best_representative — quality-keeper cluster collapse
+# ---------------------------------------------------------------------------
+
+
+def _rep_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_PAIRS_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_SQL},
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id,
+           rep_n_chars,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM (
+        SELECT cluster_id, doc_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               MAX(n_chars) OVER (PARTITION BY cluster_id)
+                   AS rep_n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_cluster_best_representative",
+    oracle=_rep_oracle(),
+    doc="QUALITY-KEEPER cluster collapse: the near-dup clusters from "
+        "min-label propagation (dedup_cluster_label_propagation's "
+        "components over the MinHash-LSH candidate graph) each keep "
+        "their LONGEST member (n_chars as the quality proxy; lowest "
+        "doc_id tiebreak) instead of the lowest-id one — the "
+        "curation-relevant collapse rule (keep-lowest-id discards "
+        "the best copy whenever a longer, cleaner duplicate has a "
+        "higher id; published pipelines keep by quality score). "
+        "Emits per cluster: size, representative, its length, and "
+        "the drop count — with graph_triangle_count_dupgraph's "
+        "topology census, the before/after of the collapse "
+        "decision. Scale shape: label propagation is 1 shuffle per "
+        "round over the candidate edges; the keeper pick is one "
+        "keyed argmax agg (map-side combinable), never a window.",
+)
+def dedup_cluster_best_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+    from change_data_capture_poc_spark.queries.datapipe import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = comp.join(d, "doc_id")
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr(
+            "min_by(doc_id, struct(-CAST(n_chars AS DOUBLE) AS a, "
+            "CAST(doc_id AS DOUBLE) AS b))"
+        ).alias("rep_doc_id"),
+        F.max("n_chars").alias("rep_n_chars"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
     )

@@ -582,3 +582,77 @@ def test_cusum_peak_matches_python_reference(spark, sf_dir):
         # whose |cusum| agrees within the rounding grid.
         if cp != ecp:
             assert abs(mx - emx) < 1e-4
+
+
+def test_holt_matches_python_reference(spark, sf_dir):
+    """Level/trend/forecast equal a float64 recompute of the Holt
+    recurrences in event order."""
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _HOLT_A,
+        _HOLT_B,
+        _HOLT_MIN_N,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value))
+    expect = {}
+    for uid, vs in by_user.items():
+        if len(vs) < _HOLT_MIN_N:
+            continue
+        vs.sort()
+        vals = [v for _e, v in vs]
+        level, trend = vals[1], vals[1] - vals[0]
+        for x in vals[2:]:
+            nl = _HOLT_A * x + (1 - _HOLT_A) * (level + trend)
+            trend = _HOLT_B * (nl - level) + (1 - _HOLT_B) * trend
+            level = nl
+        expect[uid] = (len(vals), level, trend)
+
+    got = all_queries()["events_holt_linear_smoothing"].fn(
+        spark, sf_dir
+    ).collect()
+    assert {r.user_id for r in got} == set(expect)
+    for r in got:
+        n, level, trend = expect[r.user_id]
+        assert r.n_points == n
+        assert abs(r.level - level) < 1e-4
+        assert abs(r.trend - trend) < 1e-4
+        assert abs(r.forecast_next - (level + trend)) < 1e-4
+
+
+def test_cluster_representative_is_best_member(spark, sf_dir):
+    """The representative is the longest member (lowest doc_id tie),
+    and drop counts are consistent with cluster sizes."""
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in all_queries()["dedup_cluster_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    best: dict = {}
+    size: dict = {}
+    for doc, cl in comp.items():
+        size[cl] = size.get(cl, 0) + 1
+        key = (-chars[doc], doc)
+        if cl not in best or key < best[cl][0]:
+            best[cl] = (key, doc)
+    out = all_queries()["dedup_cluster_best_representative"].fn(
+        spark, sf_dir
+    ).collect()
+    assert {r.cluster_id for r in out} == set(size)
+    for r in out:
+        assert r.rep_doc_id == best[r.cluster_id][1]
+        assert r.n_members == size[r.cluster_id]
+        assert r.n_dropped == r.n_members - 1
+        assert r.rep_n_chars == chars[r.rep_doc_id]

@@ -148,6 +148,8 @@ PROBES = (
     "corpus_weighted_build_e2e",
     "cdc_schema_evolution_union",
     "events_changepoint_cusum",
+    "events_holt_linear_smoothing",
+    "dedup_cluster_best_representative",
 )
 
 
