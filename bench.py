@@ -120,6 +120,7 @@ HEADLINE = (
     "events_changepoint_cusum",     # CUSUM mean-shift estimation
     "events_holt_linear_smoothing", # Holt level+trend fold
     "dedup_cluster_best_representative",  # quality-keeper collapse
+    "dedup_threshold_sensitivity",  # retention-vs-threshold curve
 )
 
 

@@ -59,6 +59,9 @@ remaining published shapes a 100 TB curation loop runs:
   smoothing (level + trend fold, the trend-aware events_ema sibling).
 - ``dedup_cluster_best_representative`` — quality-keeper cluster
   collapse: each near-dup component keeps its longest member.
+- ``dedup_threshold_sensitivity`` — retention / drop-count curve over
+  Jaccard thresholds, measured in ONE candidate-verification pass
+  (integer cross-multiplied comparisons, no float boundaries).
 
 Stream twins in ``streaming_q``: ``streaming_cms_register_drain``,
 ``streaming_bloom_bitset_drain``, ``streaming_weighted_reservoir_
@@ -2347,4 +2350,170 @@ def dedup_cluster_best_representative(
         ).alias("rep_doc_id"),
         F.max("n_chars").alias("rep_n_chars"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sensitivity — retention vs Jaccard threshold curve
+# ---------------------------------------------------------------------------
+
+_DTS_THRESHOLDS = (400, 500, 600, 700, 800, 900)  # permille
+
+
+def _dts_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _BANDS,
+        _MH_HX_SQL,
+        _MH_MINS_SQL,
+        _NGRAM_SQL,
+    )
+
+    th = ", ".join(str(t) for t in _DTS_THRESHOLDS)
+    return f"""
+    WITH g AS ({_NGRAM_SQL}),
+    hx AS ({_MH_HX_SQL}),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
+    bands AS (
+        SELECT doc_id, b.b AS band_id,
+               CASE b.b
+                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
+                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
+                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
+                   ELSE concat_ws('|', m9, m10, m11)
+               END AS band_key
+        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id
+                    AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    tk AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS c
+        FROM cand c
+        JOIN tk ta ON ta.doc_id = c.a
+        JOIN tk tb ON tb.doc_id = c.b AND tb.gram = ta.gram
+        GROUP BY c.a, c.b
+    ),
+    jac AS (
+        SELECT i.a, i.b, i.c, sa.n AS na, sb.n AS nb
+        FROM inter i
+        JOIN sizes sa ON i.a = sa.doc_id
+        JOIN sizes sb ON i.b = sb.doc_id
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM g),
+    curve AS (
+        SELECT t.t AS threshold_permille,
+               CAST(COUNT(*) FILTER (
+                   WHERE c * 1000 >= t.t * (na + nb - c)) AS BIGINT)
+                   AS n_dup_pairs,
+               CAST(COUNT(DISTINCT CASE
+                   WHEN c * 1000 >= t.t * (na + nb - c) THEN b END)
+                   AS BIGINT) AS n_docs_dropped
+        FROM jac, (SELECT unnest([{th}]) AS t) t
+        GROUP BY t.t
+    )
+    SELECT threshold_permille, n_dup_pairs, n_docs_dropped,
+           ROUND(1.0 - n_docs_dropped * 1.0 / total.n_docs + 1e-9, 6)
+               AS retention_rate
+    FROM curve, total
+    """
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=_dts_oracle(),
+    doc="Dedup THRESHOLD SENSITIVITY curve: exact Jaccard is verified "
+        "once per LSH candidate pair, then every threshold in "
+        f"{list(_DTS_THRESHOLDS)} permille reads off its duplicate-"
+        "pair count, docs dropped (keep-lowest rule: the higher-id "
+        "side of each above-threshold pair), and corpus retention — "
+        "the knob-tuning table behind every near-dup deployment "
+        "(published pipelines disagree between 0.7 and 0.9; this "
+        "measures what each costs on YOUR corpus in ONE pass instead "
+        "of re-running dedup per candidate threshold). All threshold "
+        "comparisons are cross-multiplied integers (c*1000 >= "
+        "t*(union)) — no float boundary can flip a count. Scale "
+        "shape: exact verification touches CANDIDATE pairs only "
+        "(never all-pairs); the curve is a 6-row rollup; one gram "
+        "shuffle + the banded candidate join, both inherited from "
+        "the production dedup path.",
+)
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _spark_bands,
+        _spark_grams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d).persist()  # grams feed bands, token join, sizes
+    bands = _spark_bands(g)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    tk = g.select("doc_id", F.explode("grams").alias("gram"))
+    inter = (
+        cand.join(
+            tk.select(F.col("doc_id").alias("a"), "gram"), "a"
+        )
+        .join(
+            tk.select(F.col("doc_id").alias("b"), "gram"),
+            ["b", "gram"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    jac = inter.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+        "a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+        "b",
+    )
+    total = g.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _DTS_THRESHOLDS])
+    ).alias("threshold_permille")
+    above = (
+        F.col("c") * 1000
+        >= F.col("threshold_permille")
+        * (F.col("na") + F.col("nb") - F.col("c"))
+    )
+    curve = (
+        jac.select("a", "b", "c", "na", "nb", th)
+        .groupBy("threshold_permille")
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.countDistinct(F.when(above, F.col("b")))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+    )
+    return curve.crossJoin(F.broadcast(total)).select(
+        "threshold_permille",
+        "n_dup_pairs",
+        "n_docs_dropped",
+        F.round(
+            1.0 - F.col("n_docs_dropped") * 1.0 / F.col("n_docs")
+            + F.lit(1e-9),
+            6,
+        ).alias("retention_rate"),
     )

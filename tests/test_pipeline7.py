@@ -656,3 +656,23 @@ def test_cluster_representative_is_best_member(spark, sf_dir):
         assert r.n_members == size[r.cluster_id]
         assert r.n_dropped == r.n_members - 1
         assert r.rep_n_chars == chars[r.rep_doc_id]
+
+
+def test_threshold_sensitivity_is_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the duplicate set:
+    pair counts, drop counts monotone non-increasing; retention
+    monotone non-decreasing; drops never exceed pairs."""
+    out = sorted(
+        all_queries()["dedup_threshold_sensitivity"].fn(
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.threshold_permille,
+    )
+    assert len(out) >= 2
+    for lo, hi in zip(out, out[1:]):
+        assert hi.n_dup_pairs <= lo.n_dup_pairs
+        assert hi.n_docs_dropped <= lo.n_docs_dropped
+        assert hi.retention_rate >= lo.retention_rate - 1e-9
+    for r in out:
+        assert r.n_docs_dropped <= r.n_dup_pairs or r.n_dup_pairs == 0
+        assert 0 <= r.retention_rate <= 1

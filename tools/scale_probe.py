@@ -150,6 +150,7 @@ PROBES = (
     "events_changepoint_cusum",
     "events_holt_linear_smoothing",
     "dedup_cluster_best_representative",
+    "dedup_threshold_sensitivity",
 )
 
 
