@@ -1049,7 +1049,13 @@ def bpe_train_iterative_merges(
             .agg(F.sum("n").cast("long").alias("cnt"))
         )
         best_df = pairs.orderBy(F.col("cnt").desc(), "l", "r2").limit(1)
-        best = best_df.collect()[0]  # bounded 1-row collect per round
+        best_rows = best_df.collect()  # bounded 1-row collect per round
+        if not best_rows:
+            # Vocabulary fully fused into single symbols — no pairs
+            # left. Emit fewer merge rows, matching the oracle's
+            # empty LIMIT 1 CTEs for the remaining rounds.
+            break
+        best = best_rows[0]
         l_lit, r_lit = best["l"], best["r2"]
         row = best_df.select(
             F.lit(_r).alias("merge_round"),
@@ -1115,6 +1121,12 @@ def bpe_train_iterative_merges(
             ).alias("toks"),
         ).persist()  # vocab-sized; cuts round r's actions from
         # replaying rounds 1..r-1's whole merge lineage
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "merge_round int, left_sym string, right_sym string, "
+            "merged_sym string, pair_count bigint",
+        )
     return out
 
 
@@ -1197,33 +1209,12 @@ def events_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangle_oracle() -> str:
     from change_data_capture_poc_spark.queries.datapipe import (
-        _BANDS,
-        _MH_HX_SQL,
-        _MH_MINS_SQL,
-        _NGRAM_SQL,
+        _MINHASH_PAIRS_SQL,
     )
 
     return f"""
-    WITH g AS ({_NGRAM_SQL}),
-    hx AS ({_MH_HX_SQL}),
-    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
-    bands AS (
-        SELECT doc_id, b.b AS band_id,
-               CASE b.b
-                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
-                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
-                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
-                   ELSE concat_ws('|', m9, m10, m11)
-               END AS band_key
-        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
-    ),
-    e AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM bands x
-        JOIN bands y ON x.band_id = y.band_id
-                    AND x.band_key = y.band_key
-                    AND x.doc_id < y.doc_id
-    ),
+    WITH {_MINHASH_PAIRS_SQL},
+    e AS (SELECT pa AS a, pb AS b FROM pairs),
     w AS (SELECT e1.a, e1.b, e2.b AS c
           FROM e e1 JOIN e e2 ON e1.b = e2.a),
     t AS (SELECT w.a, w.b, w.c
@@ -1261,25 +1252,18 @@ def graph_triangle_count_dupgraph(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from change_data_capture_poc_spark.queries.datapipe import (
-        _spark_bands,
-        _spark_grams,
+        dedup_minhash_lsh,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    bands = _spark_bands(_spark_grams(d))
-    x = bands.alias("x")
-    y = bands.alias("y")
+    # The edge set IS the registered candidate-pair query — reusing it
+    # (the dedup_cluster_best_representative pattern) means a banding
+    # change can never make the census measure a different graph than
+    # the dedup path it audits.
     e = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        dedup_minhash_lsh(spark, sf_dir)
         .select(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
         )
-        .distinct()
         .persist()
     )
     w = (
@@ -1320,22 +1304,50 @@ _WPS_K = 20          # sample size per source stratum
 _WPS_U_DEN = 4294967297.0  # 2^32 + 1: md5-prefix -> u in (0, 1)
 
 
-@register(
-    "corpus_weighted_priority_sample",
-    oracle=f"""
-    WITH h AS (
+def _wps_pri_sql(docs_cte: str) -> str:
+    """DuckDB CTE chain computing A-Res priorities from a relation
+    ``docs_cte(source, doc_id, n_chars)`` — ends in ``wps_p(source,
+    doc_id, n_chars, priority)``. Shared by the standalone sampler,
+    the composed weighted build, and the streaming reservoir so the
+    three oracles cannot drift."""
+    return f"""
+    wps_h AS (
         SELECT source, doc_id, n_chars,
                (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    ::BIGINT + 1) / {_WPS_U_DEN} AS u
-        FROM documents WHERE n_chars > 0
+        FROM {docs_cte} WHERE n_chars > 0
     ),
-    p AS (
+    wps_p AS (
         SELECT source, doc_id, n_chars,
                ROUND(ln(u) / n_chars + 1e-9, 6) AS priority
-        FROM h
-    )
+        FROM wps_h
+    )"""
+
+
+def _wps_priority():
+    """Spark twin of ``_wps_pri_sql``'s priority column: u^(1/w) as
+    ln(u)/n_chars from the deterministic md5-prefix uniform. Callers
+    filter n_chars > 0 first (mirroring the SQL fragment)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_WPS_U_DEN)
+    return F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6)
+
+
+@register(
+    "corpus_weighted_priority_sample",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+    {_wps_pri_sql('d')}
     SELECT source, doc_id, n_chars, priority
-    FROM p
+    FROM wps_p
     QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                ORDER BY priority DESC, doc_id)
             <= {_WPS_K}
@@ -1362,23 +1374,8 @@ def corpus_weighted_priority_sample(
     from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(_WPS_U_DEN)
     p = d.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
-            "priority"
-        ),
+        "source", "doc_id", "n_chars", _wps_priority().alias("priority")
     )
     return grouped_topk(
         p, ["source"], [("priority", False), ("doc_id", True)], _WPS_K
@@ -1403,6 +1400,127 @@ def _blm_bit_sql(h: int, gh_expr: str, engine: str) -> str:
     return (
         f"('0x' || substring(md5('{h}:' || {gh_expr}), 1, 8))"
         f"::BIGINT % {_BLM_M}"
+    )
+
+
+def _blm_split_hash():
+    """doc_id -> 0..99 split hash (the text_stupid_backoff split)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def _blm_gram_explode():
+    """Overlapping span fingerprints (md5) from a `w` token array."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, size(w) - {_BLM_K}),"
+            f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}), ' ')))"
+        )
+    )
+
+
+def _blm_bit_exprs():
+    return [F.expr(_blm_bit_sql(h, "gh", "spark")) for h in range(_BLM_H)]
+
+
+def _blm_split_grams(d: DataFrame) -> DataFrame:
+    """Distinct (is_train, gh) span fingerprints from a documents
+    frame, persisted — the bit-build, probe, and exact-truth branches
+    all consume it (MEMORY_AND_DISK: spills, never OOMs)."""
+    s = d.select(
+        "doc_id", F.split("text", " ").alias("w"),
+        _blm_split_hash().alias("h"),
+    ).where(F.size("w") >= _BLM_K)
+    return (
+        s.select(
+            (F.col("h") < 80).alias("is_train"),
+            _blm_gram_explode().alias("gh"),
+        )
+        .distinct()
+        .persist()
+    )
+
+
+def _blm_readout(te: DataFrame, tr: DataFrame, bits: DataFrame) -> DataFrame:
+    """Probe the test-split span set against a Bloom bit set and grade
+    the flags against exact membership — SHARED by the batch query and
+    the streaming drain so the flag semantics cannot drift (the
+    distinct-bit fix had to land in two copies once; never again).
+
+    Distinct-bit semantics: when two hash functions collide onto one
+    bit, the gram probes fewer than _BLM_H DISTINCT bits and is
+    flagged iff every one of THOSE is set (counting matched probe rows
+    instead would diverge from the set-membership oracle).
+    """
+    te_b = te.select(
+        "gh", F.array_distinct(F.array(*_blm_bit_exprs())).alias("gbits")
+    ).withColumn("n_bits", F.size("gbits"))
+    probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("gh", "n_bits")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    flagged = te_b.join(hits.select("gh", "n_set"), "gh", "left").select(
+        "gh",
+        (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_bits")).alias(
+            "flagged"
+        ),
+    )
+    truth = flagged.join(
+        tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
+    ).select(
+        "gh",
+        "flagged",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    bcount = bits.agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    ).select(
+        "bits_set",
+        F.round(
+            F.col("bits_set") * 1.0 / _BLM_M + F.lit(1e-9), 6
+        ).alias("fill_ratio"),
+    )
+    stats = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_spans"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).withColumn(
+        "fp_rate",
+        F.round(
+            F.col("n_false_pos")
+            * 1.0
+            / F.greatest(
+                F.col("n_test_spans") - F.col("n_true_dup"), F.lit(1)
+            )
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return F.broadcast(bcount).crossJoin(stats).select(
+        "bits_set",
+        "fill_ratio",
+        "n_test_spans",
+        "n_flagged",
+        "n_true_dup",
+        "n_false_pos",
+        "fp_rate",
     )
 
 
@@ -1479,111 +1597,14 @@ def _blm_oracle() -> str:
         f"sketch that would replace it.",
 )
 def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        F.split("text", " ").alias("w"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.col("doc_id").cast("string").cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 100
-        ).alias("h"),
-    ).where(F.size("w") >= _BLM_K)
-    g = (
-        s.select(
-            (F.col("h") < 80).alias("is_train"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {_BLM_K}),"
-                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
-                    f"  ' ')))"
-                )
-            ).alias("gh"),
-        )
-        .distinct()
-        .persist()  # distinct gram set; the bit-build, probe, and
-        # exact-truth branches would otherwise each replay the
-        # corpus gram explode (MEMORY_AND_DISK — spills, never OOMs)
-    )
+    g = _blm_split_grams(load_table(spark, sf_dir, "documents"))
     tr = g.where("is_train").select("gh").distinct()
     te = g.where(~F.col("is_train")).select("gh").distinct()
-    bit_exprs = [
-        F.expr(_blm_bit_sql(h, "gh", "spark")) for h in range(_BLM_H)
-    ]
     bits = (
-        tr.select(F.explode(F.array(*bit_exprs)).alias("bit")).distinct()
+        tr.select(F.explode(F.array(*_blm_bit_exprs())).alias("bit"))
+        .distinct()
     )
-    # Distinct-bit semantics: when two hash functions collide onto one
-    # bit, the gram probes fewer than _BLM_H DISTINCT bits and is
-    # flagged iff every one of THOSE is set (counting matched probe
-    # rows instead would diverge from the set-membership oracle).
-    te_b = te.select(
-        "gh", F.array_distinct(F.array(*bit_exprs)).alias("gbits")
-    ).withColumn("n_bits", F.size("gbits"))
-    probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
-    hits = (
-        probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("gh", "n_bits")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-    )
-    flagged = te_b.join(hits.select("gh", "n_set"), "gh", "left").select(
-        "gh",
-        (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_bits")).alias(
-            "flagged"
-        ),
-    )
-    truth = flagged.join(
-        tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
-    ).select(
-        "gh", "flagged", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
-    )
-    bcount = bits.agg(
-        F.count(F.lit(1)).cast("long").alias("bits_set")
-    ).select(
-        "bits_set",
-        F.round(
-            F.col("bits_set") * 1.0 / _BLM_M + F.lit(1e-9), 6
-        ).alias("fill_ratio"),
-    )
-    stats = truth.agg(
-        F.count(F.lit(1)).cast("long").alias("n_test_spans"),
-        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_flagged"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_true_dup"),
-        F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_false_pos"),
-    ).withColumn(
-        "fp_rate",
-        F.round(
-            F.col("n_false_pos")
-            * 1.0
-            / F.greatest(
-                F.col("n_test_spans") - F.col("n_true_dup"), F.lit(1)
-            )
-            + F.lit(1e-9),
-            6,
-        ),
-    )
-    return F.broadcast(bcount).crossJoin(stats).select(
-        "bits_set",
-        "fill_ratio",
-        "n_test_spans",
-        "n_flagged",
-        "n_true_dup",
-        "n_false_pos",
-        "fp_rate",
-    )
+    return _blm_readout(te, tr, bits)
 
 
 # ---------------------------------------------------------------------------
@@ -1712,13 +1733,15 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from change_data_capture_poc_spark.functions.vectors import (
         centroid_argmin_expr,
-        collect_centroids,
     )
     from change_data_capture_poc_spark.operators.topk import grouped_topk
 
     e = _pq_embeddings(spark, sf_dir)
     cb = _pq_codebook(e)
-    cents = collect_centroids(e, _PQ_C, "vec_id", "v")
+    # The coarse centroids ARE the codeword source vectors (vec_id <
+    # _PQ_C) — reuse the collected codebook instead of a second
+    # driver collect job over the same rows.
+    cents = cb
 
     codes = e.select(
         "vec_id",
@@ -1819,19 +1842,13 @@ def _wb_oracle() -> str:
             FROM drm
         )
     ),
-    pri AS (
-        SELECT source, doc_id, n_chars,
-               ROUND(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                                            1, 8))::BIGINT + 1)
-                        / {_WPS_U_DEN}) / n_chars + 1e-9, 6) AS priority
-        FROM surv WHERE n_chars > 0
-    ),
+    {_wps_pri_sql('surv')},
     ranked AS (
         SELECT source, doc_id, n_chars, priority,
                ROW_NUMBER() OVER (PARTITION BY source
                                   ORDER BY priority DESC, doc_id)
                    AS sample_rank
-        FROM pri
+        FROM wps_p
     )
     SELECT r.source, r.doc_id, r.n_chars, r.priority,
            CAST(r.sample_rank AS BIGINT) AS sample_rank
@@ -1917,23 +1934,8 @@ def corpus_weighted_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(_WPS_U_DEN)
     pri = surv.where(F.col("n_chars") > 0).select(
-        "source",
-        "doc_id",
-        "n_chars",
-        F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
-            "priority"
-        ),
+        "source", "doc_id", "n_chars", _wps_priority().alias("priority")
     )
     # Budget-bounded cut first (map-side partial top-k), then rank the
     # <= BUDGET-per-source survivor frame — a window over a bounded
@@ -2141,9 +2143,10 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = c.groupBy("user_id").agg(
         F.first("n").alias("n"),
         F.max(F.abs("cusum")).alias("raw_max"),
+        # Raw BIGINT tie-break (a DOUBLE cast collapses ids above
+        # 2^53 and could diverge from the oracle's exact ordering).
         F.expr(
-            "min_by(event_id, struct(-abs(cusum) AS a, "
-            "CAST(event_id AS DOUBLE) AS b))"
+            "min_by(event_id, struct(-abs(cusum) AS a, event_id AS b))"
         ).alias("cp_event_id"),
     )
     return cp.select(
@@ -2344,9 +2347,10 @@ def dedup_cluster_best_representative(
     scored = comp.join(d, "doc_id")
     return scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
+        # Raw BIGINT keys: integer negation is exact, and a DOUBLE
+        # cast would collapse ids above 2^53.
         F.expr(
-            "min_by(doc_id, struct(-CAST(n_chars AS DOUBLE) AS a, "
-            "CAST(doc_id AS DOUBLE) AS b))"
+            "min_by(doc_id, struct(-n_chars AS a, doc_id AS b))"
         ).alias("rep_doc_id"),
         F.max("n_chars").alias("rep_n_chars"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
@@ -2362,34 +2366,13 @@ _DTS_THRESHOLDS = (400, 500, 600, 700, 800, 900)  # permille
 
 def _dts_oracle() -> str:
     from change_data_capture_poc_spark.queries.datapipe import (
-        _BANDS,
-        _MH_HX_SQL,
-        _MH_MINS_SQL,
-        _NGRAM_SQL,
+        _MINHASH_PAIRS_SQL,
     )
 
     th = ", ".join(str(t) for t in _DTS_THRESHOLDS)
     return f"""
-    WITH g AS ({_NGRAM_SQL}),
-    hx AS ({_MH_HX_SQL}),
-    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM hx),
-    bands AS (
-        SELECT doc_id, b.b AS band_id,
-               CASE b.b
-                   WHEN 0 THEN concat_ws('|', m0, m1, m2)
-                   WHEN 1 THEN concat_ws('|', m3, m4, m5)
-                   WHEN 2 THEN concat_ws('|', m6, m7, m8)
-                   ELSE concat_ws('|', m9, m10, m11)
-               END AS band_key
-        FROM sig, (SELECT unnest(range({_BANDS})) AS b) b
-    ),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM bands x
-        JOIN bands y ON x.band_id = y.band_id
-                    AND x.band_key = y.band_key
-                    AND x.doc_id < y.doc_id
-    ),
+    WITH {_MINHASH_PAIRS_SQL},
+    cand AS (SELECT pa AS a, pb AS b FROM pairs),
     tk AS (SELECT doc_id, unnest(grams) AS gram FROM g),
     sizes AS (SELECT doc_id, len(grams) AS n FROM g),
     inter AS (
@@ -2447,24 +2430,17 @@ def dedup_threshold_sensitivity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from change_data_capture_poc_spark.queries.datapipe import (
-        _spark_bands,
         _spark_grams,
+        dedup_minhash_lsh,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    g = _spark_grams(d).persist()  # grams feed bands, token join, sizes
-    bands = _spark_bands(g)
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+    g = _spark_grams(d).persist()  # grams feed the token join + sizes
+    # Candidates come from the REGISTERED pair query (same reuse rule
+    # as the triangle census): the curve grades exactly the pairs the
+    # production dedup path would verify.
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
     )
     tk = g.select("doc_id", F.explode("grams").alias("gram"))
     inter = (

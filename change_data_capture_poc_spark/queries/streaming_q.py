@@ -1092,46 +1092,28 @@ def streaming_bloom_bitset_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from change_data_capture_poc_spark.queries.pipeline7_q import (
-        _BLM_H,
         _BLM_K,
-        _BLM_M,
-        _blm_bit_sql,
+        _blm_bit_exprs,
+        _blm_gram_explode,
+        _blm_readout,
+        _blm_split_grams,
+        _blm_split_hash,
     )
+    from change_data_capture_poc_spark.sources.tables import load_table
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = spark.readStream.schema(schema).parquet(
         _documents_stream_dir(sf_dir)
     )
-    split_hash = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
     tr_grams = (
-        stream.withColumn("h", split_hash)
+        stream.withColumn("h", _blm_split_hash())
         .where(F.col("h") < 80)
         .select(F.split("text", " ").alias("w"))
         .where(F.size("w") >= _BLM_K)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {_BLM_K}),"
-                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
-                    f"  ' ')))"
-                )
-            ).alias("gh")
-        )
+        .select(_blm_gram_explode().alias("gh"))
     )
-    bit_exprs = [
-        F.expr(_blm_bit_sql(h, "gh", "spark")) for h in range(_BLM_H)
-    ]
     bit_stream = (
-        tr_grams.select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        tr_grams.select(F.explode(F.array(*_blm_bit_exprs())).alias("bit"))
         .groupBy("bit")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -1140,115 +1122,25 @@ def streaming_bloom_bitset_drain(
     ).select("bit")
 
     # Batch readout over the drained bit set (the stream's only
-    # state): probe the test split and grade vs exact membership,
-    # same arithmetic as dedup_bloom_portable.
-    from change_data_capture_poc_spark.sources.tables import load_table
-
-    d = load_table(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id", F.split("text", " ").alias("w"), split_hash.alias("h")
-    ).where(F.size("w") >= _BLM_K)
-    g = (
-        s.select(
-            (F.col("h") < 80).alias("is_train"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {_BLM_K}),"
-                    f"  p -> md5(array_join(slice(w, p + 1, {_BLM_K}),"
-                    f"  ' ')))"
-                )
-            ).alias("gh"),
-        )
-        .distinct()
-    )
+    # state): SHARED _blm_readout, so the flag semantics cannot drift
+    # from dedup_bloom_portable's.
+    g = _blm_split_grams(load_table(spark, sf_dir, "documents"))
     tr = g.where("is_train").select("gh").distinct()
     te = g.where(~F.col("is_train")).select("gh").distinct()
-    # Distinct-bit semantics, same as dedup_bloom_portable: a gram
-    # whose hash functions collide probes fewer distinct bits.
-    te_b = te.select(
-        "gh", F.array_distinct(F.array(*bit_exprs)).alias("gbits")
-    ).withColumn("n_bits", F.size("gbits"))
-    probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
-    hits = (
-        probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("gh", "n_bits")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-    )
-    flagged = te_b.join(hits.select("gh", "n_set"), "gh", "left").select(
-        "gh",
-        (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_bits")).alias(
-            "flagged"
-        ),
-    )
-    truth = flagged.join(
-        tr.select(F.col("gh"), F.lit(True).alias("is_dup")), "gh", "left"
-    ).select(
-        "gh",
-        "flagged",
-        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
-    )
-    bcount = bits.agg(
-        F.count(F.lit(1)).cast("long").alias("bits_set")
-    ).select(
-        "bits_set",
-        F.round(
-            F.col("bits_set") * 1.0 / _BLM_M + F.lit(1e-9), 6
-        ).alias("fill_ratio"),
-    )
-    stats = truth.agg(
-        F.count(F.lit(1)).cast("long").alias("n_test_spans"),
-        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_flagged"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_true_dup"),
-        F.sum(F.when(F.col("flagged") & ~F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_false_pos"),
-    ).withColumn(
-        "fp_rate",
-        F.round(
-            F.col("n_false_pos")
-            * 1.0
-            / F.greatest(
-                F.col("n_test_spans") - F.col("n_true_dup"), F.lit(1)
-            )
-            + F.lit(1e-9),
-            6,
-        ),
-    )
-    return F.broadcast(bcount).crossJoin(stats).select(
-        "bits_set",
-        "fill_ratio",
-        "n_test_spans",
-        "n_flagged",
-        "n_true_dup",
-        "n_false_pos",
-        "fp_rate",
-    )
+    return _blm_readout(te, tr, bits)
 
 
 def _wps_oracle() -> str:
     from change_data_capture_poc_spark.queries.pipeline7_q import (
         _WPS_K,
-        _WPS_U_DEN,
+        _wps_pri_sql,
     )
 
     return f"""
-    WITH h AS (
-        SELECT source, doc_id, n_chars,
-               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                   ::BIGINT + 1) / {_WPS_U_DEN} AS u
-        FROM documents WHERE n_chars > 0
-    ),
-    p AS (
-        SELECT source, doc_id, n_chars,
-               ROUND(ln(u) / n_chars + 1e-9, 6) AS priority
-        FROM h
-    )
+    WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+    {_wps_pri_sql('d')}
     SELECT source, doc_id, n_chars, priority
-    FROM p
+    FROM wps_p
     QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                ORDER BY priority DESC, doc_id)
             <= {_WPS_K}
@@ -1277,7 +1169,7 @@ def streaming_weighted_reservoir_drain(
 ) -> DataFrame:
     from change_data_capture_poc_spark.queries.pipeline7_q import (
         _WPS_K,
-        _WPS_U_DEN,
+        _wps_priority,
     )
     from change_data_capture_poc_spark.streaming.stateful import (
         weighted_reservoir,
@@ -1287,26 +1179,8 @@ def streaming_weighted_reservoir_drain(
     stream = spark.readStream.schema(schema).parquet(
         _documents_stream_dir(sf_dir)
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(_WPS_U_DEN)
-    scored = (
-        stream.where(F.col("n_chars") > 0)
-        .select(
-            "source",
-            "doc_id",
-            "n_chars",
-            F.round(F.log(u) / F.col("n_chars") + F.lit(1e-9), 6).alias(
-                "priority"
-            ),
-        )
+    scored = stream.where(F.col("n_chars") > 0).select(
+        "source", "doc_id", "n_chars", _wps_priority().alias("priority")
     )
     from pyspark.sql import Window
 
