@@ -64,21 +64,43 @@ def window_count(df: DataFrame, plan: str | None = None) -> int:
     )
 
 
-def unpartitioned_window_count(df: DataFrame) -> int:
-    """Window execs running over a single-partition exchange — the
-    move-all-data shape WindowExec warns about (suppressed session-wide
-    because every current instance is a deliberate bounded-frame
-    global_window; this counter is the replacement detection signal:
-    tools/audit_plans.py surfaces it per query per round).
+# Unary nodes that sit between a Window and the Exchange satisfying its
+# required child distribution. Anything else (join, aggregate, scan, …)
+# terminates the distribution path: an Exchange below it belongs to that
+# operator, not to the Window.
+_WINDOW_INPUT_CHAIN = (
+    "Sort",
+    "WindowGroupLimit",
+    "ShuffleQueryStage",
+    "ReusedExchange",
+    "ReusedQueryStage",
+    "AQEShuffleRead",
+    "CustomShuffleReader",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+)
 
-    Scans each Window node's FULL subtree (indentation-scoped: a
-    descendant line's tree prefix is strictly longer) rather than a
-    fixed few-line lookahead, so deeper operator chains — AQE
-    ShuffleQueryStage/ReusedExchange wrappers, extra Sort or
-    WindowGroupLimit nodes — can't push the Exchange out of range and
-    silently under-count. The scan stops at the first line at or above
-    the Window's depth (its next sibling), so a sibling subtree's
-    SinglePartition exchange is never mis-attributed.
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window execs whose OWN input distribution is a single-partition
+    exchange — the move-all-data shape WindowExec warns about
+    (suppressed session-wide because every current instance is a
+    deliberate bounded-frame global_window; this counter is the
+    replacement detection signal: tools/audit_plans.py surfaces it per
+    query per round).
+
+    Attribution walks only the Window's straight-line input chain —
+    Window → [WindowGroupLimit] → Sort → Exchange, allowing AQE
+    wrappers (ShuffleQueryStage / AQEShuffleRead / ReusedExchange) in
+    between — and stops at the first Exchange or at any non-chain
+    operator. A full-subtree scan over-attributes: a 1-row aggregate
+    sitting on a join's build side *under* a doc_id-keyed window would
+    count as that window's SinglePartition exchange even though the
+    window itself shuffles on its corpus-cardinality key (the round-7
+    PLANS.md misreports for text_tfidf_top_terms / vocab_coverage /
+    zipf_fit). Chain nodes are unary, so "first deeper line" is exactly
+    "the node's input".
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
@@ -87,17 +109,32 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         # Length of the tree-drawing prefix ("+- ", ":- ", ":  ", "   ").
         return re.match(r"^[ :+|-]*", line).end()
 
+    def node_text(line: str) -> str:
+        # Strip the tree prefix and any "*(N) " whole-stage-codegen tag.
+        return re.sub(r"^\*\(\d+\)\s*", "", line[depth(line):])
+
     count = 0
     for i, line in enumerate(lines):
         d = depth(line)
-        if not line[d:].startswith(("Window", "WindowGroupLimit")):
+        if not node_text(line).startswith(("Window", "WindowGroupLimit")):
+            continue
+        if node_text(line).startswith("WindowGroupLimit"):
+            # Counted when we reach the Window it feeds (or, for a
+            # map-side partial WindowGroupLimit, when we reach the
+            # final one) — skip so a Window+its limit never double-count.
             continue
         for sub in lines[i + 1:]:
             if depth(sub) <= d:
                 break  # next sibling / uncle: subtree ended
-            if "Exchange SinglePartition" in sub:
+            node = node_text(sub)
+            if node.startswith("Exchange SinglePartition"):
                 count += 1
                 break
+            if node.startswith("Exchange"):
+                break  # hash-partitioned input: the scale-safe shape
+            if node.startswith(_WINDOW_INPUT_CHAIN):
+                continue  # unary pass-through on the distribution path
+            break  # any other operator owns whatever lies below it
     return count
 
 

@@ -2110,15 +2110,18 @@ def text_boilerplate_top_spans(
     doc="Zipf-law fit over the vocabulary: OLS slope of ln(frequency) "
         "on ln(rank) plus R² — the tokenizer-health diagnostic (a "
         "healthy natural-language corpus fits slope ≈ -1; boilerplate "
-        "floods or synthetic junk bend the curve). The global rank "
-        "window runs over the VOCABULARY table, which is Zipf-small "
-        "relative to any corpus (the corpus-sized work is the one "
-        "token-count shuffle) — the single-partition window is "
-        "bounded by vocabulary growth ~O(corpus^0.5), not data size. "
-        "Slope/R² are single-pass regr_* accumulators.",
+        "floods or synthetic junk bend the curve). The global rank is "
+        "the DISTRIBUTED operators/rank.with_global_row_number (range "
+        "partition + P parallel sorters + triangular offset join), not "
+        "a single-partition window: the vocabulary grows ~O(corpus^"
+        "0.55) by Heaps' law, so at 100 TB it is billions of rows — a "
+        "frame one task must never sort alone. Slope/R² are "
+        "single-pass regr_* accumulators.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from change_data_capture_poc_spark.operators.rank import (
+        with_global_row_number,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -2126,10 +2129,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = global_window(F.col("n").desc(), "tok")
-    ranked = vocab.select(
+    ranked = with_global_row_number(
+        vocab, [("n", False), ("tok", True)], out_col="rnk"
+    ).select(
         F.log("n").alias("ln_n"),
-        F.log(F.row_number().over(w).cast("double")).alias("ln_rnk"),
+        F.log(F.col("rnk").cast("double")).alias("ln_rnk"),
     )
     return ranked.agg(
         F.round(
@@ -2163,27 +2167,46 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "occurrences covered by the top-k vocabulary for k in "
         "{100, 500, 1000, 5000} — the readout that picks a tokenizer "
         "budget (where the coverage curve flattens, stop paying for "
-        "vocab). One corpus-sized token-count shuffle; the ranking "
-        "window runs over the Zipf-small vocabulary and the four "
-        "coverage points are conditional sums in ONE aggregate pass, "
-        "not four scans.",
+        "vocab). One corpus-sized token-count shuffle; only ranks <= "
+        "max(k)=5000 can contribute, so the rank comes from a "
+        "TakeOrderedAndProject top-5000 cut (map-side partial top-k, "
+        "never a vocabulary-sized single-partition window) followed by "
+        "sort_array+posexplode over the bounded 5000-row survivor set; "
+        "the four coverage points are conditional sums in ONE "
+        "aggregate pass, not four scans.",
 )
 def text_vocab_coverage_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = global_window(F.col("n").desc(), "tok")
-    ranked = vocab.select(
-        "n", F.row_number().over(w).alias("rnk")
-    ).persist()
-    tot = ranked.agg(F.sum("n").alias("t"))
+    max_k = 5000
+    # Global top-k plans as TakeOrderedAndProject (per-partition
+    # bounded heap + k-row merge); rank within the <=5000 survivors is
+    # position-in-sorted-array — no Window node anywhere.
+    top = vocab.orderBy(F.col("n").desc(), "tok").limit(max_k)
+    ranked = (
+        top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n")).alias("_o0"),
+                        F.col("tok").alias("_o1"),
+                        F.col("n").alias("n"),
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            (F.col("_pos") + 1).alias("rnk"), F.col("_s.n").alias("n")
+        )
+    )
+    tot = vocab.agg(F.sum("n").alias("t"))
     ks = spark.createDataFrame(
         [(100,), (500,), (1000,), (5000,)], "vocab_k int"
     )

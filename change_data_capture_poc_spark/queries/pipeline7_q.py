@@ -401,11 +401,26 @@ def _pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codebook(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """The _PQ_C codeword source vectors — bounded collect."""
-    return sorted(
+    """The _PQ_C codeword source vectors — bounded collect.
+
+    cids must be EXACTLY 0.._PQ_C-1: the oracle ties break on the raw
+    cid and _pq_adc_parts indexes its flat literal LUT by
+    ``(q_idx*M + m)*C + code``, which is only a position when the ids
+    are contiguous from 0. A dataset missing any of the first _PQ_C
+    vec_ids would otherwise surface as an opaque KeyError at
+    plan-build — fail with the actual gap instead."""
+    cb = sorted(
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in e.where(F.col("vec_id") < _PQ_C).collect()
     )
+    got = [cid for cid, _ in cb]
+    if got != list(range(_PQ_C)):
+        raise ValueError(
+            f"PQ codebook needs contiguous vec_ids 0..{_PQ_C - 1} "
+            f"(they are both the codeword ids and the LUT positions); "
+            f"embeddings table has {got}"
+        )
+    return cb
 
 
 def _pq_sub_lits(vec: list[float], m: int) -> str:
@@ -627,7 +642,9 @@ def _bmm_oracle() -> str:
     ),
     m AS (
         SELECT sc.q_id, sc.neighbor_id, sc.cosine,
-               ROUND(sc.cosine / ((f.fwd_mean + b.bwd_mean) / 2)
+               ROUND(sc.cosine /
+                     (CASE WHEN (f.fwd_mean + b.bwd_mean) / 2 = 0 THEN 1
+                           ELSE (f.fwd_mean + b.bwd_mean) / 2 END)
                      + 1e-9, 6) AS margin
         FROM sc JOIN fwd f USING (q_id) JOIN bwd b USING (neighbor_id)
     )
@@ -711,11 +728,15 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.round(F.avg("cosine") + F.lit(1e-9), 6).alias("fwd_mean"))
     )
+    # Same zero-substitution guard as safe_l2_norm: a zero neighborhood
+    # denominator must divide identically on both engines (Spark yields
+    # NULL / throws under ANSI where DuckDB follows IEEE).
+    denom = (F.col("fwd_mean") + F.col("bwd_mean")) / 2
     m = scored.join(F.broadcast(fwd), "q_id").withColumn(
         "margin",
         F.round(
             F.col("cosine")
-            / ((F.col("fwd_mean") + F.col("bwd_mean")) / 2)
+            / F.when(denom == 0, F.lit(1.0)).otherwise(denom)
             + F.lit(1e-9),
             6,
         ),
@@ -1032,6 +1053,7 @@ def bpe_train_iterative_merges(
         ).alias("toks"),
     )
     out = None
+    handles: list[DataFrame] = []  # per-round persisted vocab frames
     for _r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             v.where(F.size("toks") >= 2)
@@ -1050,6 +1072,12 @@ def bpe_train_iterative_merges(
         )
         best_df = pairs.orderBy(F.col("cnt").desc(), "l", "r2").limit(1)
         best_rows = best_df.collect()  # bounded 1-row collect per round
+        # That collect populated the CURRENT round's vocab cache
+        # (handles[-1]); every older round's cache fed only that
+        # lineage and is now dead weight — release it so per-round
+        # persists don't accrete across the training loop.
+        while len(handles) > 1:
+            handles.pop(0).unpersist()
         if not best_rows:
             # Vocabulary fully fused into single symbols — no pairs
             # left. Emit fewer merge rows, matching the oracle's
@@ -1057,12 +1085,14 @@ def bpe_train_iterative_merges(
             break
         best = best_rows[0]
         l_lit, r_lit = best["l"], best["r2"]
-        row = best_df.select(
-            F.lit(_r).alias("merge_round"),
-            F.col("l").alias("left_sym"),
-            F.col("r2").alias("right_sym"),
-            F.concat(F.col("l"), F.col("r2")).alias("merged_sym"),
-            F.col("cnt").alias("pair_count"),
+        # The round's output row comes from the ALREADY-collected
+        # literals — deriving it from the lazy best_df would re-run
+        # the round's pair-count aggregation and orderBy/limit a
+        # second time when the final result materializes.
+        row = spark.createDataFrame(
+            [(_r, l_lit, r_lit, l_lit + r_lit, int(best["cnt"]))],
+            "merge_round int, left_sym string, right_sym string, "
+            "merged_sym string, pair_count long",
         )
         out = row if out is None else out.unionByName(row)
 
@@ -1121,6 +1151,12 @@ def bpe_train_iterative_merges(
             ).alias("toks"),
         ).persist()  # vocab-sized; cuts round r's actions from
         # replaying rounds 1..r-1's whole merge lineage
+        handles.append(v)
+    # The result rows are pure literals (collected above), so no
+    # surviving cache is referenced by the returned frame — drop them
+    # all instead of leaking into a long-lived session.
+    for h in handles:
+        h.unpersist()
     if out is None:
         return spark.createDataFrame(
             [],
@@ -1969,12 +2005,15 @@ _EVO_SCHEMA = (
     oracle="""
     WITH env AS (
         SELECT user_id,
-               '{"op":"u","lsn":' || event_id || ',"after":{"id":'
-               || user_id || ',"v":' || (event_id % 1000)
-               || CASE WHEN event_id % 2 = 1
-                       THEN ',"tier":"' || event_type || '"'
-                       ELSE '' END
-               || '}}' AS raw
+               CAST(json_object(
+                   'op', 'u', 'lsn', event_id,
+                   'after', CASE WHEN event_id % 2 = 1
+                       THEN json_object('id', user_id,
+                                        'v', event_id % 1000,
+                                        'tier', event_type)
+                       ELSE json_object('id', user_id,
+                                        'v', event_id % 1000) END
+               ) AS VARCHAR) AS raw
         FROM events WHERE user_id IS NOT NULL
     ),
     p AS (
@@ -2016,21 +2055,25 @@ def cdc_schema_evolution_union(
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
+    # to_json, not string concat: the serializer escapes quotes /
+    # backslashes in event_type, so a metacharacter-bearing value
+    # round-trips identically on both engines instead of silently
+    # nulling under from_json. ignoreNullFields (Spark's default)
+    # drops the null `tier`, producing the pre-migration generation's
+    # key-absent envelope.
     raw = ev.select(
-        F.concat(
-            F.lit('{"op":"u","lsn":'),
-            F.col("event_id"),
-            F.lit(',"after":{"id":'),
-            F.col("user_id"),
-            F.lit(',"v":'),
-            F.col("event_id") % 1000,
-            F.when(
-                F.col("event_id") % 2 == 1,
-                F.concat(
-                    F.lit(',"tier":"'), F.col("event_type"), F.lit('"')
-                ),
-            ).otherwise(F.lit("")),
-            F.lit("}}"),
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                F.col("event_id").alias("lsn"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    (F.col("event_id") % 1000).alias("v"),
+                    F.when(
+                        F.col("event_id") % 2 == 1, F.col("event_type")
+                    ).alias("tier"),
+                ).alias("after"),
+            )
         ).alias("raw")
     )
     p = raw.select(F.from_json("raw", _EVO_SCHEMA).alias("e")).select(

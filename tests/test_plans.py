@@ -158,3 +158,41 @@ def test_bloom_prefilter_broadcasts_modset(spark, sf_dir, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftSemi") == 2  # prefilter + exact verification
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_unpartitioned_window_attribution(spark, sf_dir, queries):
+    """The single-partition-window detector attributes an Exchange
+    SinglePartition to a Window ONLY when it feeds the window's own
+    Sort child. A 1-row global aggregate sitting on a join's build
+    side below a doc_id-keyed window is NOT that window's input
+    distribution (the round-7 PLANS.md misreport)."""
+    from pyspark.sql import Window, functions as F
+
+    from change_data_capture_poc_spark.plans import unpartitioned_window_count
+
+    df = spark.range(1000).withColumn("k", (F.col("id") % 10).cast("int"))
+
+    # Truly global window: required distribution AllTuples -> counts 1.
+    w_global = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert unpartitioned_window_count(w_global) == 1
+
+    # Key-partitioned window: hash exchange on k -> counts 0.
+    w_keyed = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert unpartitioned_window_count(w_keyed) == 0
+
+    # Key-partitioned window over a join whose BUILD side holds a
+    # single-row global aggregate (Exchange SinglePartition in the
+    # window's subtree, but not on its distribution path) -> counts 0.
+    n = df.agg(F.count("*").alias("n"))
+    joined = df.crossJoin(F.broadcast(n))
+    w_mixed = joined.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert unpartitioned_window_count(w_mixed) == 0
+
+    # The three round-7 misreported queries: corpus-keyed windows,
+    # zero single-partition window inputs.
+    for name in ("text_tfidf_top_terms", "text_vocab_coverage_curve", "text_zipf_fit"):
+        assert unpartitioned_window_count(queries[name].fn(spark, sf_dir)) == 0, name

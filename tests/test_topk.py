@@ -178,3 +178,56 @@ def test_grouped_topk_plan_has_no_window(spark):
     )
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_global_row_number_window_parity(spark):
+    """with_global_row_number is row-identical to the single-partition
+    window form under a total ordering, including mixed asc/desc and a
+    row count that doesn't divide evenly across range partitions."""
+    from pyspark.sql import Window
+
+    from change_data_capture_poc_spark.operators.rank import (
+        with_global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, f"t{(i * 13) % 23:02d}") for i in range(257)],
+        "id long, n int, tok string",
+    )
+    got = {
+        (r.id, r.rnk)
+        for r in with_global_row_number(
+            df, [("n", False), ("tok", True), ("id", True)],
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.orderBy(F.col("n").desc(), "tok", "id")
+    want = {
+        (r.id, r.rnk)
+        for r in df.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_no_single_partition_stage(spark):
+    """The operator's contract: NO Exchange SinglePartition anywhere —
+    ranking parallelism is P range partitions, offsets come from the
+    triangular broadcast join."""
+    from change_data_capture_poc_spark.operators.rank import (
+        with_global_row_number,
+    )
+    from change_data_capture_poc_spark.plans import (
+        unpartitioned_window_count,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("n")
+    )
+    out = with_global_row_number(
+        df, [("n", False), ("id", True)], num_partitions=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert unpartitioned_window_count(out) == 0
