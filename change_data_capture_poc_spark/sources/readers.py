@@ -16,6 +16,7 @@ inference mirrors the reference's ``init_duckdb.sh:23-25`` path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from change_data_capture_poc_spark.cdc.envelope import (
@@ -46,6 +47,44 @@ def read_envelope_log_direct(
     the source skip whole files on corrupt-record policies and prune
     columns at parse time."""
     return spark.read.schema(envelope_schema(row_fields)).json(path)
+
+
+def read_envelope_log_between(
+    spark: SparkSession,
+    path: str,
+    row_fields: list[T.StructField],
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Date-bounded scan of the LANDED log layout — the
+    ``year=/month=/day=`` Hive partitioning the S3-sink analogue
+    writes (sources/writers.py ``write_partitioned_json``; reference
+    layout connectors/s3-sink.json:15-27).
+
+    ``start``/``end`` are inclusive ISO dates ('2024-03-01'). The
+    bound is expressed ONLY over the discovered partition columns, so
+    it lands in the scan's PartitionFilters: directories outside the
+    window are never listed or opened — the difference between
+    re-reading a day and re-reading a year when backfilling at 100 TB
+    (SURVEY.md §4's action item; ``read_envelope_log`` deliberately
+    mirrors the reference's full-glob read, transform_scd2.py:38).
+    Pinned plan-level by tests/test_plans.py::
+    test_envelope_log_between_prunes_partitions.
+    """
+    df = (
+        spark.read.schema(envelope_schema(row_fields))
+        .option("basePath", path)
+        .json(path)
+    )
+    day = F.make_date(
+        F.col("year").cast("int"),
+        F.col("month").cast("int"),
+        F.col("day").cast("int"),
+    )
+    bounded = df.where(
+        (day >= F.to_date(F.lit(start))) & (day <= F.to_date(F.lit(end)))
+    )
+    return bounded.drop("year", "month", "day")
 
 
 def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:

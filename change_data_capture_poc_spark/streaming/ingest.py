@@ -84,10 +84,14 @@ def stream_envelope_kafka(
     stage composes unchanged.
 
     Needs the spark-sql-kafka package on the classpath; the live load()
-    is not exercised in this container (no broker) — but the value
-    parse below it IS: ``parse_kafka_envelope`` is pinned by a
-    broker-less contract test against a hand-built Kafka-shaped frame
-    (tests/test_sources.py::test_kafka_value_parse_contract).
+    is not exercised in this container (no broker) — but everything
+    around it IS: ``parse_kafka_envelope`` is pinned by a broker-less
+    contract test against a hand-built Kafka-shaped frame
+    (tests/test_sources.py::test_kafka_value_parse_contract), this
+    function's format/subscribe/startingOffsets wiring and post-source
+    from_json chain by tests/test_streaming.py::
+    test_kafka_source_option_wiring, and the missing-package raise by
+    test_kafka_source_without_package_raises.
     """
     raw = (
         spark.readStream.format("kafka")

@@ -196,3 +196,57 @@ def test_unpartitioned_window_attribution(spark, sf_dir, queries):
     # zero single-partition window inputs.
     for name in ("text_tfidf_top_terms", "text_vocab_coverage_curve", "text_zipf_fit"):
         assert unpartitioned_window_count(queries[name].fn(spark, sf_dir)) == 0, name
+
+
+def test_envelope_log_between_prunes_partitions(spark, tmp_path):
+    """SURVEY §4 action item: the date-bounded log scan must prune at
+    the DIRECTORY level on the landed year=/month=/day= JSON layout —
+    PartitionFilters non-empty, and the out-of-window day's rows never
+    surface (value check) nor its directory get scanned (the partition
+    count in the plan's listing)."""
+    from change_data_capture_poc_spark.cdc.envelope import PRODUCT_FIELDS
+    from change_data_capture_poc_spark.cdc.generator import CdcGenerator
+    from change_data_capture_poc_spark.sources.readers import (
+        read_envelope_log_between,
+    )
+    from change_data_capture_poc_spark.plans import formatted_plan
+    from change_data_capture_poc_spark.sources.writers import (
+        write_partitioned_json,
+    )
+    import pyspark.sql.functions as F
+
+    # Three distinct days of envelopes: shift ts_ms by 0/1/2 days.
+    base = CdcGenerator(seed=11).products_df(spark, num_records=30)
+    day_ms = 86_400_000
+    spread = base.withColumn(
+        "payload",
+        F.col("payload").withField(
+            "ts_ms",
+            F.col("payload.ts_ms") % F.lit(day_ms)  # fold into day 0
+            + F.lit(1_700_000_000_000)              # 2023-11-14 base
+            + (F.col("payload.after.id") % 3) * F.lit(day_ms),
+        ),
+    )
+    log = str(tmp_path / "landed")
+    write_partitioned_json(spread, log)
+
+    df = read_envelope_log_between(
+        spark, log, PRODUCT_FIELDS, "2023-11-15", "2023-11-16"
+    )
+    plan = formatted_plan(df)
+    pf = [
+        line.split(":", 1)[1].strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("PartitionFilters")
+    ]
+    assert pf and pf[0] not in ("[]", ""), plan
+    assert "make_date" in pf[0]
+
+    # Value check: exactly the two in-window days' rows.
+    got_n = df.count()
+    in_window = spread.where((F.col("payload.after.id") % 3).isin(1, 2))
+    assert got_n == in_window.count()
+    assert got_n > 0
+    # Directory-level: the executed scan reads 2 of the 3 day dirs.
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "year=2023/month=11/day=14" not in executed
