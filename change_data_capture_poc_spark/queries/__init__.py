@@ -43,3 +43,4 @@ import change_data_capture_poc_spark.queries.pipeline4_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline5_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline6_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline7_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline8_q  # noqa: F401

@@ -1192,3 +1192,64 @@ def streaming_weighted_reservoir_drain(
         .where(F.col("version") == F.col("vmax"))
         .select("source", "doc_id", "n_chars", "priority")
     )
+
+
+def _qsk_stream_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline8_q import (
+        _QSK_ORACLE_CORE,
+    )
+
+    return (
+        f"WITH {_QSK_ORACLE_CORE} "
+        "SELECT event_type, q, n_rows, n_clipped, registers_hit, "
+        "hist_estimate FROM readout"
+    )
+
+
+@register(
+    "streaming_histogram_register_drain",
+    oracle=_qsk_stream_oracle(),
+    doc="STREAMING quantile sketch — agg_histogram_quantile_portable's "
+        "stream twin (the same lambda shape as the HLL/CMS/Bloom "
+        "drains): events arrive as a stream, each row maps to its "
+        "fixed-grid bucket IN THE MAP STAGE (the grid is fixed a "
+        "priori — the property that makes the sketch streamable at "
+        "all: no data-dependent bounds pass), and the running per-"
+        "(event_type, bucket) count+clip tally is the ONLY streaming "
+        "state — bounded at types x 512 registers forever; counts "
+        "merge by SUM, the associativity the pipeline8 pytest pins. "
+        "The interpolated-rank quantile readout finishes batch-side "
+        "over the drained registers, sharing the batch oracle's "
+        "arithmetic verbatim, so complete-mode drain estimates equal "
+        "the batch sketch exactly.",
+)
+def streaming_histogram_register_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline8_q import (
+        _qsk_quantile_readout,
+        _qsk_register_exprs,
+    )
+
+    ev = _stream_events(spark, sf_dir).where(F.col("value").isNotNull())
+    bucket, clipped = _qsk_register_exprs()
+    marked = ev.select("event_type", "value", bucket, clipped)
+    reg_stream = marked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("clipped").cast("long").alias("clip_cnt"),
+    )
+    regs = _drain(
+        reg_stream, "streaming_histogram_register_tbl", "complete"
+    )
+    # The readout joins two descendants of the drained table (registers
+    # + clip totals); Spark's memory-sink relation fails self-join
+    # attribute dedup with INTERNAL_ERROR "conflicting references", so
+    # snapshot the <= types x 512-row register table first — bounded by
+    # the sketch's own state bound, never data-sized.
+    regs = regs.localCheckpoint(eager=True)
+    clip = regs.groupBy("event_type").agg(
+        F.sum("clip_cnt").cast("long").alias("n_clipped")
+    )
+    return _qsk_quantile_readout(
+        regs.select("event_type", "bucket", "cnt"), clip
+    )

@@ -1,0 +1,108 @@
+"""Round-8 operator tests: the portable histogram-quantile sketch's
+distributed-sketch properties (register merge associativity, accuracy
+bound, batch/stream estimate equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.queries.pipeline8_q import (
+    _QSK_B,
+    _QSK_W,
+    _qsk_register_exprs,
+)
+from change_data_capture_poc_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registers(df):
+    bucket, _ = _qsk_register_exprs()
+    return (
+        df.select("event_type", "value", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def test_histogram_registers_merge_associatively(spark):
+    """The property that makes the sketch DISTRIBUTED: build register
+    tables on two disjoint halves, merge by per-bucket SUM, and the
+    result is the whole-data register table — so partial sketches from
+    any partitioning (executors, days, streams) combine losslessly."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+
+    merged = {
+        (r.event_type, r.bucket): r.cnt
+        for r in _registers(left)
+        .unionByName(_registers(right))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .collect()
+    }
+    whole = {
+        (r.event_type, r.bucket): r.cnt
+        for r in _registers(ev).collect()
+    }
+    assert merged == whole and whole
+
+
+def test_histogram_quantile_accuracy_bound(spark):
+    """The sketch's REAL contract: the estimate lands inside the grid
+    bucket holding the rank-ceil(q*n) order statistic, so it is within
+    one grid width W of that order statistic. (Against quantile_cont
+    the error additionally includes the gap between adjacent order
+    stats — unbounded in a sparse tail — which is a property of the
+    data, not the sketch; the query reports that abs_error for the
+    operator to judge.) Also: nothing clipped on this dataset's
+    [0, 1024) domain, register count within the grid bound."""
+    import math
+    from collections import defaultdict
+
+    q = all_queries()["agg_histogram_quantile_portable"]
+    rows = q.fn(spark, SF).collect()
+    assert len(rows) > 0
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+    for v in vals.values():
+        v.sort()
+
+    for r in rows:
+        assert r.n_clipped == 0
+        assert 1 <= r.registers_hit <= _QSK_B
+        order_stat = vals[r.event_type][
+            math.ceil(r.q * len(vals[r.event_type])) - 1
+        ]
+        assert abs(r.hist_estimate - order_stat) <= _QSK_W, (
+            r.event_type, r.q, r.hist_estimate, order_stat,
+        )
+
+
+def test_histogram_stream_twin_matches_batch(spark):
+    """Complete-mode register drain + batch readout == the batch
+    sketch's estimates, column for column."""
+    qs = all_queries()
+    batch = {
+        (r.event_type, r.q): (
+            r.n_rows, r.n_clipped, r.registers_hit, r.hist_estimate
+        )
+        for r in qs["agg_histogram_quantile_portable"].fn(spark, SF).collect()
+    }
+    stream = {
+        (r.event_type, r.q): (
+            r.n_rows, r.n_clipped, r.registers_hit, r.hist_estimate
+        )
+        for r in qs["streaming_histogram_register_drain"].fn(spark, SF).collect()
+    }
+    assert stream == batch and batch
