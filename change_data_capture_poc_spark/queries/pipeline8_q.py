@@ -259,3 +259,278 @@ def agg_histogram_quantile_portable(
             6,
         ).alias("abs_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_ann_recall_sampled_truth — the recall gate with a bounded truth scan
+# ---------------------------------------------------------------------------
+
+_AST_K = 5    # recall@k (matches eval_ann_recall's _ANN_K)
+_AST_NQ = 8   # query set (vec_id < 8, the repo's bounded query ids)
+_AST_MOD = 2  # keep vec_ids whose md5 prefix is even -> ~50% sample
+_AST_Z = 1.96  # 95% normal-approx CI
+
+
+def _ast_hash_pred_duck(col: str) -> str:
+    return (
+        f"('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_AST_MOD} = 0"
+    )
+
+
+@register(
+    "eval_ann_recall_sampled_truth",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_AST_NQ}),
+    s AS (SELECT * FROM e
+          WHERE {_ast_hash_pred_duck('vec_id')}),
+    gt AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(s.v, q.qv) /
+                           (sqrt(list_dot_product(s.v, s.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, s.vec_id) AS rk
+            FROM s, q WHERE s.vec_id != q.q_id
+        ) WHERE rk <= {_AST_K}
+    ),
+    ivf AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(s.v, q.qv) /
+                           (sqrt(list_dot_product(s.v, s.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) + 1e-9, 6)
+                           DESC, s.vec_id) AS rk
+            FROM s JOIN q ON s.label = q.q_label AND s.vec_id != q.q_id
+        ) WHERE rk <= {_AST_K}
+    ),
+    agg AS (
+        SELECT gt.q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS hits
+        FROM gt LEFT JOIN ivf USING (q_id, neighbor_id)
+        GROUP BY gt.q_id
+    )
+    SELECT q_id, n_truth, hits,
+           ROUND(hits * 1.0 / n_truth + 1e-9, 6) AS recall_sampled,
+           ROUND({_AST_Z} * sqrt((hits * 1.0 / n_truth)
+                     * (1 - hits * 1.0 / n_truth) / n_truth)
+                 + 1e-9, 6) AS ci95_halfwidth
+    FROM agg
+    """,
+    doc=f"ANN recall gate with a HASH-SAMPLED truth pool — the scale "
+        f"path for eval_ann_recall: the exact gate brute-forces the "
+        f"FULL corpus per query, which at 100 TB makes the evaluation "
+        f"itself the biggest job in the pipeline. Here the truth pool "
+        f"is a consistent md5 bottom-sample of the corpus (~1/"
+        f"{_AST_MOD} of vectors, the same deterministic-hash device "
+        f"as corpus_bottomk_consistent_sample — NOT rand(): the "
+        f"sample is reproducible across engines and runs), exact "
+        f"top-{_AST_K} runs only within the sample, and the IVF "
+        f"prediction is scored against it with a {_AST_Z}-sigma "
+        f"normal-approx CI half-width quantifying what sampling cost "
+        f"in confidence (sqrt is IEEE correctly-rounded, so the CI is "
+        f"cross-engine exact). tests/test_pipeline8.py pins that "
+        f"sampled and exact recall agree at test scale — the "
+        f"calibration that licenses the cheap gate. Scale shape: the "
+        f"sample predicate is map-side; the truth scan touches "
+        f"1/{_AST_MOD} of the corpus (tune the modulus to budget); "
+        f"cuts via grouped_topk, comparison join {_AST_NQ}x{_AST_K} "
+        f"rows.",
+)
+def eval_ann_recall_sampled_truth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    en = e.select(
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < _AST_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("nv").alias("qnv"),
+    )
+    sample_pred = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _AST_MOD
+        == 0
+    )
+    s = en.where(sample_pred)
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return grouped_topk(
+            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
+            _AST_K,
+        ).select("q_id", "neighbor_id")
+
+    cos6 = F.round(
+        dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+    )
+    gt = topk(
+        s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            cos6.alias("cos"),
+        )
+    )
+    ivf = topk(
+        s.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            cos6.alias("cos"),
+        )
+    )
+    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
+    p = F.col("hits") * 1.0 / F.col("n_truth")
+    return (
+        gt.join(
+            ivf.withColumn("hit_flag", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(hit).cast("long").alias("hits"),
+        )
+        .select(
+            "q_id",
+            "n_truth",
+            "hits",
+            F.round(p + F.lit(1e-9), 6).alias("recall_sampled"),
+            F.round(
+                F.lit(_AST_Z)
+                * F.sqrt(p * (1 - p) / F.col("n_truth"))
+                + F.lit(1e-9),
+                6,
+            ).alias("ci95_halfwidth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_recompute_evolved_schema — SCD2 over a two-generation envelope log
+# ---------------------------------------------------------------------------
+
+_EVO2_BASE_MS = 1_700_000_000_000  # deterministic event-time base
+
+
+@register(
+    "scd2_recompute_evolved_schema",
+    oracle=f"""
+    WITH env AS (
+        SELECT CAST(json_object(
+                   'op', 'u', 'lsn', event_id,
+                   'after', CASE WHEN event_id % 2 = 1
+                       THEN json_object('id', user_id,
+                                        'v', event_id % 1000,
+                                        'tier', event_type)
+                       ELSE json_object('id', user_id,
+                                        'v', event_id % 1000) END
+               ) AS VARCHAR) AS raw
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT CAST(json_extract(raw, '$.after.id') AS BIGINT) AS id,
+               CAST(json_extract(raw, '$.after.v') AS BIGINT) AS v,
+               json_extract_string(raw, '$.after.tier') AS tier,
+               json_extract_string(raw, '$.op') AS operation_type,
+               CAST(json_extract(raw, '$.lsn') AS BIGINT) AS lsn
+        FROM env
+    ),
+    ranked AS (
+        SELECT id, v, tier, operation_type,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn)
+                   AS version_number,
+               make_timestamp(({_EVO2_BASE_MS} + lsn) * 1000)
+                   AS row_valid_start_timestamp,
+               LEAD(make_timestamp(({_EVO2_BASE_MS} + lsn) * 1000))
+                   OVER (PARTITION BY id ORDER BY lsn)
+                   AS next_change_timestamp
+        FROM p
+    )
+    SELECT id, v, tier, operation_type, version_number,
+           row_valid_start_timestamp,
+           COALESCE(next_change_timestamp,
+                    TIMESTAMP '9999-01-01 00:00:00')
+               AS row_valid_expiration_timestamp
+    FROM ranked
+    """,
+    doc="SCD2 RECOMPUTE OVER AN EVOLVED SCHEMA — the backfill that "
+        "cdc_schema_evolution_union's readout exists to decide, run "
+        "end-to-end: the same two-generation envelope log (even LSNs "
+        "pre-migration with no `tier` key, odd post-migration — the "
+        "upstream-ALTER-TABLE case) parses through ONE evolved union "
+        "schema and feeds cdc/scd2.scd2_recompute with attr_fields "
+        "extended to the NEW column. Pre-migration versions carry "
+        "NULL tier (from_json's missing-key contract), post-migration "
+        "versions carry it, and the per-key version chain interleaves "
+        "both generations under the same lsn ordering + 9999-01-01 "
+        "open-row sentinel as the primary path "
+        "(transform_scd2.py:41-60 parity, generalized attr schema — "
+        "cdc/scd2.py:63's default list is a default, not a limit). "
+        "Scale shape: parse is map-side; the one shuffle is the "
+        "recompute's own partitionBy(id) window exchange.",
+)
+def scd2_recompute_evolved_schema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.cdc.scd2 import scd2_recompute
+
+    evo_schema = (
+        "struct<op string, lsn bigint, "
+        "after struct<id bigint, v bigint, tier string>>"
+    )
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                F.col("event_id").alias("lsn"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    (F.col("event_id") % 1000).alias("v"),
+                    F.when(
+                        F.col("event_id") % 2 == 1, F.col("event_type")
+                    ).alias("tier"),
+                ).alias("after"),
+            )
+        ).alias("raw")
+    )
+    cdc = raw.select(F.from_json("raw", evo_schema).alias("e")).select(
+        F.col("e.after.id").alias("id"),
+        F.col("e.after").alias("after_row_value"),
+        F.col("e.op").alias("operation_type"),
+        F.col("e.lsn").alias("log_seq_num"),
+        F.timestamp_millis(
+            F.lit(_EVO2_BASE_MS) + F.col("e.lsn")
+        ).alias("source_timestamp"),
+    )
+    return scd2_recompute(cdc, attr_fields=["v", "tier"])

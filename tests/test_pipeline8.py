@@ -106,3 +106,33 @@ def test_histogram_stream_twin_matches_batch(spark):
         for r in qs["streaming_histogram_register_drain"].fn(spark, SF).collect()
     }
     assert stream == batch and batch
+
+
+def test_sampled_truth_recall_agrees_with_exact(spark):
+    """The calibration that licenses the cheap gate: at sf0.01 the
+    hash-sampled-truth recall per query agrees with the exact
+    full-corpus recall (mean abs difference ~0 on this deterministic
+    data; bound at 0.05 to leave room for a regenerated fixture).
+    Also pins the CI arithmetic: halfwidth is 0 exactly when p is 0
+    or 1, and n_truth never exceeds the target k."""
+    qs = all_queries()
+    sf01 = "/root/testdata/sf0.01"
+    exact = {
+        r.q_id: r["recall_at_5"]
+        for r in qs["eval_ann_recall"].fn(spark, sf01).collect()
+    }
+    sampled_rows = qs["eval_ann_recall_sampled_truth"].fn(
+        spark, sf01
+    ).collect()
+    sampled = {r.q_id: r.recall_sampled for r in sampled_rows}
+    assert set(exact) == set(sampled) and exact
+    mean_abs = sum(
+        abs(exact[k] - sampled[k]) for k in exact
+    ) / len(exact)
+    assert mean_abs <= 0.05, (exact, sampled)
+    for r in sampled_rows:
+        assert 1 <= r.n_truth <= 5
+        if r.recall_sampled in (0.0, 1.0):
+            assert r.ci95_halfwidth <= 1e-6
+        else:
+            assert r.ci95_halfwidth > 0
