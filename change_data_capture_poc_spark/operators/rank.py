@@ -22,6 +22,16 @@ billions of rows of typos/URLs/ids). The distributed form:
 Row-identical to the window form whenever ``order_by`` is a total
 ordering over the input (add an id/tie-break column, as with
 operators/topk.grouped_topk).
+
+Sibling: queries/operators_q.global_ordinal_ids does the same job for
+a SINGLE NUMERIC key with a known min/max via deterministic integer
+banding (bucket is a pure function of the value — re-evaluations of
+the subtree can't disagree). This operator generalizes to arbitrary
+multi-column orderings at the cost of a sampling-based range
+partitioner; that is safe here because ranks are
+partition-boundary-invariant under a total ordering — whichever
+boundary the sampler picks, offset + local rank yields the same
+global rank for every row.
 """
 
 from __future__ import annotations

@@ -534,3 +534,330 @@ def scd2_recompute_evolved_schema(
         ).alias("source_timestamp"),
     )
     return scd2_recompute(cdc, attr_fields=["v", "tier"])
+
+
+# ---------------------------------------------------------------------------
+# agg_selfjoin_size_f2_sketch — join-size / skew moment estimation
+# ---------------------------------------------------------------------------
+
+_F2_B = 1024  # hash buckets for the sketched moment
+
+
+@register(
+    "agg_selfjoin_size_f2_sketch",
+    oracle=f"""
+    WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY user_id),
+    ex AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+               CAST(MAX(c) AS BIGINT) AS max_key_count
+        FROM c
+    ),
+    b AS (
+        SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % {_F2_B} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM e GROUP BY bucket
+    ),
+    sk AS (
+        SELECT CAST(SUM(cb * cb) AS BIGINT) AS f2_sketch,
+               CAST(COUNT(*) AS BIGINT) AS buckets_hit
+        FROM b
+    )
+    SELECT ex.n_rows, ex.n_keys, ex.max_key_count, ex.f2_exact,
+           sk.f2_sketch, sk.buckets_hit,
+           ROUND(sk.f2_sketch * 1.0 / ex.f2_exact + 1e-9, 6)
+               AS overestimate_ratio
+    FROM ex, sk
+    """,
+    doc=f"SELF-JOIN SIZE / SECOND FREQUENCY MOMENT estimation — the "
+        f"skew diagnostic that DECIDES salting and skew-join hints "
+        f"before the join runs: |R joinR on k| = sum over keys of "
+        f"c(k)^2 (the F2 moment), the quantity that explodes when one "
+        f"hot key dominates. The sketched path buckets keys by md5 "
+        f"hash into {_F2_B} cells and sums squared bucket counts — a "
+        f"deterministic upper bound (collisions only ADD cross terms; "
+        f"never underestimates, so a salting decision made on it is "
+        f"safe), computed with a {_F2_B}-bounded-key shuffle with "
+        f"map-side combine instead of the full key-cardinality "
+        f"shuffle. Emits sketch vs exact moment + the overestimate "
+        f"ratio (collision bias calibration) and max key count (the "
+        f"hot key itself). At 100 TB run ONLY the sketch; the exact "
+        f"side here is the eval gate. md5 bucketing — not hash() — so "
+        f"both engines bucket identically and the sketch value itself "
+        f"is oracle-exact.",
+)
+def agg_selfjoin_size_f2_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ex = c.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        F.max("c").cast("long").alias("max_key_count"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _F2_B
+    )
+    b = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    sk = b.agg(
+        F.sum(F.col("cb") * F.col("cb")).cast("long").alias("f2_sketch"),
+        F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+    )
+    return ex.crossJoin(F.broadcast(sk)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_count",
+        "f2_exact",
+        "f2_sketch",
+        "buckets_hit",
+        F.round(
+            F.col("f2_sketch") * 1.0 / F.col("f2_exact") + F.lit(1e-9), 6
+        ).alias("overestimate_ratio"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_set_ops — sketch set algebra (audience overlap without raw keys)
+# ---------------------------------------------------------------------------
+
+_HSO_A = "click"
+_HSO_B = "purchase"
+
+
+def _hso_est_sql(src: str) -> str:
+    """DuckDB HLL estimate over a register relation ``src(j, m)`` —
+    the same scaled-integer arithmetic as agg_hll_portable's oracle
+    (pipeline6_q.py), parameterized so A / B / union share it
+    verbatim."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    m, wb, alpha = _HLL_M, _HLL_WBITS, _HLL_ALPHA
+    return f"""(
+        SELECT CASE WHEN e_raw <= 2.5 * {m} AND zero_regs > 0
+                    THEN {m} * ln({m} * 1.0 / zero_regs)
+                    ELSE e_raw END
+        FROM (
+            SELECT CAST({m} - COUNT(*) AS BIGINT) AS zero_regs,
+                   {alpha} * {m} * {m}
+                       * CAST(1 << {wb + 1} AS DOUBLE)
+                       / (SUM(CAST(1 << ({wb + 1} - m) AS BIGINT))
+                          + ({m} - COUNT(*))
+                            * CAST(1 << {wb + 1} AS BIGINT)) AS e_raw
+            FROM {src}
+        )
+    )"""
+
+
+def _hso_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    m, wb = _HLL_M, _HLL_WBITS
+    return f"""
+    WITH h AS (
+        SELECT event_type, user_id,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS hv
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN ('{_HSO_A}', '{_HSO_B}')
+    ),
+    r AS (
+        SELECT event_type, hv % {m} AS j,
+               CASE WHEN instr(lpad(bin(hv // {m}), {wb}, '0'), '1') = 0
+                    THEN {wb + 1}
+                    ELSE instr(lpad(bin(hv // {m}), {wb}, '0'), '1')
+                    END AS rho
+        FROM h
+    ),
+    reg AS (SELECT event_type, j, MAX(rho) AS m FROM r
+            GROUP BY event_type, j),
+    rega AS (SELECT j, m FROM reg WHERE event_type = '{_HSO_A}'),
+    regb AS (SELECT j, m FROM reg WHERE event_type = '{_HSO_B}'),
+    regu AS (SELECT j, MAX(m) AS m FROM reg GROUP BY j),
+    est AS (
+        SELECT {_hso_est_sql('rega')} AS ea,
+               {_hso_est_sql('regb')} AS eb,
+               {_hso_est_sql('regu')} AS eu
+    ),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id)
+                    FILTER (WHERE event_type = '{_HSO_A}')
+                    AS BIGINT) AS a_exact,
+               CAST(COUNT(DISTINCT user_id)
+                    FILTER (WHERE event_type = '{_HSO_B}')
+                    AS BIGINT) AS b_exact,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS union_exact
+        FROM h
+    )
+    SELECT x.a_exact, x.b_exact, x.union_exact,
+           x.a_exact + x.b_exact - x.union_exact AS overlap_exact,
+           ROUND(e.ea + 1e-9, 6) AS hll_a,
+           ROUND(e.eb + 1e-9, 6) AS hll_b,
+           ROUND(e.eu + 1e-9, 6) AS hll_union,
+           ROUND(GREATEST(e.ea + e.eb - e.eu, 0) + 1e-9, 6)
+               AS hll_intersection,
+           ROUND(GREATEST(e.ea + e.eb - e.eu, 0) / e.eu + 1e-9, 6)
+               AS jaccard_est,
+           ROUND((x.a_exact + x.b_exact - x.union_exact) * 1.0
+                 / x.union_exact + 1e-9, 6) AS jaccard_exact
+    FROM exact x, est e
+    """
+
+
+def _hso_estimate(reg: DataFrame) -> DataFrame:
+    """Spark HLL estimate over a register frame (j, m) — one row, one
+    ``e`` column; agg_hll_portable's scaled-integer arithmetic."""
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    m, wb = _HLL_M, _HLL_WBITS
+    scale = 1 << (wb + 1)
+    s = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {wb + 1} - m) AS BIGINT)")
+        ).alias("isum"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA * m * m * float(scale))
+        / (F.col("isum") + (F.lit(m) - F.col("hit")) * F.lit(scale))
+    )
+    zero = (F.lit(m) - F.col("hit")).cast("long")
+    e = F.when(
+        (e_raw <= 2.5 * m) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(m) * 1.0 / zero),
+    ).otherwise(e_raw)
+    return s.select(e.alias("e"))
+
+
+@register(
+    "agg_hll_set_ops",
+    oracle=_hso_oracle(),
+    doc=f"HLL SET ALGEBRA — sketch-space union/intersection/Jaccard "
+        f"(the audience-overlap readout computed WITHOUT co-shuffling "
+        f"raw keys): per-set registers merge by MAX into the union "
+        f"sketch (HLL's defining algebraic property — the union "
+        f"estimate is EXACTLY the sketch of the union, not an "
+        f"approximation of one), and intersection falls out of "
+        f"inclusion-exclusion (clamped at 0 — IE can go negative at "
+        f"small overlap; the clamp is applied identically on both "
+        f"engines). Compares every estimate against exact distinct "
+        f"counts over '{_HSO_A}' vs '{_HSO_B}' users. Built on the "
+        f"same md5-prefix registers as agg_hll_portable, so all "
+        f"estimates are oracle-exact. Scale shape: one (event_type, "
+        f"register) shuffle bounded at 2x64 keys; union merge and all "
+        f"set arithmetic run on 64-row register frames — two 100 TB "
+        f"populations overlap-compared through 1 KB of state each, "
+        f"the entire point of sketch set algebra.",
+)
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    m, wb = _HLL_M, _HLL_WBITS
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin(_HSO_A, _HSO_B)
+    )
+    h = ev.select(
+        "event_type",
+        "user_id",
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("hv"),
+    )
+    pos = F.expr(f"instr(lpad(bin(hv div {m}), {wb}, '0'), '1')")
+    r = h.select(
+        "event_type",
+        (F.col("hv") % m).alias("j"),
+        F.when(pos == 0, F.lit(wb + 1)).otherwise(pos).alias("rho"),
+    )
+    reg = r.groupBy("event_type", "j").agg(F.max("rho").alias("m"))
+    rega = reg.where(F.col("event_type") == _HSO_A).select("j", "m")
+    regb = reg.where(F.col("event_type") == _HSO_B).select("j", "m")
+    regu = reg.groupBy("j").agg(F.max("m").alias("m"))
+
+    ea = _hso_estimate(rega).select(F.col("e").alias("ea"))
+    eb = _hso_estimate(regb).select(F.col("e").alias("eb"))
+    eu = _hso_estimate(regu).select(F.col("e").alias("eu"))
+
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _HSO_A, F.col("user_id"))
+        ).cast("long").alias("a_exact"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _HSO_B, F.col("user_id"))
+        ).cast("long").alias("b_exact"),
+        F.countDistinct("user_id").cast("long").alias("union_exact"),
+    )
+    inter = F.greatest(
+        F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)
+    )
+    return (
+        exact.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "a_exact",
+            "b_exact",
+            "union_exact",
+            (
+                F.col("a_exact") + F.col("b_exact") - F.col("union_exact")
+            ).alias("overlap_exact"),
+            F.round(F.col("ea") + F.lit(1e-9), 6).alias("hll_a"),
+            F.round(F.col("eb") + F.lit(1e-9), 6).alias("hll_b"),
+            F.round(F.col("eu") + F.lit(1e-9), 6).alias("hll_union"),
+            F.round(inter + F.lit(1e-9), 6).alias("hll_intersection"),
+            F.round(inter / F.col("eu") + F.lit(1e-9), 6).alias(
+                "jaccard_est"
+            ),
+            F.round(
+                (F.col("a_exact") + F.col("b_exact") - F.col("union_exact"))
+                * 1.0
+                / F.col("union_exact")
+                + F.lit(1e-9),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )

@@ -136,3 +136,28 @@ def test_sampled_truth_recall_agrees_with_exact(spark):
             assert r.ci95_halfwidth <= 1e-6
         else:
             assert r.ci95_halfwidth > 0
+
+
+def test_f2_sketch_never_underestimates(spark):
+    """The property a salting decision relies on: hash-bucket collisions
+    only ADD cross terms, so the sketched self-join size is always >=
+    the exact F2 moment (and equals it only if no two keys collide)."""
+    r = all_queries()["agg_selfjoin_size_f2_sketch"].fn(spark, SF).collect()[0]
+    assert r.f2_sketch >= r.f2_exact
+    assert r.overestimate_ratio >= 1.0
+    assert r.n_rows > 0 and r.max_key_count >= 1
+
+
+def test_hll_set_ops_algebra_invariants(spark):
+    """Register-algebra sanity: the union sketch (MAX-merged registers)
+    estimates at least as large as each side, inclusion-exclusion is
+    clamped non-negative, and the estimated Jaccard lands within 0.35
+    of exact on this 64-register sketch (the ~13% HLL sigma compounds
+    through three estimates)."""
+    r = all_queries()["agg_hll_set_ops"].fn(spark, SF).collect()[0]
+    assert r.hll_union >= max(r.hll_a, r.hll_b) - 1e-6
+    assert r.hll_intersection >= 0.0
+    assert r.overlap_exact == r.a_exact + r.b_exact - r.union_exact
+    assert abs(r.jaccard_est - r.jaccard_exact) <= 0.35, (
+        r.jaccard_est, r.jaccard_exact,
+    )
