@@ -121,6 +121,12 @@ HEADLINE = (
     "events_holt_linear_smoothing", # Holt level+trend fold
     "dedup_cluster_best_representative",  # quality-keeper collapse
     "dedup_threshold_sensitivity",  # retention-vs-threshold curve
+    "agg_histogram_quantile_portable",  # portable quantile sketch
+    "agg_selfjoin_size_f2_sketch",  # F2 skew moment, bucketed sketch
+    "agg_hll_set_ops",              # register-space set algebra
+    "eval_ann_recall_sampled_truth",  # hash-sampled recall gate + CI
+    "scd2_recompute_evolved_schema",  # two-generation SCD2 backfill
+    "text_zipf_fit",                # distributed global-rank Zipf fit
 )
 
 

@@ -861,3 +861,174 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_data_constrained_epochs — repeat-with-diminishing-returns planner
+# ---------------------------------------------------------------------------
+
+_DCE_RSTAR = 15.39   # fitted repetition half-life (Muennighoff 2023)
+_DCE_BUDGET_X = 4    # token budget = 4x the corpus (forces repeats)
+
+
+@register(
+    "corpus_data_constrained_epochs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(u) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM tok),
+    plan AS (
+        SELECT tok.source, tok.u,
+               CAST(({_DCE_BUDGET_X} * tot.t) // tot.k AS BIGINT)
+                   AS budget_alloc
+        FROM tok, tot
+    ),
+    eff AS (
+        SELECT source, u, budget_alloc,
+               GREATEST(budget_alloc * 1.0 / u - 1, 0) AS repeats,
+               u + u * {_DCE_RSTAR}
+                 * (1 - exp(-GREATEST(budget_alloc * 1.0 / u - 1, 0)
+                            / {_DCE_RSTAR})) AS effective
+        FROM plan
+    )
+    SELECT source, u AS n_tokens_available, budget_alloc,
+           ROUND(repeats + 1e-9, 6) AS repeats,
+           ROUND(effective + 1e-9, 2) AS effective_tokens,
+           ROUND(effective / budget_alloc + 1e-9, 6) AS utilization
+    FROM eff
+    """,
+    doc=f"DATA-CONSTRAINED EPOCH PLANNER (Muennighoff et al. 2023, "
+        f"'Scaling Data-Constrained Language Models'): when the token "
+        f"budget exceeds the corpus, repeated epochs still help but "
+        f"with exponentially diminishing returns — effective data "
+        f"D'' = U + U*R*(1 - exp(-repeats/R*)) with the paper's "
+        f"fitted half-life R* = {_DCE_RSTAR}. A uniform "
+        f"{_DCE_BUDGET_X}x-corpus budget split across sources makes "
+        f"small sources repeat hard and exposes the utilization "
+        f"cliff — the readout that tells a data planner WHICH source "
+        f"to go acquire more of rather than re-epoch (the allocation "
+        f"complement to corpus_unimax_allocation's epoch CAP: UniMax "
+        f"clips repeats, this prices them). Scale shape: one "
+        f"token-count shuffle keyed by source; all planner arithmetic "
+        f"on the |sources|-row frame with the grand total broadcast.",
+)
+def corpus_data_constrained_epochs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("u")
+    )
+    tot = tok.agg(
+        F.sum("u").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    alloc = F.expr(f"CAST(({_DCE_BUDGET_X} * t) DIV k AS BIGINT)")
+    plan = tok.crossJoin(F.broadcast(tot)).select(
+        "source", "u", alloc.alias("budget_alloc")
+    )
+    repeats = F.greatest(
+        F.col("budget_alloc") * 1.0 / F.col("u") - 1, F.lit(0.0)
+    )
+    effective = F.col("u") + F.col("u") * F.lit(_DCE_RSTAR) * (
+        1 - F.exp(-repeats / F.lit(_DCE_RSTAR))
+    )
+    return plan.select(
+        "source",
+        F.col("u").alias("n_tokens_available"),
+        "budget_alloc",
+        F.round(repeats + F.lit(1e-9), 6).alias("repeats"),
+        F.round(effective + F.lit(1e-9), 2).alias("effective_tokens"),
+        F.round(
+            effective / F.col("budget_alloc") + F.lit(1e-9), 6
+        ).alias("utilization"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_welch_ttest — parametric A/B comparison readout
+# ---------------------------------------------------------------------------
+
+_TT_A = "click"
+_TT_B = "purchase"
+
+
+@register(
+    "events_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS mu,
+               var_samp(value) AS v
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('{_TT_A}', '{_TT_B}')
+        GROUP BY event_type
+    ),
+    a AS (SELECT n AS na, mu AS ma, v AS va FROM g
+          WHERE event_type = '{_TT_A}'),
+    b AS (SELECT n AS nb, mu AS mb, v AS vb FROM g
+          WHERE event_type = '{_TT_B}')
+    SELECT a.na, b.nb,
+           ROUND(a.ma + 1e-9, 6) AS mean_a,
+           ROUND(b.mb + 1e-9, 6) AS mean_b,
+           ROUND((a.ma - b.mb)
+                 / sqrt(a.va / a.na + b.vb / b.nb) + 1e-9, 6)
+               AS t_stat,
+           ROUND(POW(a.va / a.na + b.vb / b.nb, 2)
+                 / (POW(a.va / a.na, 2) / (a.na - 1)
+                    + POW(b.vb / b.nb, 2) / (b.nb - 1)) + 1e-9, 2)
+               AS welch_df
+    FROM a, b
+    """,
+    doc=f"WELCH'S T-TEST between '{_TT_A}' and '{_TT_B}' values — the "
+        f"parametric A/B readout (unequal variances, Welch-"
+        f"Satterthwaite degrees of freedom), the experiment-analysis "
+        f"companion to events_ks_drift_halves' nonparametric drift "
+        f"check: KS asks 'did the distribution move', the t-test asks "
+        f"'did the MEAN move and by how many standard errors'. Two "
+        f"aggregate rows (count/mean/var per arm) are the entire "
+        f"reduction — one grouped-agg shuffle with map-side partials, "
+        f"then 1-row arithmetic; df rounded at 2 (variance "
+        f"accumulation order differs across engines in the last ulps "
+        f"and df's pow-heavy formula amplifies it; t itself is "
+        f"stable at 6).",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.where(F.col("event_type") == _TT_A).select(
+        F.col("n").alias("na"), F.col("mu").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = g.where(F.col("event_type") == _TT_B).select(
+        F.col("n").alias("nb"), F.col("mu").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "na",
+        "nb",
+        F.round(F.col("ma") + F.lit(1e-9), 6).alias("mean_a"),
+        F.round(F.col("mb") + F.lit(1e-9), 6).alias("mean_b"),
+        F.round(
+            (F.col("ma") - F.col("mb")) / F.sqrt(se2) + F.lit(1e-9), 6
+        ).alias("t_stat"),
+        F.round(df_w + F.lit(1e-9), 2).alias("welch_df"),
+    )

@@ -151,6 +151,13 @@ PROBES = (
     "events_holt_linear_smoothing",
     "dedup_cluster_best_representative",
     "dedup_threshold_sensitivity",
+    "agg_histogram_quantile_portable",
+    "agg_selfjoin_size_f2_sketch",
+    "agg_hll_set_ops",
+    "eval_ann_recall_sampled_truth",
+    "scd2_recompute_evolved_schema",
+    "text_zipf_fit",
+    "text_vocab_coverage_curve",
 )
 
 
