@@ -127,6 +127,8 @@ HEADLINE = (
     "eval_ann_recall_sampled_truth",  # hash-sampled recall gate + CI
     "scd2_recompute_evolved_schema",  # two-generation SCD2 backfill
     "text_zipf_fit",                # distributed global-rank Zipf fit
+    "corpus_data_constrained_epochs",  # repeat-pricing budget planner
+    "events_welch_ttest",           # parametric A/B mean comparison
 )
 
 

@@ -63,9 +63,17 @@ def with_global_row_number(
     p = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # Persisted: the ranged frame feeds BOTH the per-partition counts
+    # and the final rank join, and filter/column pruning makes the two
+    # subtrees non-identical — without the cache Spark recomputes df's
+    # whole lineage (e.g. a corpus-sized token count) twice, and
+    # exchange reuse never fires. The cached frame is df itself (for
+    # the rank use cases: a vocabulary — Heaps-bounded, far smaller
+    # than the corpus that produced it). Released by the harnesses'
+    # between-query clearCache.
     part = df.repartitionByRange(p, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # off_i = sum of counts of partitions before i. A P-row cumulative
     # sum — done as a triangular broadcast self-join so NO stage in the

@@ -28,6 +28,11 @@ Modules:
                     robust statistics, dup-graph triangles, A-Res
                     weighted sampling, schema-evolution CDC reads,
                     and the composed weighted corpus build
+- ``pipeline8_q`` — portable histogram-quantile sketch (+ stream
+                    twin), F2 self-join-size sketch, HLL set algebra,
+                    hash-sampled-truth recall gate, evolved-schema
+                    SCD2 recompute, data-constrained epoch planner,
+                    Welch t-test
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401

@@ -813,7 +813,13 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % m).alias("j"),
         F.when(pos == 0, F.lit(wb + 1)).otherwise(pos).alias("rho"),
     )
-    reg = r.groupBy("event_type", "j").agg(F.max("rho").alias("m"))
+    # Persisted: rega/regb/regu each filter this <=128-row register
+    # table differently, and pushdown makes their subtrees
+    # non-identical — without the cache the corpus register build runs
+    # three times (exchange reuse never fires on differing plans).
+    reg = r.groupBy("event_type", "j").agg(
+        F.max("rho").alias("m")
+    ).persist()
     rega = reg.where(F.col("event_type") == _HSO_A).select("j", "m")
     regb = reg.where(F.col("event_type") == _HSO_B).select("j", "m")
     regu = reg.groupBy("j").agg(F.max("m").alias("m"))

@@ -158,6 +158,8 @@ PROBES = (
     "scd2_recompute_evolved_schema",
     "text_zipf_fit",
     "text_vocab_coverage_curve",
+    "corpus_data_constrained_epochs",
+    "events_welch_ttest",
 )
 
 
