@@ -8,6 +8,17 @@ compares row-count + schema + order-insensitive value hash.
 ``oracle=None`` marks genuinely non-SQL-expressible operators (custom
 stateful streaming, iterative algorithms) — the driver then records a
 weaker rows-only check.
+
+Cache contract: a query function MAY ``persist()`` a frame the returned
+plan references more than once (branch-shared register tables, ranged
+vocabularies) — those caches must stay alive until the caller
+materializes the result, so the query cannot release them itself. Any
+long-lived harness iterating the surface is expected to call
+``spark.catalog.clearCache()`` between queries (bench.py,
+tools/check_correctness.py, and tools/scale_probe.py all do). Caches
+that are NOT referenced by the returned plan (per-round training
+state) are released inside the query before it returns
+(e.g. bpe_train_iterative_merges).
 """
 
 from __future__ import annotations
