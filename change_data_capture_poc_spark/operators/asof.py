@@ -1,5 +1,5 @@
-"""As-of join (backward/forward, optional tolerance) — an operator
-Spark lacks natively.
+"""As-of join (backward/forward/nearest, optional tolerance) — an
+operator Spark lacks natively.
 
 Implemented as a union + keyed window (`last/first ... ignore nulls`)
 rather than a range cross-join: both inputs are tagged and unioned,
@@ -47,8 +47,15 @@ def asof_join(
     would tear values across different right rows and backfill
     legitimate NULLs.)
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, right_values,
+            tolerance_seconds,
+        )
     backward = direction == "backward"
     lcols = left.columns
     # Side ordering makes an exactly-simultaneous right row visible:
@@ -100,6 +107,89 @@ def asof_join(
             <= tolerance_seconds * 1000
         )
         rv = F.when(within, F.col("__rv"))
+    return filled.where(F.col("__l").isNotNull()).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[rv.getField(c).alias(c) for c in right_values],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Nearest-direction as-of: each left row takes the right row with
+    the smallest |ts distance| in EITHER direction; an exact tie picks
+    the backward (earlier) row, pandas ``merge_asof`` style.
+
+    Both direction fills run over the SAME keyed union — two window
+    sorts (their side tie-orders differ: backward must see an
+    equal-timestamp right row in its preceding frame, forward in its
+    following frame) but only ONE hash exchange on the key, so the
+    scale shape matches the single-direction form. Right side must be
+    unique per (key, ts) like the other directions (callers dedup)."""
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side_b"),
+        F.lit(0).alias("__side_f"),
+        F.struct(*lcols).alias("__l"),
+    )
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side_b"),
+        F.lit(1).alias("__side_f"),
+        F.struct(
+            F.col(right_ts).alias("__rt"),
+            *[F.col(c) for c in right_values],
+        ).alias("__r"),
+    )
+    tagged_l = tagged_l.withColumn(
+        "__r", F.lit(None).cast(tagged_r.schema["__r"].dataType)
+    )
+    tagged_r = tagged_r.withColumn(
+        "__l", F.lit(None).cast(tagged_l.schema["__l"].dataType)
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side_f")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    filled = unioned.select(
+        "__l",
+        "__t",
+        F.last("__r", ignorenulls=True).over(wb).alias("__rb"),
+        F.first("__r", ignorenulls=True).over(wf).alias("__rf"),
+    )
+
+    def dist(rv: F.Column) -> F.Column:
+        return F.abs(
+            F.unix_millis(F.col("__t").cast("timestamp"))
+            - F.unix_millis(rv.getField("__rt").cast("timestamp"))
+        )
+
+    rb, rf = F.col("__rb"), F.col("__rf")
+    if tolerance_seconds is not None:
+        rb = F.when(dist(rb) <= tolerance_seconds * 1000, rb)
+        rf = F.when(dist(rf) <= tolerance_seconds * 1000, rf)
+    rv = (
+        F.when(rb.isNull(), rf)
+        .when(rf.isNull(), rb)
+        .when(dist(rb) <= dist(rf), rb)  # tie -> backward (earlier)
+        .otherwise(rf)
+    )
     return filled.where(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[rv.getField(c).alias(c) for c in right_values],

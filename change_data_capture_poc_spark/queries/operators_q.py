@@ -724,3 +724,47 @@ def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ordinal - 1) % 16).cast("int").alias("shard"),
         )
     )
+
+
+@register(
+    "asof_join_nearest_events",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS o_custkey, ts, MAX(value) AS v
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           v AS nearest_event_value
+    FROM (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, ev.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY ABS(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                               - epoch_us(ev.ts)), ev.ts
+               ) AS rk
+        FROM orders o LEFT JOIN ev USING (o_custkey)
+    ) WHERE rk = 1
+    """,
+    doc="As-of NEAREST join — the third direction (sensor-fusion "
+        "semantics: each order takes the event value closest in time "
+        "on EITHER side; exact-distance ties take the earlier/backward "
+        "row, pandas merge_asof style). Engine: both direction fills "
+        "run over one keyed union — two window sorts, ONE hash "
+        "exchange (operators/asof.py _asof_nearest) — never the "
+        "quadratic per-key theta join the oracle's argmin spells out. "
+        "Right side deduped per (key, ts) for determinism, as in the "
+        "backward/forward variants.",
+)
+def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    return asof_join(
+        orders, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        right_values=["v"], direction="nearest",
+    ).withColumnRenamed("v", "nearest_event_value")

@@ -398,3 +398,62 @@ def test_ngram_shingles_short_documents_yield_empty(spark):
     assert out[1] == [] and out[2] == []
     assert out[3] == ["a b c"]
     assert out[4] == []  # split("") -> [""], size 1 < 3
+
+
+def test_asof_join_nearest(spark):
+    """Nearest direction: closest right row in EITHER direction wins;
+    an exact-distance tie takes the backward (earlier) row; a
+    tolerance voids far matches on both sides; an exactly-simultaneous
+    right row wins at distance 0."""
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),  # fwd 10:01 closer
+            ("A", _ts("2024-01-01 09:57:00"), 2),  # bwd 09:55 closer
+            ("A", _ts("2024-01-01 09:58:00"), 3),  # tie 09:55/10:01 -> bwd
+            ("A", _ts("2024-01-01 10:01:00"), 4),  # simultaneous
+            ("B", _ts("2024-01-01 10:00:00"), 5),  # no quotes at all
+        ],
+        "sym string, t timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:55:00"), 10.0),
+            ("A", _ts("2024-01-01 10:01:00"), 11.0),
+        ],
+        "sym string, qt timestamp, px double",
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="qt",
+        right_values=["px"], direction="nearest",
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got == {1: 11.0, 2: 10.0, 3: 10.0, 4: 11.0, 5: None}
+
+    # Tolerance 60s: only the simultaneous match survives.
+    tight = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="qt",
+        right_values=["px"], direction="nearest", tolerance_seconds=60,
+    )
+    got_t = {r.trade_id: r.px for r in tight.collect()}
+    assert got_t == {1: 11.0, 2: None, 3: None, 4: 11.0, 5: None}
+
+
+def test_asof_join_nearest_single_exchange(spark):
+    """The scale contract: nearest runs BOTH direction fills over one
+    keyed union — exactly one shuffle exchange, like the
+    single-direction forms."""
+    from change_data_capture_poc_spark.plans import shuffle_count
+
+    left = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), 1)],
+        "sym string, t timestamp, trade_id int",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:55:00"), 10.0)],
+        "sym string, qt timestamp, px double",
+    )
+    out = asof_join(
+        left, right, on="sym", left_ts="t", right_ts="qt",
+        right_values=["px"], direction="nearest",
+    )
+    assert shuffle_count(out) == 1
