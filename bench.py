@@ -129,6 +129,9 @@ HEADLINE = (
     "text_zipf_fit",                # distributed global-rank Zipf fit
     "corpus_data_constrained_epochs",  # repeat-pricing budget planner
     "events_welch_ttest",           # parametric A/B mean comparison
+    "asof_join_nearest_events",     # nearest-direction as-of join
+    "privacy_dp_noisy_counts",      # Laplace-mechanism DP release
+    "privacy_k_anonymity_audit",    # QI re-identification risk census
 )
 
 

@@ -1038,3 +1038,144 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_stat"),
         F.round(df_w + F.lit(1e-9), 2).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_noisy_counts — Laplace-mechanism release calibration
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5  # privacy budget for the released histogram
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, true_count,
+               (('0x' || substring(md5(event_type), 1, 8))::BIGINT
+                % 4294967296) / 4294967296.0 AS uni
+        FROM c
+    ),
+    n AS (
+        SELECT event_type, true_count,
+               -(1.0 / {_DP_EPS})
+                 * CASE WHEN uni - 0.5 < 0 THEN -1
+                        WHEN uni - 0.5 > 0 THEN 1 ELSE 0 END
+                 * ln(1 - 2 * ABS(uni - 0.5)) AS noise
+        FROM u
+    )
+    SELECT event_type, true_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           ROUND(GREATEST(true_count + noise, 0) + 1e-9, 6)
+               AS noisy_count,
+           ROUND(ABS(noise) + 1e-9, 6) AS abs_noise
+    FROM n
+    """,
+    doc=f"DIFFERENTIALLY-PRIVATE count release (Laplace mechanism, "
+        f"Dwork et al. 2006: count + Lap(sensitivity/epsilon) noise, "
+        f"sensitivity 1 for a disjoint histogram, epsilon={_DP_EPS}) — "
+        f"the privacy-layer op a shared-analytics deployment puts in "
+        f"front of raw counts. Noise comes from an md5-derived uniform "
+        f"through the Laplace inverse CDF, so the draw is reproducible "
+        f"AND oracle-exact (a rand()-seeded draw would differ per "
+        f"engine/run — the same determinism device as every portable "
+        f"sketch here; production rotates the hashed seed per "
+        f"release). true_count is emitted NEXT TO the noisy release "
+        f"because this is the calibration gate run at test scale — "
+        f"the production view exposes only (event_type, noisy_count, "
+        f"epsilon). Negative releases clamp at 0 identically on both "
+        f"engines. Scale shape: one grouped-count shuffle; the "
+        f"mechanism is |groups|-row map-side arithmetic.",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    uni = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    centered = uni - 0.5
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(centered)
+        * F.log(1 - 2 * F.abs(centered))
+    )
+    return c.select(
+        "event_type",
+        "true_count",
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+        F.round(
+            F.greatest(F.col("true_count") + noise, F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("noisy_count"),
+        F.round(F.abs(noise) + F.lit(1e-9), 6).alias("abs_noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity_audit — quasi-identifier re-identification risk
+# ---------------------------------------------------------------------------
+
+_KA_K = 5  # the k in k-anonymity
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS grp
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST({_KA_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN grp < {_KA_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp < {_KA_K} THEN grp ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           ROUND(SUM(CASE WHEN grp < {_KA_K} THEN grp ELSE 0 END) * 1.0
+                 / SUM(grp) + 1e-9, 6) AS pct_rows_at_risk
+    FROM g
+    """,
+    doc=f"K-ANONYMITY AUDIT (Sweeney 2002) over the quasi-identifier "
+        f"pair (nation, market segment): a release is k-anonymous when "
+        f"every QI combination covers >= k={_KA_K} individuals; rows "
+        f"in smaller groups are re-identifiable by linkage. Emits the "
+        f"group census (count, minimum size, groups below k, rows at "
+        f"risk and their fraction) — the gate a privacy review runs "
+        f"BEFORE publishing any per-segment cut, and the companion to "
+        f"gdpr_erasure_audit (erasure = the subject's right; "
+        f"k-anonymity = everyone else's). Scale shape: one QI-keyed "
+        f"grouped count with map-side partials, then a 1-row fold of "
+        f"the |QI-combinations|-sized census — no row-level data "
+        f"leaves the first aggregation.",
+)
+def privacy_k_anonymity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("grp")
+    )
+    below = F.when(F.col("grp") < _KA_K, F.col("grp")).otherwise(0)
+    return g.agg(
+        F.lit(_KA_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("grp") < _KA_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(below).cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(below) * 1.0 / F.sum("grp") + F.lit(1e-9), 6
+        ).alias("pct_rows_at_risk"),
+    )

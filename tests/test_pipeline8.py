@@ -161,3 +161,33 @@ def test_hll_set_ops_algebra_invariants(spark):
     assert abs(r.jaccard_est - r.jaccard_exact) <= 0.35, (
         r.jaccard_est, r.jaccard_exact,
     )
+
+
+def test_dp_noisy_counts_mechanism_invariants(spark):
+    """Laplace-release invariants: the noise is nonzero for every
+    group (md5 uniforms never land exactly on 0.5 here), releases
+    clamp at 0, and |noise| matches the inverse-CDF magnitude implied
+    by epsilon (<= b*ln(2^32) for a 32-bit uniform)."""
+    import math
+
+    rows = all_queries()["privacy_dp_noisy_counts"].fn(spark, SF).collect()
+    assert rows
+    b = 1.0 / rows[0].epsilon
+    for r in rows:
+        assert r.noisy_count >= 0.0
+        assert 0.0 < r.abs_noise <= b * math.log(2**32) + 1e-6
+        assert abs(r.noisy_count - max(r.true_count, 0)) <= r.abs_noise + 1e-5
+
+
+def test_k_anonymity_audit_consistency(spark):
+    """The census must agree with a direct recount of the QI groups."""
+    from collections import Counter
+
+    r = all_queries()["privacy_k_anonymity_audit"].fn(spark, SF).collect()[0]
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    groups = Counter((c.c_nationkey, c.c_mktsegment) for c in cust)
+    assert r.n_groups == len(groups)
+    assert r.min_group_size == min(groups.values())
+    at_risk = sum(v for v in groups.values() if v < r.k)
+    assert r.n_rows_at_risk == at_risk
+    assert abs(r.pct_rows_at_risk - at_risk / len(cust)) < 1e-5

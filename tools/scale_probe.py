@@ -160,6 +160,9 @@ PROBES = (
     "text_vocab_coverage_curve",
     "corpus_data_constrained_epochs",
     "events_welch_ttest",
+    "asof_join_nearest_events",
+    "privacy_dp_noisy_counts",
+    "privacy_k_anonymity_audit",
 )
 
 
