@@ -132,6 +132,7 @@ HEADLINE = (
     "asof_join_nearest_events",     # nearest-direction as-of join
     "privacy_dp_noisy_counts",      # Laplace-mechanism DP release
     "privacy_k_anonymity_audit",    # QI re-identification risk census
+    "multimodal_scene_segmentation",  # frame explode -> Arrow featurize -> shots
 )
 
 

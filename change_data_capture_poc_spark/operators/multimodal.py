@@ -217,3 +217,39 @@ def extract_features_batch(
             yield pdf.assign(features=feats)
 
     return df.mapInPandas(extract, out_schema)
+
+
+def frame_signature_batch(
+    df: DataFrame,
+    payload_col: str,
+    frame_col: str = "frame_idx",
+    real_decode: bool = False,
+) -> DataFrame:
+    """Per-frame scalar signature (the shot-detection feature stage:
+    a real pipeline emits a per-frame embedding or color histogram
+    here; downstream segmentation only consumes frame-to-frame
+    distance). Fake signature = the payload byte at position
+    ``frame_idx mod n_bytes`` — deterministic, SQL-reproducible, and
+    plumbing-identical to an Arrow batch of real per-frame features.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real per-frame features require ffmpeg + a vision model; "
+            "use real_decode=False"
+        )
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("sig", T.IntegerType())]
+    )
+
+    def signat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sig = [
+                int(bytes(b)[int(f) % len(b)]) if len(b) else 0
+                for b, f in zip(pdf[payload_col], pdf[frame_col])
+            ]
+            out = pdf.copy()
+            out["sig"] = pd.array(sig, dtype="int32")
+            yield out
+
+    return df.mapInPandas(signat, out_schema)

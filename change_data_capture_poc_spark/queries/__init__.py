@@ -32,7 +32,9 @@ Modules:
                     twin), F2 self-join-size sketch, HLL set algebra,
                     hash-sampled-truth recall gate, evolved-schema
                     SCD2 recompute, data-constrained epoch planner,
-                    Welch t-test, DP noisy counts + k-anonymity audit
+                    Welch t-test, DP noisy counts + k-anonymity audit,
+                    nearest as-of + video scene segmentation (in
+                    operators_q)
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401

@@ -768,3 +768,85 @@ def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
         right_values=["v"], direction="nearest",
     ).withColumnRenamed("v", "nearest_event_value")
+
+
+_SCENE_T = 30  # frame-to-frame signature jump that opens a new scene
+
+
+@register(
+    "multimodal_scene_segmentation",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1,
+                                 2)) AS INT) AS frame_idx
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, frame_idx,
+               ord(text[(frame_idx % octet_length(encode(text))) + 1])
+                   AS sig
+        FROM fr
+    ),
+    m AS (
+        SELECT doc_id, frame_idx, sig,
+               CASE WHEN LAG(sig) OVER w IS NULL
+                         OR ABS(sig - LAG(sig) OVER w) > {_SCENE_T}
+                    THEN 1 ELSE 0 END AS ns
+        FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    s AS (
+        SELECT doc_id, frame_idx,
+               CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS scene_id
+        FROM m
+    )
+    SELECT doc_id, scene_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame
+    FROM s GROUP BY doc_id, scene_id
+    """,
+    doc=f"VIDEO SCENE SEGMENTATION through the multimodal plumbing — "
+        f"the temporal stage the other six multimodal ops lead up to: "
+        f"frame sampling (row-expanding mapInPandas), per-frame "
+        f"featurization (Arrow batch — fake signature, swap in a "
+        f"vision model and only the Python body changes), then "
+        f"shot-boundary detection as the relational sessionize "
+        f"pattern (lag -> jump-marker when |delta| > {_SCENE_T} -> "
+        f"running sum), emitting per-scene frame spans. Scale shape: "
+        f"featurize is map-side Arrow; ONE shuffle on doc_id serves "
+        f"both the boundary window and the co-partitioned per-scene "
+        f"aggregation; scene count is data-derived, never collected.",
+)
+def multimodal_scene_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.multimodal import (
+        frame_signature_batch,
+        sample_frames_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = sample_frames_batch(d, "payload", every_nth=2)
+    sig = frame_signature_batch(frames, "payload")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ns = F.when(
+        F.lag("sig").over(w).isNull()
+        | (F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_T),
+        1,
+    ).otherwise(0)
+    scenes = sig.withColumn("ns", ns).withColumn(
+        "scene_id",
+        F.sum("ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+    )

@@ -156,13 +156,12 @@ PROBES = (
     "agg_hll_set_ops",
     "eval_ann_recall_sampled_truth",
     "scd2_recompute_evolved_schema",
-    "text_zipf_fit",
-    "text_vocab_coverage_curve",
     "corpus_data_constrained_epochs",
     "events_welch_ttest",
     "asof_join_nearest_events",
     "privacy_dp_noisy_counts",
     "privacy_k_anonymity_audit",
+    "multimodal_scene_segmentation",
 )
 
 
