@@ -133,6 +133,8 @@ HEADLINE = (
     "privacy_dp_noisy_counts",      # Laplace-mechanism DP release
     "privacy_k_anonymity_audit",    # QI re-identification risk census
     "multimodal_scene_segmentation",  # frame explode -> Arrow featurize -> shots
+    "range_join_interval_overlap",  # interval-x-interval bucketed overlap join
+    "eval_bbit_minhash_compression",  # 1-bit signature estimator calibration
 )
 
 

@@ -850,3 +850,81 @@ def multimodal_scene_segmentation(
         F.min("frame_idx").cast("int").alias("start_frame"),
         F.max("frame_idx").cast("int").alias("end_frame"),
     )
+
+
+@register(
+    "range_join_interval_overlap",
+    oracle="""
+    WITH s AS (
+        SELECT event_id AS signup_id, user_id AS s_key,
+               ts AS s_lo, ts + INTERVAL 6 HOURS AS s_hi
+        FROM events WHERE event_type = 'signup'
+    ),
+    e AS (
+        SELECT event_id AS error_id, user_id AS e_key,
+               ts AS e_lo, ts + INTERVAL 2 HOURS AS e_hi
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT signup_id, error_id,
+           GREATEST(s_lo, e_lo) AS overlap_start,
+           LEAST(s_hi, e_hi) AS overlap_end,
+           CAST((epoch_us(LEAST(s_hi, e_hi))
+                 - epoch_us(GREATEST(s_lo, e_lo))) // 1000000
+                AS BIGINT) AS overlap_seconds
+    FROM s JOIN e ON s_key = e_key AND s_lo <= e_hi AND e_lo <= s_hi
+    """,
+    doc="INTERVAL-x-INTERVAL overlap join (the fourth custom join "
+        "family: as-of, point-in-interval, stream interval, now "
+        "interval overlap): per user, every signup exposure window "
+        "[ts, +6h] against every error window [ts, +2h] that overlaps "
+        "it, with the overlap span — the concurrent-exposure readout "
+        "(was the user inside an error window during onboarding?). "
+        "Engine: operators/rangejoin.interval_overlap_join_by_bucket — "
+        "both interval sets explode to covering time buckets, the join "
+        "is an EQUI-join on (key, bucket), and each pair is claimed "
+        "exactly once in the bucket holding its overlap start (a pure "
+        "function of the pair), so there is NO post-join DISTINCT "
+        "shuffle and never a per-key cross product. The oracle states "
+        "the naive theta-join semantics.",
+)
+def range_join_interval_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        interval_overlap_join_by_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_key"),
+        F.col("ts").alias("s_lo"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("s_hi"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_key"),
+        F.col("ts").alias("e_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e_hi"),
+    )
+    j = interval_overlap_join_by_bucket(
+        s, e, left_key="s_key", right_key="e_key",
+        l_lo="s_lo", l_hi="s_hi", r_lo="e_lo", r_hi="e_hi",
+        bucket_ms=3_600_000,
+    )
+    o_start = F.greatest("s_lo", "e_lo")
+    o_end = F.least("s_hi", "e_hi")
+    secs = F.floor(
+        (
+            F.unix_micros(o_end.cast("timestamp"))
+            - F.unix_micros(o_start.cast("timestamp"))
+        )
+        / F.lit(1_000_000.0)
+    ).cast("long")
+    return j.select(
+        "signup_id",
+        "error_id",
+        o_start.alias("overlap_start"),
+        o_end.alias("overlap_end"),
+        secs.alias("overlap_seconds"),
+    )

@@ -1179,3 +1179,135 @@ def privacy_k_anonymity_audit(
             F.sum(below) * 1.0 / F.sum("grp") + F.lit(1e-9), 6
         ).alias("pct_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_bbit_minhash_compression — 1-bit minhash vs full signature vs exact
+# ---------------------------------------------------------------------------
+
+
+def _bbit_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_K,
+        _MINHASH_PAIRS_SQL,
+    )
+
+    k = _MINHASH_K
+    full_eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    bit_eq = " + ".join(
+        f"CASE WHEN sa.m{i} % 2 = sb.m{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    m AS (
+        SELECT p.pa AS doc_id_a, p.pb AS doc_id_b,
+               CAST({bit_eq} AS BIGINT) AS bits_match,
+               CAST({full_eq} AS BIGINT) AS mins_match,
+               len(list_intersect(ga.grams, gb.grams)) AS inter,
+               len(ga.grams) + len(gb.grams)
+                   - len(list_intersect(ga.grams, gb.grams)) AS uni
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.pa
+        JOIN sig sb ON sb.doc_id = p.pb
+        JOIN g ga ON ga.doc_id = p.pa
+        JOIN g gb ON gb.doc_id = p.pb
+    )
+    SELECT doc_id_a, doc_id_b, bits_match, mins_match,
+           ROUND(GREATEST(2.0 * bits_match / {k} - 1, 0) + 1e-9, 6)
+               AS jaccard_bbit_est,
+           ROUND(mins_match * 1.0 / {k} + 1e-9, 6) AS jaccard_minhash_est,
+           ROUND(inter * 1.0 / uni + 1e-9, 6) AS jaccard_exact
+    FROM m
+    """
+
+
+@register(
+    "eval_bbit_minhash_compression",
+    oracle=_bbit_oracle(),
+    doc="b-BIT MINHASH compression calibration (Li & Konig 2010): keep "
+        "only the LOWEST BIT of each min-hash value — a 12-permutation "
+        "signature shrinks from 12x64 bits to 12 bits, the storage "
+        "path that makes signature indexes viable at 100 TB — and "
+        "recover Jaccard from the bit-match fraction via the b=1 "
+        "unbiasing J ~ 2*match - 1 (a random non-equal minimum still "
+        "matches the bit half the time; clamped at 0 identically on "
+        "both engines). Reports the compressed estimate NEXT TO the "
+        "full-signature estimate and the exact Jaccard per LSH "
+        "candidate pair — the readout that prices the 64x compression "
+        "in estimator variance before switching the index over. Scale "
+        "shape: signatures/bits are map-side folds; every join is on "
+        "LSH survivors only (never all pairs); integer bit arithmetic "
+        "+ one division, oracle-exact.",
+)
+def eval_bbit_minhash_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _MINHASH_K,
+        _spark_grams,
+        _spark_sigs,
+        dedup_minhash_lsh,
+    )
+
+    k = _MINHASH_K
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    g = _spark_grams(d)
+    sig = _spark_sigs(g)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    bits_match = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: ((x % 2) == (y % 2)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mins_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    uni = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            bits_match.alias("bits_match"),
+            mins_match.alias("mins_match"),
+            F.round(
+                F.greatest(
+                    2.0 * bits_match / k - 1, F.lit(0.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("jaccard_bbit_est"),
+            F.round(mins_match * 1.0 / k + F.lit(1e-9), 6).alias(
+                "jaccard_minhash_est"
+            ),
+            F.round(inter * 1.0 / uni + F.lit(1e-9), 6).alias(
+                "jaccard_exact"
+            ),
+        )
+    )

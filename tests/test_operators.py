@@ -457,3 +457,39 @@ def test_asof_join_nearest_single_exchange(spark):
         right_values=["px"], direction="nearest",
     )
     assert shuffle_count(out) == 1
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """A pair whose overlap spans MANY shared buckets must surface
+    exactly once (the claim-at-overlap-start rule), touching intervals
+    count as overlapping (closed-interval semantics), and disjoint
+    intervals never pair."""
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        interval_overlap_join_by_bucket,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("A", 1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 12:00:00")),
+            ("A", 2, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 01:00:00")),
+        ],
+        "lk string, lid int, l_lo timestamp, l_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # Overlaps lid=1 across 10+ shared hourly buckets.
+            ("A", 10, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 11:00:00")),
+            # Touches lid=1's end exactly (closed intervals -> pair).
+            ("A", 11, _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00")),
+            # Disjoint from everything.
+            ("A", 12, _ts("2024-01-03 00:00:00"), _ts("2024-01-03 01:00:00")),
+        ],
+        "rk string, rid int, r_lo timestamp, r_hi timestamp",
+    )
+    out = interval_overlap_join_by_bucket(
+        left, right, left_key="lk", right_key="rk",
+        l_lo="l_lo", l_hi="l_hi", r_lo="r_lo", r_hi="r_hi",
+        bucket_ms=3_600_000,
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    assert got == [(1, 10), (1, 11)]

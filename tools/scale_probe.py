@@ -162,6 +162,8 @@ PROBES = (
     "privacy_dp_noisy_counts",
     "privacy_k_anonymity_audit",
     "multimodal_scene_segmentation",
+    "range_join_interval_overlap",
+    "eval_bbit_minhash_compression",
 )
 
 
