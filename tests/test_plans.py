@@ -250,3 +250,33 @@ def test_envelope_log_between_prunes_partitions(spark, tmp_path):
     # Directory-level: the executed scan reads 2 of the 3 day dirs.
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "year=2023/month=11/day=14" not in executed
+
+
+def test_round8_plan_shapes(spark, sf_dir, queries):
+    """Round-8 operators keep their stated scale shapes: no cartesian
+    product anywhere (BroadcastNestedLoopJoin against literal
+    quota/quantile frames of a few rows is the sanctioned tiny-side
+    shape), bounded shuffle budgets, and zero single-partition
+    windows."""
+    from change_data_capture_poc_spark.plans import (
+        formatted_plan,
+        plan_ops,
+        shuffle_count,
+        unpartitioned_window_count,
+    )
+
+    for name, max_shuffles in (
+        ("agg_histogram_quantile_portable", 6),
+        ("multimodal_scene_segmentation", 2),
+        ("range_join_interval_overlap", 2),
+        ("agg_selfjoin_size_f2_sketch", 4),
+        ("asof_join_nearest_events", 3),
+    ):
+        df = queries[name].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        ops = plan_ops(df, plan)
+        assert not any("CartesianProduct" in o for o in ops), name
+        assert shuffle_count(df, plan) <= max_shuffles, (
+            name, shuffle_count(df, plan),
+        )
+        assert unpartitioned_window_count(df) == 0, name
