@@ -666,3 +666,89 @@ def test_hll_rho_matches_python_model(spark, hvs):
     }
     for h in hvs:
         assert got[h] == model_rho(h), h
+
+
+_rank_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (n, tok-ish)
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_rank_rows, p=st.integers(1, 9))
+@settings(**_SETTINGS)
+def test_global_row_number_matches_model(spark, rows, p):
+    """with_global_row_number == enumerate(sorted(...)) under a total
+    ordering, for any partition count (including partitions >> rows
+    and duplicate order-prefix values broken by the id tiebreak)."""
+    from change_data_capture_poc_spark.operators.rank import (
+        with_global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n, t) for i, (n, t) in enumerate(rows)] or [(None,) * 3],
+        "id int, n int, t int",
+    ).where(F.col("id").isNotNull())
+    got = {
+        (r.id, r.rnk)
+        for r in with_global_row_number(
+            df, [("n", False), ("t", True), ("id", True)],
+            num_partitions=p,
+        ).collect()
+    }
+    order = sorted(
+        ((n, t, i) for i, (n, t) in enumerate(rows)),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )
+    want = {(i, rk + 1) for rk, (_n, _t, i) in enumerate(order)}
+    assert got == want
+
+
+_ivl = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 15)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=_ivl, right=_ivl, bucket_s=st.sampled_from([1, 5, 30]))
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_model(spark, left, right, bucket_s):
+    """Bucketed interval-overlap join == the naive quadratic model for
+    any bucket width: every overlapping pair exactly once (the
+    claim-at-overlap-start rule), touching endpoints included."""
+    from change_data_capture_poc_spark.operators.rangejoin import (
+        interval_overlap_join_by_bucket,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, lo, lo + span) for i, (k, lo, span) in enumerate(left)]
+        or [(None,) * 4],
+        "lid int, lk int, llo long, lhi long",
+    ).where(F.col("lid").isNotNull()).select(
+        "lid", "lk",
+        F.timestamp_seconds("llo").alias("llo"),
+        F.timestamp_seconds("lhi").alias("lhi"),
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, lo, lo + span) for j, (k, lo, span) in enumerate(right)]
+        or [(None,) * 4],
+        "rid int, rk int, rlo long, rhi long",
+    ).where(F.col("rid").isNotNull()).select(
+        "rid", "rk",
+        F.timestamp_seconds("rlo").alias("rlo"),
+        F.timestamp_seconds("rhi").alias("rhi"),
+    )
+    out = interval_overlap_join_by_bucket(
+        ldf, rdf, "lk", "rk", "llo", "lhi", "rlo", "rhi",
+        bucket_ms=bucket_s * 1000,
+    ).collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    assert len(got) == len(set(got))  # exactly-once, bucket-width-proof
+    want = sorted(
+        (i, j)
+        for i, (lk, llo, lspan) in enumerate(left)
+        for j, (rk, rlo, rspan) in enumerate(right)
+        if lk == rk and llo <= rlo + rspan and rlo <= llo + lspan
+    )
+    assert got == want
