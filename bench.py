@@ -135,6 +135,7 @@ HEADLINE = (
     "multimodal_scene_segmentation",  # frame explode -> Arrow featurize -> shots
     "range_join_interval_overlap",  # interval-x-interval bucketed overlap join
     "eval_bbit_minhash_compression",  # 1-bit signature estimator calibration
+    "cdc_envelope_key_census",      # JSON-lake schema-drift key census
 )
 
 

@@ -1311,3 +1311,124 @@ def eval_bbit_minhash_compression(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_envelope_key_census — schema-drift discovery over a raw JSON lake
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_envelope_key_census",
+    oracle="""
+    WITH env AS (
+        SELECT CAST(json_object(
+                   'op', 'u', 'lsn', event_id,
+                   'after', CASE WHEN event_id % 2 = 1
+                       THEN json_object('id', user_id,
+                                        'v', event_id % 1000,
+                                        'tier', event_type)
+                       ELSE json_object('id', user_id,
+                                        'v', event_id % 1000) END
+               ) AS VARCHAR) AS raw
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM env),
+    k AS (
+        SELECT unnest(json_keys(raw, '$.after')) AS key_name,
+               raw
+        FROM env
+    ),
+    c AS (
+        SELECT key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               MIN(REPLACE(json_type(raw, '$.after.' || key_name),
+                           'UBIGINT', 'BIGINT')) AS json_type_min,
+               MAX(REPLACE(json_type(raw, '$.after.' || key_name),
+                           'UBIGINT', 'BIGINT')) AS json_type_max
+        FROM k GROUP BY key_name
+    )
+    SELECT c.key_name, c.n_present, n.total,
+           ROUND(c.n_present * 1.0 / n.total + 1e-9, 6) AS presence,
+           (c.n_present = n.total) AS is_universal,
+           LOWER(c.json_type_min) AS type_min,
+           LOWER(c.json_type_max) AS type_max,
+           (c.json_type_min = c.json_type_max) AS type_stable
+    FROM c, n
+    """,
+    doc="ENVELOPE KEY CENSUS — schema-drift discovery over a raw JSON "
+        "log (the question a CDC operator asks BEFORE declaring the "
+        "evolved union schema that cdc_schema_evolution_union then "
+        "parses with): for every key observed under the after-image, "
+        "its presence count/fraction, whether it is universal (a "
+        "missing-in-some-generations key = an upstream ALTER TABLE), "
+        "and whether its JSON type is stable across all appearances "
+        "(min==max over the per-row type names — a type flip is the "
+        "drift that silently NULLs under a fixed from_json schema). "
+        "Runs on the same two-generation synthetic envelope log as "
+        "the evolution queries, so the expected readout is visible: "
+        "id/v universal and stable, tier at ~50% presence. Scale "
+        "shape: key explosion and typeof are map-side "
+        "(json_object_keys + get_json_object); one shuffle on the "
+        "tiny key namespace; the row count broadcasts.",
+)
+def cdc_envelope_key_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                F.col("event_id").alias("lsn"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    (F.col("event_id") % 1000).alias("v"),
+                    F.when(
+                        F.col("event_id") % 2 == 1, F.col("event_type")
+                    ).alias("tier"),
+                ).alias("after"),
+            )
+        ).alias("raw")
+    )
+    n = raw.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # The whole after-image parses once into a string map and explodes
+    # to (key, value) appearances — get_json_object can't take a
+    # computed path (paths must be foldable), and a per-key parse would
+    # rescan the document per key anyway.
+    k = raw.select(
+        F.explode(
+            F.from_json(
+                F.get_json_object("raw", "$.after"), "map<string,string>"
+            )
+        ).alias("key_name", "val")
+    )
+    # Per-appearance JSON type from the value's lexical shape, named
+    # the way DuckDB's json_type names them (lowercased for parity;
+    # synthetic envelopes only produce bigint/varchar here).
+    jtype = (
+        F.when(F.col("val").rlike("^-?[0-9]+$"), F.lit("bigint"))
+        .when(
+            F.col("val").rlike("^-?[0-9]*\\.[0-9]+$"), F.lit("double")
+        )
+        .otherwise(F.lit("varchar"))
+    )
+    c = k.select("key_name", jtype.alias("jt")).groupBy("key_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.min("jt").alias("type_min"),
+        F.max("jt").alias("type_max"),
+    )
+    return c.crossJoin(F.broadcast(n)).select(
+        "key_name",
+        "n_present",
+        "total",
+        F.round(
+            F.col("n_present") * 1.0 / F.col("total") + F.lit(1e-9), 6
+        ).alias("presence"),
+        (F.col("n_present") == F.col("total")).alias("is_universal"),
+        "type_min",
+        "type_max",
+        (F.col("type_min") == F.col("type_max")).alias("type_stable"),
+    )

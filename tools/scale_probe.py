@@ -164,6 +164,7 @@ PROBES = (
     "multimodal_scene_segmentation",
     "range_join_interval_overlap",
     "eval_bbit_minhash_compression",
+    "cdc_envelope_key_census",
 )
 
 
