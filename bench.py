@@ -136,6 +136,8 @@ HEADLINE = (
     "range_join_interval_overlap",  # interval-x-interval bucketed overlap join
     "eval_bbit_minhash_compression",  # 1-bit signature estimator calibration
     "cdc_envelope_key_census",      # JSON-lake schema-drift key census
+    "agg_histogram_quantile_hourly",  # per-hour p95 from mergeable registers
+    "events_psi_drift_halves",      # PSI drift over fixed-grid registers
 )
 
 

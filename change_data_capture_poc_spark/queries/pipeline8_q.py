@@ -58,26 +58,33 @@ def _qsk_register_exprs() -> tuple[F.Column, F.Column]:
     return bucket, clipped
 
 
-def _qsk_quantile_readout(reg: DataFrame, clip: DataFrame) -> DataFrame:
-    """Registers (event_type, bucket, cnt, n_clipped-source ``clip``)
-    → interpolated quantile estimates at the ``_QSK_QS`` targets.
+def _qsk_quantile_readout(
+    reg: DataFrame,
+    clip: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    quantiles: tuple[float, ...] = _QSK_QS,
+) -> DataFrame:
+    """Registers (group_cols..., bucket, cnt) + clip totals →
+    interpolated quantile estimates at the ``_QSK_QS`` targets.
 
-    All-window frames are <= _QSK_B rows keyed by event_type (the
-    bounded-summary readout, not a data-sized window). target rank =
+    All-window frames are <= _QSK_B rows keyed by ``group_cols`` (the
+    bounded-summary readout, not a data-sized window) — per category,
+    per event-time window, or any other register keying. target rank =
     ceil(q*n) in integers; estimate = (bucket + in-bucket rank
     fraction) * W with exactly ONE division, so both engines agree to
     the bit before the 1e-6 rounding.
     """
     from pyspark.sql.window import Window
 
+    gc = list(group_cols)
     wcum = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*gc)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy("event_type")
+    wall = Window.partitionBy(*gc)
     cum = reg.select(
-        "event_type",
+        *gc,
         "bucket",
         "cnt",
         F.sum("cnt").over(wcum).cast("long").alias("cum"),
@@ -85,7 +92,7 @@ def _qsk_quantile_readout(reg: DataFrame, clip: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(wall).cast("long").alias("registers_hit"),
     )
     spark = reg.sparkSession
-    qs = spark.createDataFrame([(q,) for q in _QSK_QS], "q double")
+    qs = spark.createDataFrame([(q,) for q in quantiles], "q double")
     target = F.ceil(F.col("q") * F.col("n")).cast("long")
     sel = (
         cum.crossJoin(F.broadcast(qs))
@@ -104,8 +111,8 @@ def _qsk_quantile_readout(reg: DataFrame, clip: DataFrame) -> DataFrame:
         )
         * F.lit(_QSK_W)
     )
-    return sel.join(clip, "event_type").select(
-        "event_type",
+    return sel.join(clip, gc).select(
+        *gc,
         "q",
         F.col("n").alias("n_rows"),
         "n_clipped",
@@ -1431,4 +1438,240 @@ def cdc_envelope_key_census(
         "type_min",
         "type_max",
         (F.col("type_min") == F.col("type_max")).alias("type_stable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_quantile_hourly — the sketch keyed by event-time window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram_quantile_hourly",
+    oracle=f"""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS hour, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT hour,
+               LEAST({_QSK_B - 1},
+                     GREATEST(0, CAST(floor(value / {_QSK_W}) AS INTEGER)))
+                   AS bucket
+        FROM e
+    ),
+    reg AS (
+        SELECT hour, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM r GROUP BY hour, bucket
+    ),
+    cum AS (
+        SELECT hour, bucket, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY hour
+                                   ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY hour) AS BIGINT) AS n
+        FROM reg
+    ),
+    sel AS (
+        SELECT hour, n, bucket, cnt, cum,
+               CAST(ceil(0.95 * n) AS BIGINT) AS target
+        FROM cum
+        WHERE cum >= CAST(ceil(0.95 * n) AS BIGINT)
+          AND cum - cnt < CAST(ceil(0.95 * n) AS BIGINT)
+    ),
+    ex AS (
+        SELECT hour, quantile_cont(value, 0.95) AS exact_raw
+        FROM e GROUP BY hour
+    )
+    SELECT s.hour, s.n AS n_rows,
+           ROUND((s.bucket + (s.target - (s.cum - s.cnt)) * 1.0 / s.cnt)
+                 * {_QSK_W} + 1e-9, 6) AS p95_estimate,
+           ROUND(x.exact_raw + 1e-9, 6) AS p95_exact,
+           ROUND(ABS((s.bucket
+                      + (s.target - (s.cum - s.cnt)) * 1.0 / s.cnt)
+                     * {_QSK_W} - x.exact_raw) + 1e-9, 6) AS abs_error
+    FROM sel s JOIN ex x USING (hour)
+    """,
+    doc=f"TIME-WINDOWED p95 from the fixed-grid histogram sketch — the "
+        f"operations-dashboard shape (per-hour latency/value p95): the "
+        f"same {_QSK_B}x{_QSK_W} registers as "
+        f"agg_histogram_quantile_portable, keyed by event-time hour "
+        f"instead of category. This is what the sketch's mergeability "
+        f"buys at 100 TB: per-window register tables are additive, so "
+        f"late data folds in by SUM, hourly tables roll up to daily by "
+        f"re-summing registers (no raw re-scan), and a streaming "
+        f"deployment keeps windows x {_QSK_B} counts of state — "
+        f"exactly the streaming_histogram_register_drain state keyed "
+        f"by window. Estimate arithmetic identical to the portable "
+        f"sketch (integer ranks, one division); exact quantile_cont "
+        f"sits beside it as the per-window calibration. Scale shape: "
+        f"one (hour, bucket) register shuffle; readout windows run "
+        f"over <= {_QSK_B}-row frames per hour (hour cardinality = "
+        f"parallelism, grows with time not data rate).",
+)
+def agg_histogram_quantile_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "value"
+        )
+    )
+    bucket, _clipped = _qsk_register_exprs()
+    reg = ev.select("hour", bucket).groupBy("hour", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    clip = ev.groupBy("hour").agg(
+        F.lit(0).cast("long").alias("n_clipped")
+    )
+    readout = _qsk_quantile_readout(
+        reg, clip, group_cols=("hour",), quantiles=(0.95,)
+    )
+    p95 = readout.select(
+        "hour", "n_rows", F.col("hist_estimate").alias("p95_estimate")
+    )
+    ex = ev.groupBy("hour").agg(
+        F.expr("percentile(value, 0.95)").alias("exact_raw")
+    )
+    return p95.join(ex, "hour").select(
+        "hour",
+        "n_rows",
+        "p95_estimate",
+        F.round(F.col("exact_raw") + F.lit(1e-9), 6).alias("p95_exact"),
+        F.round(
+            F.abs(F.col("p95_estimate") - F.col("exact_raw"))
+            + F.lit(1e-9),
+            6,
+        ).alias("abs_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_psi_drift_halves — Population Stability Index over fixed buckets
+# ---------------------------------------------------------------------------
+
+_PSI_B = 16      # coarse drift buckets (width 64 over [0, 1024))
+_PSI_W = 64.0
+_PSI_FLAG = 0.2  # the industry-standard "investigate" threshold
+
+
+@register(
+    "events_psi_drift_halves",
+    oracle=f"""
+    WITH b AS (SELECT max(event_id) // 2 AS mid FROM events),
+    e AS (
+        SELECT event_type,
+               CASE WHEN event_id <= b.mid THEN 0 ELSE 1 END AS half,
+               LEAST({_PSI_B - 1},
+                     GREATEST(0, CAST(floor(value / {_PSI_W})
+                                      AS INTEGER))) AS bucket
+        FROM events, b WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, bucket,
+               CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
+        FROM e GROUP BY event_type, bucket
+    ),
+    grid AS (
+        SELECT t.event_type, CAST(g.g AS INTEGER) AS bucket
+        FROM (SELECT DISTINCT event_type FROM e) t,
+             (SELECT unnest(range({_PSI_B})) AS g) g
+    ),
+    f AS (
+        SELECT grid.event_type, grid.bucket,
+               COALESCE(c.c0, 0) AS c0, COALESCE(c.c1, 0) AS c1
+        FROM grid LEFT JOIN c
+          ON grid.event_type = c.event_type AND grid.bucket = c.bucket
+    ),
+    n AS (SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1
+          FROM f GROUP BY event_type),
+    terms AS (
+        SELECT f.event_type, n.n0, n.n1,
+               ((f.c0 + 0.5) / (n.n0 + {_PSI_B} * 0.5)
+                - (f.c1 + 0.5) / (n.n1 + {_PSI_B} * 0.5))
+               * ln(((f.c0 + 0.5) / (n.n0 + {_PSI_B} * 0.5))
+                    / ((f.c1 + 0.5) / (n.n1 + {_PSI_B} * 0.5))) AS term
+        FROM f JOIN n USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MIN(n0) AS BIGINT) AS n_first,
+           CAST(MIN(n1) AS BIGINT) AS n_second,
+           ROUND(SUM(term) + 1e-9, 6) AS psi,
+           (SUM(term) > {_PSI_FLAG}) AS drift_flag
+    FROM terms GROUP BY event_type
+    """,
+    doc=f"POPULATION STABILITY INDEX per event_type between the first "
+        f"and second half of the stream (split at max(event_id)/2, "
+        f"the events_ks_drift_halves convention): PSI = sum over "
+        f"fixed buckets of (p-q)*ln(p/q) with Laplace-smoothed shares "
+        f"— THE standard production model-monitoring drift metric "
+        f"(flag at {_PSI_FLAG}), complementing KS (sample-statistic, "
+        f"needs sorted data) with a register-only formula: PSI reads "
+        f"NOTHING but the same kind of fixed-grid bucket counts the "
+        f"histogram-quantile sketch maintains, so a streaming "
+        f"deployment gets drift monitoring from state it already "
+        f"keeps ({_PSI_B} coarse buckets here; empty buckets "
+        f"participate via the grid completion + smoothing, which is "
+        f"what makes PSI finite when a bucket empties out). Scale "
+        f"shape: one (type, bucket) register shuffle; the grid "
+        f"completion joins |types| x {_PSI_B} rows; the half split "
+        f"broadcasts a 1-row max.",
+)
+def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    mid = load_table(spark, sf_dir, "events").agg(
+        (F.max("event_id") / 2).cast("long").alias("mid")
+    )
+    bucket = F.least(
+        F.lit(_PSI_B - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_W).cast("int")),
+    )
+    e = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1).alias(
+            "half"
+        ),
+        bucket.alias("bucket"),
+    )
+    c = e.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            spark.range(_PSI_B).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    f = grid.join(c, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("c0", F.lit(0)).alias("c0"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    smooth = _PSI_B * 0.5
+    p = (F.col("c0") + 0.5) / (F.sum("c0").over(wt) + smooth)
+    q = (F.col("c1") + 0.5) / (F.sum("c1").over(wt) + smooth)
+    terms = f.select(
+        "event_type",
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.min("n0").cast("long").alias("n_first"),
+        F.min("n1").cast("long").alias("n_second"),
+        F.round(F.sum("term") + F.lit(1e-9), 6).alias("psi"),
+        (F.sum("term") > _PSI_FLAG).alias("drift_flag"),
     )

@@ -165,6 +165,8 @@ PROBES = (
     "range_join_interval_overlap",
     "eval_bbit_minhash_compression",
     "cdc_envelope_key_census",
+    "agg_histogram_quantile_hourly",
+    "events_psi_drift_halves",
 )
 
 
