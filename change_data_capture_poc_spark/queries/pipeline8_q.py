@@ -644,8 +644,6 @@ def agg_selfjoin_size_f2_sketch(
     )
 
 
-
-
 # ---------------------------------------------------------------------------
 # agg_hll_set_ops — sketch set algebra (audience overlap without raw keys)
 # ---------------------------------------------------------------------------
