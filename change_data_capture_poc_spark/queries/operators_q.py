@@ -780,7 +780,7 @@ _SCENE_T = 30  # frame-to-frame signature jump that opens a new scene
         SELECT doc_id, text,
                CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1,
                                  2)) AS INT) AS frame_idx
-        FROM documents
+        FROM documents WHERE octet_length(encode(text)) > 0
     ),
     sig AS (
         SELECT doc_id, frame_idx,
@@ -828,8 +828,15 @@ def multimodal_scene_segmentation(
         sample_frames_batch,
     )
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    # Zero-byte payloads are excluded on BOTH sides: the fake per-frame
+    # signature indexes payload[frame_idx % n_bytes], and the oracle's
+    # modulo would divide by zero on an empty document.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        .where(F.octet_length("payload") > 0)
     )
     frames = sample_frames_batch(d, "payload", every_nth=2)
     sig = frame_signature_batch(frames, "payload")

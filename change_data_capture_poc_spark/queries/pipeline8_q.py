@@ -1070,7 +1070,8 @@ _DP_EPS = 0.5  # privacy budget for the released histogram
                -(1.0 / {_DP_EPS})
                  * CASE WHEN uni - 0.5 < 0 THEN -1
                         WHEN uni - 0.5 > 0 THEN 1 ELSE 0 END
-                 * ln(1 - 2 * ABS(uni - 0.5)) AS noise
+                 * ln(GREATEST(1 - 2 * ABS(uni - 0.5), 2.3283064365386963e-10))
+                 AS noise
         FROM u
     )
     SELECT event_type, true_count,
@@ -1107,10 +1108,19 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         % F.lit(4294967296)
     ) / F.lit(4294967296.0)
     centered = uni - 0.5
+    # Floor the ln argument at 2^-32: a uniform landing EXACTLY on 0
+    # or 1 makes it ln(0), where Spark's log returns NULL but DuckDB
+    # returns -inf — the cross-engine divergence class the round-7
+    # advice flagged for the margin denominator. The floor caps |noise|
+    # at b*ln(2^32), which the mechanism test also pins.
     noise = (
         F.lit(-1.0 / _DP_EPS)
         * F.signum(centered)
-        * F.log(1 - 2 * F.abs(centered))
+        * F.log(
+            F.greatest(
+                1 - 2 * F.abs(centered), F.lit(2.3283064365386963e-10)
+            )
+        )
     )
     return c.select(
         "event_type",
