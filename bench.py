@@ -138,6 +138,7 @@ HEADLINE = (
     "cdc_envelope_key_census",      # JSON-lake schema-drift key census
     "agg_histogram_quantile_hourly",  # per-hour p95 from mergeable registers
     "events_psi_drift_halves",      # PSI drift over fixed-grid registers
+    "eval_histogram_width_sensitivity",  # sketch state-vs-accuracy curve
 )
 
 

@@ -1683,3 +1683,137 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term") + F.lit(1e-9), 6).alias("psi"),
         (F.sum("term") > _PSI_FLAG).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_histogram_width_sensitivity — the sketch's state-vs-accuracy curve
+# ---------------------------------------------------------------------------
+
+_QWS_WIDTHS = (2.0, 8.0, 32.0)  # grid widths over the same [0,1024) domain
+_QWS_Q = 0.99                   # the tail quantile that stresses the grid
+
+
+@register(
+    "eval_histogram_width_sensitivity",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    ws AS (SELECT CAST(unnest([{", ".join(str(w) for w in _QWS_WIDTHS)}])
+                       AS DOUBLE) AS w),
+    r AS (
+        SELECT ws.w, e.event_type,
+               LEAST(CAST(1024 / ws.w AS INTEGER) - 1,
+                     GREATEST(0, CAST(floor(e.value / ws.w) AS INTEGER)))
+                   AS bucket
+        FROM e, ws
+    ),
+    reg AS (
+        SELECT w, event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM r GROUP BY w, event_type, bucket
+    ),
+    cum AS (
+        SELECT w, event_type, bucket, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY w, event_type
+                                   ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY w, event_type)
+                    AS BIGINT) AS n,
+               CAST(COUNT(*) OVER (PARTITION BY w, event_type)
+                    AS BIGINT) AS registers_hit
+        FROM reg
+    ),
+    sel AS (
+        SELECT w, event_type, n, registers_hit, bucket, cnt, cum,
+               CAST(ceil({_QWS_Q} * n) AS BIGINT) AS target
+        FROM cum
+        WHERE cum >= CAST(ceil({_QWS_Q} * n) AS BIGINT)
+          AND cum - cnt < CAST(ceil({_QWS_Q} * n) AS BIGINT)
+    ),
+    ex AS (
+        SELECT event_type, quantile_cont(value, {_QWS_Q}) AS exact_raw
+        FROM e GROUP BY event_type
+    )
+    SELECT s.w AS grid_width, s.event_type, s.registers_hit,
+           ROUND((s.bucket + (s.target - (s.cum - s.cnt)) * 1.0 / s.cnt)
+                 * s.w + 1e-9, 6) AS p99_estimate,
+           ROUND(x.exact_raw + 1e-9, 6) AS p99_exact,
+           ROUND(ABS((s.bucket
+                      + (s.target - (s.cum - s.cnt)) * 1.0 / s.cnt)
+                     * s.w - x.exact_raw) + 1e-9, 6) AS abs_error
+    FROM sel s JOIN ex x USING (event_type)
+    """,
+    doc=f"GRID-WIDTH SENSITIVITY for the histogram-quantile sketch — "
+        f"the tuning harness in the dedup_threshold_sensitivity mold: "
+        f"p{int(_QWS_Q * 100)} estimate + abs error + live register "
+        f"count at widths {_QWS_WIDTHS} over the same domain, read "
+        f"off ONE pipeline (width is a broadcast column, so all "
+        f"curves share the single corpus scan). This is the curve an "
+        f"operator reads before sizing per-group sketch state at "
+        f"100 TB: error grows ~linearly with width while state "
+        f"shrinks 1/width, and the tail quantile (p99) is where a "
+        f"too-coarse grid bites first. Same integer rank + one "
+        f"division arithmetic as the sketch itself — oracle-exact. "
+        f"Scale shape: one (width, group, bucket) register shuffle "
+        f"(3x the registers, not 3x the scans); readout windows over "
+        f"bounded register frames.",
+)
+def eval_histogram_width_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    ws = spark.createDataFrame(
+        [(w,) for w in _QWS_WIDTHS], "w double"
+    )
+    bucket = F.least(
+        (F.lit(1024) / F.col("w")).cast("int") - 1,
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / F.col("w")).cast("int")
+        ),
+    )
+    r = ev.crossJoin(F.broadcast(ws)).select(
+        "w", "event_type", bucket.alias("bucket")
+    )
+    reg = r.groupBy("w", "event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wg = Window.partitionBy("w", "event_type")
+    cum = reg.select(
+        "w",
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt")
+        .over(wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt").over(wg).cast("long").alias("n"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("registers_hit"),
+    )
+    target = F.ceil(F.lit(_QWS_Q) * F.col("n")).cast("long")
+    sel = cum.withColumn("target", target).where(
+        (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("cnt") < F.col("target"))
+    )
+    est = (
+        F.col("bucket")
+        + (F.col("target") - (F.col("cum") - F.col("cnt")))
+        * 1.0
+        / F.col("cnt")
+    ) * F.col("w")
+    ex = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {_QWS_Q})").alias("exact_raw")
+    )
+    return sel.join(F.broadcast(ex), "event_type").select(
+        F.col("w").alias("grid_width"),
+        "event_type",
+        "registers_hit",
+        F.round(est + F.lit(1e-9), 6).alias("p99_estimate"),
+        F.round(F.col("exact_raw") + F.lit(1e-9), 6).alias("p99_exact"),
+        F.round(
+            F.abs(est - F.col("exact_raw")) + F.lit(1e-9), 6
+        ).alias("abs_error"),
+    )

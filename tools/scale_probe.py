@@ -167,6 +167,7 @@ PROBES = (
     "cdc_envelope_key_census",
     "agg_histogram_quantile_hourly",
     "events_psi_drift_halves",
+    "eval_histogram_width_sensitivity",
 )
 
 
