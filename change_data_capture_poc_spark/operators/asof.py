@@ -175,15 +175,19 @@ def _asof_nearest(
     )
 
     def dist(rv: F.Column) -> F.Column:
+        # Microsecond resolution: the SQL oracle compares epoch_us, and
+        # timestamps carry micros — a millis-grain distance would call
+        # two candidates <1 ms apart a tie (picking backward) where the
+        # oracle sees a strict winner.
         return F.abs(
-            F.unix_millis(F.col("__t").cast("timestamp"))
-            - F.unix_millis(rv.getField("__rt").cast("timestamp"))
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            - F.unix_micros(rv.getField("__rt").cast("timestamp"))
         )
 
     rb, rf = F.col("__rb"), F.col("__rf")
     if tolerance_seconds is not None:
-        rb = F.when(dist(rb) <= tolerance_seconds * 1000, rb)
-        rf = F.when(dist(rf) <= tolerance_seconds * 1000, rf)
+        rb = F.when(dist(rb) <= tolerance_seconds * 1_000_000, rb)
+        rf = F.when(dist(rf) <= tolerance_seconds * 1_000_000, rf)
     rv = (
         F.when(rb.isNull(), rf)
         .when(rf.isNull(), rb)

@@ -67,19 +67,26 @@ def window_count(df: DataFrame, plan: str | None = None) -> int:
 # Unary nodes that sit between a Window and the Exchange satisfying its
 # required child distribution. Anything else (join, aggregate, scan, …)
 # terminates the distribution path: an Exchange below it belongs to that
-# operator, not to the Window.
+# operator, not to the Window. Matched EXACTLY (name or "name " prefix),
+# never as a bare substring prefix — "Sort" must not swallow
+# SortMergeJoin/SortAggregate, which are non-unary and own their subtree.
 _WINDOW_INPUT_CHAIN = (
     "Sort",
     "WindowGroupLimit",
     "ShuffleQueryStage",
-    "ReusedExchange",
-    "ReusedQueryStage",
     "AQEShuffleRead",
     "CustomShuffleReader",
     "InputAdapter",
     "WholeStageCodegen",
     "ColumnarToRow",
 )
+
+
+def _is_chain_node(node: str) -> bool:
+    return any(
+        node == name or node.startswith(name + " ") or node.startswith(name + "(")
+        for name in _WINDOW_INPUT_CHAIN
+    )
 
 
 def unpartitioned_window_count(df: DataFrame) -> int:
@@ -132,7 +139,15 @@ def unpartitioned_window_count(df: DataFrame) -> int:
                 break
             if node.startswith("Exchange"):
                 break  # hash-partitioned input: the scale-safe shape
-            if node.startswith(_WINDOW_INPUT_CHAIN):
+            if node.startswith(("ReusedExchange", "ReusedQueryStage")):
+                # Leaf that embeds the reused exchange's own string — a
+                # window fed via exchange reuse still moves all data if
+                # the shared exchange is SinglePartition. Count from the
+                # embedded text, then stop: a leaf has no input chain.
+                if "Exchange SinglePartition" in node:
+                    count += 1
+                break
+            if _is_chain_node(node):
                 continue  # unary pass-through on the distribution path
             break  # any other operator owns whatever lies below it
     return count

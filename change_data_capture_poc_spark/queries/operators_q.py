@@ -783,9 +783,16 @@ _SCENE_T = 30  # frame-to-frame signature jump that opens a new scene
         FROM documents WHERE octet_length(encode(text)) > 0
     ),
     sig AS (
+        -- BYTE value at byte offset frame_idx % n_bytes (matching the
+        -- engine's payload[frame_idx % len] exactly for multi-byte
+        -- text): DuckDB can't index a BLOB directly, so slice two hex
+        -- digits out of to_hex(encode(text)). A code-point ord() here
+        -- would diverge on any non-ASCII document.
         SELECT doc_id, frame_idx,
-               ord(text[(frame_idx % octet_length(encode(text))) + 1])
-                   AS sig
+               CAST(('0x' || substring(
+                        to_hex(encode(text)),
+                        2 * (frame_idx % octet_length(encode(text))) + 1,
+                        2)) AS INT) AS sig
         FROM fr
     ),
     m AS (

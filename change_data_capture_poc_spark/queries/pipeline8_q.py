@@ -1414,20 +1414,37 @@ def cdc_envelope_key_census(
     # computed path (paths must be foldable), and a per-key parse would
     # rescan the document per key anyway.
     k = raw.select(
+        F.get_json_object("raw", "$.after").alias("after_raw"),
         F.explode(
             F.from_json(
                 F.get_json_object("raw", "$.after"), "map<string,string>"
             )
-        ).alias("key_name", "val")
+        ).alias("key_name", "val"),
     )
-    # Per-appearance JSON type from the value's lexical shape, named
-    # the way DuckDB's json_type names them (lowercased for parity;
-    # synthetic envelopes only produce bigint/varchar here).
+    # Per-appearance JSON type from the RAW token, named the way
+    # DuckDB's json_type names them (lowercased for parity). The map
+    # parse strips quotes, so lexical shape alone would call a
+    # string-typed '123' a bigint where json_type says VARCHAR; we
+    # recover quoting from the serialized after-image instead: the
+    # character right after `"key":` is '"' iff the token is a JSON
+    # string. Sound for this flat to_json object — no spaces around
+    # ':', and a `"key":` sequence can't occur inside a string value
+    # because to_json escapes embedded quotes as \".
+    quoted = (
+        F.expr(
+            "substr(after_raw,"
+            " locate(concat('\"', key_name, '\":'), after_raw)"
+            " + length(key_name) + 3, 1)"
+        )
+        == '"'
+    )
     jtype = (
-        F.when(F.col("val").rlike("^-?[0-9]+$"), F.lit("bigint"))
+        F.when(quoted, F.lit("varchar"))
+        .when(F.col("val").rlike("^-?[0-9]+$"), F.lit("bigint"))
         .when(
             F.col("val").rlike("^-?[0-9]*\\.[0-9]+$"), F.lit("double")
         )
+        .when(F.col("val").isin("true", "false"), F.lit("boolean"))
         .otherwise(F.lit("varchar"))
     )
     c = k.select("key_name", jtype.alias("jt")).groupBy("key_name").agg(
@@ -1631,8 +1648,10 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
+    # Integer floor division (`div`), matching the oracle's `// 2`:
+    # `/ 2` goes through double and loses exactness above 2^53.
     mid = load_table(spark, sf_dir, "events").agg(
-        (F.max("event_id") / 2).cast("long").alias("mid")
+        F.expr("max(event_id) div 2").alias("mid")
     )
     bucket = F.least(
         F.lit(_PSI_B - 1),

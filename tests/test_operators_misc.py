@@ -384,3 +384,35 @@ def test_unimax_matches_sequential_waterfill(spark, sf_dir):
         abs(sum(a for _, a in model.values()) - budget) < 1e-6
         or budget >= sum(c for c, _ in caps)
     )
+
+
+def test_scene_segmentation_nonascii_oracle_parity(spark, tmp_path):
+    """Round-8 advice: the scene-segmentation oracle must index BYTES
+    (matching frame_signature_batch's payload[idx % n_bytes]), not
+    code points — the committed corpora are ASCII-only, so this pins
+    the multi-byte case the correctness gate never exercises."""
+    import duckdb
+
+    from change_data_capture_poc_spark.registry import all_queries
+
+    docs = [
+        (1, "héllo wörld ünïcode"),
+        (2, "日本語のテキストです、長さが変わるともっと長くなる"),
+        (3, "mixed ascii and émojis ✨ plus ß and æ"),
+        (4, "plain ascii control row"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    q = all_queries()["multimodal_scene_segmentation"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want

@@ -198,6 +198,45 @@ def test_unpartitioned_window_attribution(spark, sf_dir, queries):
         assert unpartitioned_window_count(queries[name].fn(spark, sf_dir)) == 0, name
 
 
+def test_unpartitioned_window_counts_reused_exchange(spark):
+    """Round-8 advice: a Window fed through exchange REUSE still moves
+    all data — 'ReusedExchange [...], Exchange SinglePartition' is a
+    leaf whose text embeds the shared exchange, and must count. Two
+    identical global windows sharing one exchange -> 2, not 1.
+    (Reuse only materializes in the pre-execution plan string with AQE
+    off; with AQE on it appears as a runtime ReusedQueryStage.)"""
+    from pyspark.sql import Window, functions as F
+
+    from change_data_capture_poc_spark.plans import unpartitioned_window_count
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(1000)
+        a = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        u = a.union(a)
+        plan = u._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, "precondition: reuse fired"
+        assert unpartitioned_window_count(u) == 2
+
+        # And the exact-name chain match: a Window directly over a
+        # SortMergeJoin must NOT walk through it ('Sort' prefix-matching
+        # 'SortMergeJoin' was the round-8 hole) — the join owns its
+        # exchanges, count 0.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = spark.range(500).withColumn("k", (F.col("id") % 7).cast("int"))
+        r = spark.range(300).withColumn("k", (F.col("id") % 7).cast("int"))
+        j = l.join(r, "k")
+        w = j.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy(l["id"]))
+        )
+        jplan = w._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in jplan, "precondition: SMJ planned"
+        assert unpartitioned_window_count(w) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_envelope_log_between_prunes_partitions(spark, tmp_path):
     """SURVEY §4 action item: the date-bounded log scan must prune at
     the DIRECTORY level on the landed year=/month=/day= JSON layout —
