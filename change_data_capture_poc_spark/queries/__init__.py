@@ -35,6 +35,9 @@ Modules:
                     Welch t-test, DP noisy counts + k-anonymity audit,
                     nearest as-of + video scene segmentation (in
                     operators_q)
+- ``pipeline9_q`` — corpus-scale BPE encode, persisted IVF-PQ index
+                    build/serve split, best-fit sequence packing,
+                    CDC quarantine report
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -51,3 +54,4 @@ import change_data_capture_poc_spark.queries.pipeline5_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline6_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline7_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline8_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline9_q  # noqa: F401

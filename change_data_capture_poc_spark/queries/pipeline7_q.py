@@ -927,15 +927,11 @@ def corpus_doremi_domain_weights(
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
-    """Unrolled 3-round BPE trainer in DuckDB SQL.
-
-    Greedy left-to-right merge application is expressed relationally
-    (no sequential fold): match positions that overlap can only be
-    runs of a self-pair (l = r), and greedy selects every other
-    position within each maximal run — a gaps-and-islands parity
-    test, identical on both engines.
-    """
+def _bpe_rounds_cte() -> str:
+    """Shared CTE prefix: word counts, char-split v0, and the unrolled
+    training rounds pc{r}/b{r}/…/v{r}. Reused by the trainer oracle
+    (final select = the merge table) and the round-9 corpus-encode
+    oracle (final select = the tokenized corpus stream off v{R})."""
     rounds = []
     for r in range(1, _BPE_ROUNDS + 1):
         p = r - 1
@@ -989,11 +985,6 @@ def _bpe_oracle() -> str:
         WHERE cons.keep IS NULL
         GROUP BY word
     )""")
-    finals = " UNION ALL ".join(
-        f"SELECT {r} AS merge_round, l AS left_sym, r2 AS right_sym, "
-        f"l || r2 AS merged_sym, cnt AS pair_count FROM b{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
     return f"""
     WITH wc AS (
         SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
@@ -1007,8 +998,24 @@ def _bpe_oracle() -> str:
         FROM wc
     ),
     {",".join(rounds)}
-    {finals}
     """
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-round BPE trainer in DuckDB SQL.
+
+    Greedy left-to-right merge application is expressed relationally
+    (no sequential fold): match positions that overlap can only be
+    runs of a self-pair (l = r), and greedy selects every other
+    position within each maximal run — a gaps-and-islands parity
+    test, identical on both engines.
+    """
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS left_sym, r2 AS right_sym, "
+        f"l || r2 AS merged_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return _bpe_rounds_cte() + finals
 
 
 @register(
@@ -1036,6 +1043,30 @@ def _bpe_oracle() -> str:
 def bpe_train_iterative_merges(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    merges, _v = _bpe_train_state(spark, sf_dir)
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_round int, left_sym string, right_sym string, "
+            "merged_sym string, pair_count bigint",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long",
+    )
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Run the _BPE_ROUNDS training rounds on the frequency-weighted
+    word table; return ``(merges, v)`` — the chosen merge rows
+    (possibly fewer if the vocabulary fuses early) and the FINAL
+    word -> token-array vocabulary frame (word, n, toks). The round-9
+    corpus encoder reuses ``v`` directly: BPE-encoding the training
+    corpus with the trained merges is exactly the trainer's final
+    state, so the corpus never re-runs the merge application."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1052,7 +1083,7 @@ def bpe_train_iterative_merges(
             F.rtrim(F.regexp_replace("word", "(.)", "$1 ")), " "
         ).alias("toks"),
     )
-    out = None
+    merges: list[tuple] = []
     for _r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             v.where(F.size("toks") >= 2)
@@ -1082,12 +1113,7 @@ def bpe_train_iterative_merges(
         # literals — deriving it from the lazy best_df would re-run
         # the round's pair-count aggregation and orderBy/limit a
         # second time when the final result materializes.
-        row = spark.createDataFrame(
-            [(_r, l_lit, r_lit, l_lit + r_lit, int(best["cnt"]))],
-            "merge_round int, left_sym string, right_sym string, "
-            "merged_sym string, pair_count long",
-        )
-        out = row if out is None else out.unionByName(row)
+        merges.append((_r, l_lit, r_lit, l_lit + r_lit, int(best["cnt"])))
 
         # Apply the merge: match positions, greedy run-parity select,
         # rebuild token arrays in position order (word-keyed windows
@@ -1151,13 +1177,7 @@ def bpe_train_iterative_merges(
         # query clearCache releases them (registry.py cache contract).
         # An in-query unpersist measured 1.9x slower under the bench's
         # documented warm-cache protocol for zero bounded-memory gain.
-    if out is None:
-        return spark.createDataFrame(
-            [],
-            "merge_round int, left_sym string, right_sym string, "
-            "merged_sym string, pair_count bigint",
-        )
-    return out
+    return merges, v
 
 
 # ---------------------------------------------------------------------------

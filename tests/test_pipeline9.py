@@ -1,0 +1,81 @@
+"""Round-9 operators: corpus BPE encode, ANN index build/serve split,
+best-fit packing, quarantine report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import all_queries
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python BPE reference (Sennrich et al. 2016 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_train(word_counts: dict[str, int], rounds: int):
+    """(merges, final_vocab): greedy trainer with the engine's exact
+    tiebreak — count desc, then (left, right) lexicographically asc."""
+    vocab = {w: [c for c in w] for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        l, r = best
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_encode_roundtrip_vs_pure_python(spark, tmp_path):
+    """The relational corpus encode must equal a sequential-fold BPE
+    encode word for word — including self-pair runs ('aaaa' under an
+    (a,a) merge -> greedy keeps every other position) and multi-space
+    word positions."""
+    texts = [
+        (1, "aaaa aaa banana bandana"),
+        (2, "low lower lowest  low"),  # double space: word_pos gap
+        (3, "aa aa aa banana low"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # Pure-Python expectation.
+    wc: dict[str, int] = {}
+    for _, t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    _merges, vocab = _py_bpe_train(wc, 3)
+    syms = sorted({s for toks in vocab.values() for s in toks})
+    tid = {s: i for i, s in enumerate(syms)}
+    expected = set()
+    for doc_id, t in texts:
+        for word_pos, w in enumerate(t.split(" ")):
+            if not w:
+                continue
+            for tok_idx, s in enumerate(vocab[w]):
+                expected.add((doc_id, word_pos, tok_idx, s, tid[s]))
+
+    q = all_queries()["bpe_encode_corpus"]
+    got = {tuple(r) for r in q.fn(spark, str(tmp_path)).collect()}
+    spark.catalog.clearCache()
+    assert got == expected
