@@ -285,6 +285,23 @@ def _ast_hash_pred_duck(col: str) -> str:
     )
 
 
+def _ast_hash_pred_spark(col: str) -> F.Column:
+    """Spark twin of ``_ast_hash_pred_duck`` — the consistent md5
+    bottom-sample predicate (shared with the round-9 multiprobe gate
+    so both gates sample the identical truth pool)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.col(col).cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _AST_MOD
+        == 0
+    )
+
+
 @register(
     "eval_ann_recall_sampled_truth",
     oracle=f"""
@@ -374,18 +391,7 @@ def eval_ann_recall_sampled_truth(
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
-    sample_pred = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _AST_MOD
-        == 0
-    )
-    s = en.where(sample_pred)
+    s = en.where(_ast_hash_pred_spark("vec_id"))
 
     def topk(scored: DataFrame) -> DataFrame:
         return grouped_topk(

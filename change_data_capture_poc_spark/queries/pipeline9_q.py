@@ -121,3 +121,199 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.join(F.broadcast(ids), "token").select(
         "doc_id", "word_pos", "tok_idx", "token", "token_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_multiprobe_recall_sampled_truth — the multiprobe gate that scales
+# ---------------------------------------------------------------------------
+
+from change_data_capture_poc_spark.queries.pipeline4_q import (  # noqa: E402
+    _CENTROID_LIST,
+    _MP_K,
+    _MP_NQ,
+    _MP_P,
+)
+from change_data_capture_poc_spark.queries.pipeline8_q import (  # noqa: E402
+    _AST_Z,
+    _ast_hash_pred_duck,
+    _ast_hash_pred_spark,
+)
+
+
+@register(
+    "ann_multiprobe_recall_sampled_truth",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_MP_NQ}),
+    cent AS (SELECT label, {_CENTROID_LIST} AS c FROM e GROUP BY label),
+    s AS (SELECT * FROM e WHERE {_ast_hash_pred_duck('vec_id')}),
+    probed AS (
+        SELECT q_id, label FROM (
+            SELECT q.q_id, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(q.qv, cent.c) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(cent.c, cent.c)))
+                           + 1e-9, 6)
+                           DESC, cent.label) AS rk
+            FROM q, cent
+        ) WHERE rk <= {_MP_P}
+    ),
+    mp AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(s.v, q.qv) /
+                           (sqrt(list_dot_product(s.v, s.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv)))
+                           + 1e-9, 6)
+                           DESC, s.vec_id) AS rk
+            FROM s
+            JOIN probed p ON s.label = p.label
+            JOIN q ON q.q_id = p.q_id AND s.vec_id != q.q_id
+        ) WHERE rk <= {_MP_K}
+    ),
+    gt AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_dot_product(s.v, q.qv) /
+                           (sqrt(list_dot_product(s.v, s.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv)))
+                           + 1e-9, 6)
+                           DESC, s.vec_id) AS rk
+            FROM s, q WHERE s.vec_id != q.q_id
+        ) WHERE rk <= {_MP_K}
+    ),
+    agg AS (
+        SELECT gt.q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(COUNT(mp.neighbor_id) AS BIGINT) AS hits
+        FROM gt LEFT JOIN mp USING (q_id, neighbor_id)
+        GROUP BY gt.q_id
+    )
+    SELECT q_id, n_truth, hits,
+           ROUND(hits * 1.0 / n_truth + 1e-9, 6) AS recall_sampled,
+           ROUND({_AST_Z} * sqrt((hits * 1.0 / n_truth)
+                     * (1 - hits * 1.0 / n_truth) / n_truth)
+                 + 1e-9, 6) AS ci95_halfwidth
+    FROM agg
+    """,
+    doc=f"Multiprobe IVF recall@{_MP_K} against a HASH-SAMPLED truth "
+        f"pool — closes the last near-linearity-bound row in "
+        f"SCALING.md: ann_ivf_multiprobe_recall's exact side "
+        f"brute-forces the full corpus per query (8x probe 6.9, the "
+        f"deliberate eval cost), so at 100 TB the GATE outweighs the "
+        f"index. Same device as eval_ann_recall_sampled_truth: truth "
+        f"pool = consistent md5 bottom-sample of the corpus (NOT "
+        f"rand() — reproducible across engines and runs), exact "
+        f"top-{_MP_K} only within the sample, multiprobe prediction "
+        f"(top-{_MP_P} centroid partitions, centroids still from the "
+        f"FULL corpus — one linear pass, they are the index, not the "
+        f"bottleneck) scored against it inside the same pool, with "
+        f"the {_AST_Z}-sigma binomial CI pricing the sampling. Scale "
+        f"shape: sample predicate map-side; all cuts via grouped_topk;"
+        f" the only corpus-sized work is the linear centroid pass.",
+)
+def ann_multiprobe_recall_sampled_truth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.vectors import (
+        dot_product,
+        unit_normalize,
+    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    en = e.select(
+        "vec_id", "label", unit_normalize(F.col("v")).alias("nv")
+    )
+    q = en.where(F.col("vec_id") < _MP_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("nv").alias("qnv")
+    )
+
+    # Index side: per-label centroids over the FULL corpus — one
+    # map-side-partial shuffle (64 per-dimension avg columns, the
+    # oracle's own formulation) instead of the posexplode regroup
+    # (n x 64 rows, two shuffles): the centroid pass is this gate's
+    # only corpus-sized job, so its constant sets the 8x ratio.
+    dim = 64
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("v")[i]) for i in range(dim)]
+        ).alias("c")
+    )
+    cn = cent.select("label", unit_normalize(F.col("c")).alias("cn"))
+    probed = grouped_topk(
+        q.crossJoin(cn).select(
+            "q_id",
+            "label",
+            F.round(
+                dot_product(F.col("qnv"), F.col("cn")) + F.lit(1e-9), 6
+            ).alias("cos"),
+        ),
+        ["q_id"],
+        [("cos", False), ("label", True)],
+        _MP_P,
+    ).select("q_id", "label")
+
+    # Eval side: everything below runs inside the sampled pool.
+    s = en.where(_ast_hash_pred_spark("vec_id"))
+    cos6 = F.round(
+        dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return grouped_topk(
+            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
+            _MP_K,
+        ).select("q_id", "neighbor_id")
+
+    mp = topk(
+        s.join(probed, "label")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
+        )
+    )
+    gt = topk(
+        s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
+        )
+    )
+    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
+    p = F.col("hits") * 1.0 / F.col("n_truth")
+    return (
+        gt.join(
+            mp.withColumn("hit_flag", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(hit).cast("long").alias("hits"),
+        )
+        .select(
+            "q_id",
+            "n_truth",
+            "hits",
+            F.round(p + F.lit(1e-9), 6).alias("recall_sampled"),
+            F.round(
+                F.lit(_AST_Z)
+                * F.sqrt(p * (1 - p) / F.col("n_truth"))
+                + F.lit(1e-9),
+                6,
+            ).alias("ci95_halfwidth"),
+        )
+    )

@@ -79,3 +79,30 @@ def test_bpe_encode_roundtrip_vs_pure_python(spark, tmp_path):
     got = {tuple(r) for r in q.fn(spark, str(tmp_path)).collect()}
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_multiprobe_sampled_truth_agrees_with_exact(spark):
+    """Calibration for the cheap multiprobe gate (the round-8 SCALING
+    row this query retires): at sf0.01 the sampled-truth multiprobe
+    recall per query tracks the exact full-corpus multiprobe recall,
+    and the CI arithmetic behaves (0 exactly at p in {0,1})."""
+    qs = all_queries()
+    sf01 = "/root/testdata/sf0.01"
+    exact = {
+        r.q_id: r["recall_at_5"]
+        for r in qs["ann_ivf_multiprobe_recall"].fn(spark, sf01).collect()
+    }
+    sampled_rows = (
+        qs["ann_multiprobe_recall_sampled_truth"].fn(spark, sf01).collect()
+    )
+    spark.catalog.clearCache()
+    sampled = {r.q_id: r.recall_sampled for r in sampled_rows}
+    assert set(exact) == set(sampled) and exact
+    mean_abs = sum(abs(exact[k] - sampled[k]) for k in exact) / len(exact)
+    assert mean_abs <= 0.25, (exact, sampled)
+    for r in sampled_rows:
+        assert 1 <= r.n_truth <= 5
+        if r.recall_sampled in (0.0, 1.0):
+            assert r.ci95_halfwidth <= 1e-6
+        else:
+            assert r.ci95_halfwidth > 0

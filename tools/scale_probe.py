@@ -168,6 +168,8 @@ PROBES = (
     "agg_histogram_quantile_hourly",
     "events_psi_drift_halves",
     "eval_histogram_width_sensitivity",
+    "bpe_encode_corpus",
+    "ann_multiprobe_recall_sampled_truth",
 )
 
 
