@@ -1664,7 +1664,39 @@ def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_PROBES = 2  # coarse partitions probed per query
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_qprobe(qe: DataFrame, cents) -> DataFrame:
+    """Probe set: top-_IVFPQ_PROBES nearest coarse centroids per query
+    — ranked over an NQ x C frame (bounded by construction). Shared by
+    the composed recall query and the round-9 serve-from-index path
+    (where ``qe`` comes from the persisted request batch)."""
+    from pyspark.sql import Window
+
+    cand_structs = ", ".join(
+        f"struct(round(aggregate(zip_with(v, array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+        + f" + 1e-9, 6) AS dist, CAST({ccid} AS BIGINT) AS ccid)"
+        for ccid, cv in cents
+    )
+    wq = Window.partitionBy("q_id").orderBy("dist", "ccid")
+    return (
+        qe.select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.expr(f"array({cand_structs})")).alias("dc"),
+        )
+        .select("q_id", F.col("dc.dist").alias("dist"),
+                F.col("dc.ccid").alias("ccid"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVFPQ_PROBES)
+        .select("q_id", "ccid")
+    )
+
+
+def _ivfpq_cte() -> str:
+    """Shared WITH-prefix through the ADC scores — reused by the
+    composed recall oracle (tail: pred/truth/hits) and the round-9
+    index build/serve oracles (tails: the persisted code table / the
+    ranked serving answer)."""
     m_tbl = f"(SELECT unnest(range({_PQ_M})) AS m) mm"
     sub = f"e.v[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}]"
     cl2 = _pq_l2_duck("x.v", "c.cv")
@@ -1717,8 +1749,6 @@ def _ivfpq_oracle() -> str:
         FROM qprobe p JOIN asgn a ON a.ccid = p.ccid
         WHERE a.vec_id != p.q_id
     ),
-    nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
-           FROM cand GROUP BY q_id),
     adc AS (
         SELECT c.q_id, c.neighbor_id,
                ROUND(SUM(l.pdist) + 1e-9, 6) AS adc_dist
@@ -1726,7 +1756,13 @@ def _ivfpq_oracle() -> str:
         JOIN enc en ON en.vec_id = c.neighbor_id
         JOIN lut l ON l.q_id = c.q_id AND en.m = l.m AND en.code = l.cid
         GROUP BY c.q_id, c.neighbor_id
-    ),
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return _ivfpq_cte() + f""",
+    nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY q_id),
     pred AS (
         SELECT q_id, neighbor_id FROM adc
         QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1779,8 +1815,6 @@ def _ivfpq_oracle() -> str:
         f"grouped_topk.",
 )
 def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from change_data_capture_poc_spark.functions.vectors import (
         centroid_argmin_expr,
     )
@@ -1799,29 +1833,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_pq_code_cols(cb),
     )
     qe = _pq_queries(e)
-
-    # Probe set: top-N nearest coarse centroids per query — ranked
-    # over an NQ x C frame (bounded by construction).
-    cand_structs = ", ".join(
-        f"struct(round(aggregate(zip_with(v, array("
-        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
-        + "), (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
-        + f" + 1e-9, 6) AS dist, CAST({ccid} AS BIGINT) AS ccid)"
-        for ccid, cv in cents
-    )
-    wq = Window.partitionBy("q_id").orderBy("dist", "ccid")
-    qprobe = (
-        qe.select(
-            F.col("vec_id").alias("q_id"),
-            F.explode(F.expr(f"array({cand_structs})")).alias("dc"),
-        )
-        .select("q_id", F.col("dc.dist").alias("dist"),
-                F.col("dc.ccid").alias("ccid"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= _IVFPQ_PROBES)
-        .select("q_id", "ccid")
-    )
-
+    qprobe = _ivfpq_qprobe(qe, cents)
     q_meta, adc = _pq_adc_parts(qe, cb)
     cand = (
         codes.join(F.broadcast(qprobe), "ccid")

