@@ -509,3 +509,189 @@ def ann_serve_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "adc_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_best_fit / pack_fill_rate_report — no-split sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_L = 2048   # sequence capacity (matches pack_concat_chunks)
+_PACK_B = 8      # packing bands per (lang, class) — the parallelism
+                 # knob: waste grows O(B) bins, parallelism O(B)
+_PACK_KMAX = 11  # 2^11 = L: the smallest class holds 1-char docs
+
+
+def _pack_class_case_sql() -> str:
+    """Harmonic size class as a CASE chain — INTEGER arithmetic only
+    (no float log2): class k holds lengths in (L/2^(k+1), L/2^k]."""
+    branches = [f"WHEN n_chars > {_PACK_L} THEN -1"]
+    for k in range(_PACK_KMAX):
+        branches.append(f"WHEN n_chars > {_PACK_L >> (k + 1)} THEN {k}")
+    return "CASE " + " ".join(branches) + f" ELSE {_PACK_KMAX} END"
+
+
+def _pack_class_col() -> F.Column:
+    c = F.when(F.col("n_chars") > _PACK_L, F.lit(-1))
+    for k in range(_PACK_KMAX):
+        c = c.when(F.col("n_chars") > (_PACK_L >> (k + 1)), F.lit(k))
+    return c.otherwise(F.lit(_PACK_KMAX))
+
+
+# Items per bin for a class: 2^k fit because every class-k item is
+# <= L/2^k (and a 2^k+1-th never fits a bin of full-size class-k
+# items); oversize (-1) items get a bin each.
+_PACK_CAP_SQL = (
+    "CASE WHEN size_class = -1 THEN 1 ELSE (1 << size_class) END"
+)
+
+
+def _pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            _pack_class_col().alias("size_class"),
+            (F.col("doc_id") % _PACK_B).cast("int").alias("band"),
+        )
+    )
+    w = Window.partitionBy("lang", "size_class", "band").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    cap = F.expr(_PACK_CAP_SQL)
+    rn = F.row_number().over(w) - 1
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "size_class",
+        "band",
+        (rn / cap).cast("long").alias("bin_id"),
+        (rn % cap).cast("int").alias("slot"),
+    )
+
+
+_PACK_ASSIGN_SQL = f"""
+    d AS (
+        SELECT doc_id, lang, n_chars,
+               {_pack_class_case_sql()} AS size_class,
+               CAST(doc_id % {_PACK_B} AS INT) AS band
+        FROM documents WHERE n_chars > 0
+    ),
+    a AS (
+        SELECT doc_id, lang, n_chars, size_class, band,
+               CAST((ROW_NUMBER() OVER (
+                        PARTITION BY lang, size_class, band
+                        ORDER BY n_chars DESC, doc_id) - 1)
+                    // ({_PACK_CAP_SQL}) AS BIGINT) AS bin_id,
+               CAST((ROW_NUMBER() OVER (
+                        PARTITION BY lang, size_class, band
+                        ORDER BY n_chars DESC, doc_id) - 1)
+                    % ({_PACK_CAP_SQL}) AS INT) AS slot
+        FROM d
+    )"""
+
+
+@register(
+    "pack_best_fit",
+    oracle=f"""
+    WITH {_PACK_ASSIGN_SQL}
+    SELECT * FROM a
+    """,
+    doc=f"NO-SPLIT sequence packing (each document lands whole in one "
+        f"{_PACK_L}-char bin — the packer for objectives that forbid "
+        f"cross-document splits, vs pack_concat_chunks' concat-and-"
+        f"slice). First-fit-decreasing made RELATIONAL via harmonic "
+        f"length classes (Lee & Lee 1985): within class k (lengths in "
+        f"(L/2^(k+1), L/2^k]) every bin takes exactly 2^k items, so "
+        f"the FFD recurrence collapses to row_number // 2^k — integer "
+        f"arithmetic only, no sequential bin state, bit-identical "
+        f"across engines. Packing runs per (lang, class, band) with "
+        f"{_PACK_B} bands keyed doc_id % {_PACK_B}: bands kill the "
+        f"constant-cardinality hot-key window (each band ranks "
+        f"independently; B scales with the cluster) at a bounded "
+        f"price of <= B-1 part-full bins per class. Guarantee: every "
+        f"FULL bin is >half-full (class-k items exceed L/2^(k+1)), "
+        f"so total bins <= 2*OPT + classes*B — the pytest-pinned "
+        f"bound. Scale shape: one window shuffle on (lang, class, "
+        f"band); zero UDFs, zero joins.",
+)
+def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pack_assignment(spark, sf_dir)
+
+
+@register(
+    "pack_fill_rate_report",
+    oracle=f"""
+    WITH {_PACK_ASSIGN_SQL},
+    bins AS (
+        SELECT lang, size_class, band, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM a GROUP BY lang, size_class, band, bin_id
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(CASE WHEN size_class = -1 THEN chars
+                             ELSE {_PACK_L} END) AS BIGINT) AS capacity
+        FROM bins GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars, n_bins, capacity,
+           ROUND(total_chars * 1.0 / capacity + 1e-9, 6) AS fill_rate,
+           CAST((total_chars + {_PACK_L - 1}) // {_PACK_L} AS BIGINT)
+               AS baseline_seqs,
+           ROUND(n_bins * 1.0 /
+                 ((total_chars + {_PACK_L - 1}) // {_PACK_L}) + 1e-9, 6)
+               AS bin_overhead
+    FROM per_lang
+    """,
+    doc=f"Fill-rate / waste readout for pack_best_fit vs the greedy "
+        f"concat baseline: per language — bins used, capacity, fill "
+        f"rate, the concat-and-slice sequence count ceil(chars/"
+        f"{_PACK_L}) (OPT's lower bound: splitting makes every "
+        f"sequence full), and bin_overhead = bins/baseline, the price "
+        f"paid for never splitting a document. The number a packing "
+        f"change must move before it ships. Scale shape: the window "
+        f"shuffle from the assignment plus two keyed aggregations; "
+        f"output is |langs| rows.",
+)
+def pack_fill_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _pack_assignment(spark, sf_dir)
+    bins = a.groupBy("lang", "size_class", "band", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    per_lang = bins.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            F.when(F.col("size_class") == -1, F.col("chars")).otherwise(
+                F.lit(_PACK_L)
+            )
+        )
+        .cast("long")
+        .alias("capacity"),
+    )
+    baseline = F.expr(f"(total_chars + {_PACK_L - 1}) div {_PACK_L}")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "n_bins",
+        "capacity",
+        F.round(
+            F.col("total_chars") * 1.0 / F.col("capacity") + F.lit(1e-9), 6
+        ).alias("fill_rate"),
+        baseline.cast("long").alias("baseline_seqs"),
+        F.round(F.col("n_bins") * 1.0 / baseline + F.lit(1e-9), 6).alias(
+            "bin_overhead"
+        ),
+    )

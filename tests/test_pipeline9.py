@@ -113,6 +113,65 @@ def test_ann_serve_reads_only_index_tables(spark, sf_dir):
     assert again == {tuple(r) for r in rows}
 
 
+def test_pack_best_fit_invariants(spark, sf_dir, tmp_path):
+    """Packing guarantees: every doc placed exactly once, slots fit
+    the class capacity, every FULL bin is more than half full, the
+    harmonic waste bound n_bins <= 2*ceil(total/L) + part-full-groups
+    holds per lang, and bin count is MONOTONE under corpus growth."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _PACK_L,
+        _pack_assignment,
+    )
+
+    a = _pack_assignment(spark, sf_dir).collect()
+    docs = [r.doc_id for r in a]
+    assert len(docs) == len(set(docs))
+
+    bins: dict[tuple, list] = {}
+    for r in a:
+        cap = 1 if r.size_class == -1 else (1 << r.size_class)
+        assert 0 <= r.slot < cap
+        assert r.n_chars <= (
+            r.n_chars if r.size_class == -1 else _PACK_L >> r.size_class
+        )
+        bins.setdefault(
+            (r.lang, r.size_class, r.band, r.bin_id), []
+        ).append(r)
+    per_lang_bins: dict[str, int] = {}
+    per_lang_chars: dict[str, int] = {}
+    part_full_groups: dict[str, int] = {}
+    for (lang, k, band, bin_id), rows in bins.items():
+        cap = 1 if k == -1 else (1 << k)
+        chars = sum(r.n_chars for r in rows)
+        assert chars <= max(_PACK_L, max(r.n_chars for r in rows))
+        if len(rows) == cap:  # full bin -> more than half full
+            assert chars * 2 > _PACK_L or k == -1
+        else:
+            part_full_groups[lang] = part_full_groups.get(lang, 0) + 1
+        per_lang_bins[lang] = per_lang_bins.get(lang, 0) + 1
+        per_lang_chars[lang] = per_lang_chars.get(lang, 0) + chars
+    for lang, nb in per_lang_bins.items():
+        opt_lb = -(-per_lang_chars[lang] // _PACK_L)
+        assert nb <= 2 * opt_lb + part_full_groups.get(lang, 0), lang
+
+    # Monotonicity: a superset corpus never needs fewer bins.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = d.where(F.col("doc_id") % 2 == 0)
+    for name, frame in (("half", half), ("full", d)):
+        frame.write.mode("overwrite").parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+    q = all_queries()["pack_fill_rate_report"]
+    nb_half = {
+        r.lang: r.n_bins for r in q.fn(spark, str(tmp_path / "half")).collect()
+    }
+    nb_full = {
+        r.lang: r.n_bins for r in q.fn(spark, str(tmp_path / "full")).collect()
+    }
+    for lang in nb_half:
+        assert nb_half[lang] <= nb_full[lang]
+
+
 def test_multiprobe_sampled_truth_agrees_with_exact(spark):
     """Calibration for the cheap multiprobe gate (the round-8 SCALING
     row this query retires): at sf0.01 the sampled-truth multiprobe
