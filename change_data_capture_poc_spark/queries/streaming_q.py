@@ -64,13 +64,13 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "events")
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_encoding_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
     # Peek the physical encoding with a schema-only batch read (no
     # scan), scoping the legacy nanosAsLong flag to the peek (set +
     # restore, same discipline as sources/tables.load_table) — a bare
     # session-wide set here would silently change how every later
     # parquet read in the session handles TIMESTAMP(NANOS). The stream
-    # itself needs no flag: it gets an EXPLICIT schema below.
+    # itself needs no flag: it gets an EXPLICIT schema.
     try:
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     except Exception:
@@ -83,9 +83,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
-    nanos = peek.get("ts") == "bigint"
+    return peek.get("ts") == "bigint"
+
+
+def _events_stream_from_dir(
+    spark: SparkSession, stream_dir: str, nanos: bool
+) -> DataFrame:
     schema = _EVENTS_RAW_SCHEMA_NANOS if nanos else _EVENTS_RAW_SCHEMA_MICROS
-    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
     if nanos:
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -93,6 +98,59 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nanos = _events_encoding_is_nanos(spark, sf_dir)
+    return _events_stream_from_dir(
+        spark, _events_stream_dir(sf_dir), nanos
+    )
+
+
+_SENTINEL_TS_S = 4_102_444_800  # 2100-01-01 UTC — past any test event
+
+
+def _stream_events_with_sentinel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events stream twin whose watched directory also carries one
+    far-future sentinel row per side ('purchase' + 'signup',
+    user_id/event_id = -1): once the sentinel is processed, the
+    watermark provably passes every real row's eviction threshold, so
+    an OUTER join's NULL-padded results all emit before the
+    availableNow drain terminates. Production equivalent: the source
+    keeps flowing, so the watermark keeps advancing on its own — the
+    sentinel replays that property on a bounded replay. Sentinel rows
+    are filtered out of the query output by their negative ids."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nanos = _events_encoding_is_nanos(spark, sf_dir)
+    d = _stream_dir(sf_dir, "events", "/outerj")
+    sentinel = os.path.join(d, "z_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        if nanos:
+            ts_arr = pa.array(
+                [_SENTINEL_TS_S * 10**9] * 2, type=pa.int64()
+            )
+        else:
+            ts_arr = pa.array(
+                [_SENTINEL_TS_S * 10**6] * 2, type=pa.timestamp("us")
+            )
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -1], type=pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1, -1], type=pa.int64()),
+                "event_type": pa.array(["purchase", "signup"]),
+                "value": pa.array([None, None], type=pa.float64()),
+                "props": pa.array([None, None], type=pa.string()),
+            }
+        )
+        pq.write_table(tbl, sentinel)
+    return _events_stream_from_dir(spark, d, nanos)
 
 
 def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -456,6 +514,80 @@ def streaming_interval_join_drain(
         .alias("delta_s"),
     )
     return _drain(j, "streaming_interval_join_tbl", "append")
+
+
+@register(
+    "streaming_interval_join_outer_drain",
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           s.event_id AS s_event_id,
+           p.user_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT)
+               AS delta_s
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+    doc="Stream-stream LEFT OUTER interval join drain — the "
+        "CDC-relevant absent-match case streaming_interval_join_drain "
+        "can't see: purchases with NO same-user signup in the prior "
+        "2 h surface as NULL-padded rows. Outer emission is "
+        "watermark-gated (a NULL row may only emit once the watermark "
+        "proves no match can still arrive), so a bounded replay needs "
+        "the watermark to pass END-of-stream rows too: the source dir "
+        "carries a far-future sentinel pair (user_id -1, filtered "
+        "from the output) that stands in for the ever-advancing "
+        "event time of a live feed. Drained row set equals the batch "
+        "LEFT theta-join the oracle states. Same bounded state as the "
+        "inner form: one shuffle per side on user_id, eviction at "
+        "watermark past ts+upper.",
+)
+def streaming_interval_join_outer_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    ev = _stream_events_with_sentinel(spark, sf_dir)
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id").isNotNull())
+    ).select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("s_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = interval_join_streams(
+        p, s,
+        left_key="user_id", right_key="s_user_id",
+        left_ts="p_ts", right_ts="s_ts",
+        lower_seconds=7200, upper_seconds=0,
+        how="left_outer",
+    ).select(
+        "p_event_id",
+        "s_event_id",
+        "user_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 1000000)
+        .cast("long")
+        .alias("delta_s"),
+    )
+    # The sentinel is dropped AFTER the drain, batch-side: a stream-
+    # side p_event_id != -1 filter gets pushed below the left input's
+    # EventTimeWatermark node, which removes the sentinel from
+    # watermark statistics and stalls the left watermark 30 s short of
+    # end-of-stream — withholding exactly the last unmatched
+    # purchases' NULL rows.
+    return _drain(j, "streaming_interval_join_outer_tbl", "append").where(
+        F.col("p_event_id") != -1
+    )
 
 
 def _embeddings_stream_dir(sf_dir: str) -> str:

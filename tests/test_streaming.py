@@ -304,6 +304,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {(11, 1), (22, 3)}
 
 
+def test_stream_stream_outer_interval_join_null_padding(spark):
+    """Left-outer drain: purchases with no in-window signup surface
+    exactly once as NULL-padded rows, matched purchases carry a
+    non-negative delta within the interval, the sentinel never leaks,
+    and the drained set equals the batch left theta-join."""
+    from change_data_capture_poc_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        all_queries()["streaming_interval_join_outer_drain"]
+        .fn(spark, sf)
+        .collect()
+    )
+    assert all(r.p_event_id != -1 for r in rows)
+    padded = [r for r in rows if r.s_event_id is None]
+    matched = [r for r in rows if r.s_event_id is not None]
+    assert padded and matched
+    for r in padded:
+        assert r.delta_s is None
+    for r in matched:
+        assert 0 <= r.delta_s <= 7200
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes)["ts"] != "timestamp_ntz":
+        from change_data_capture_poc_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"),
+        F.col("event_id").alias("sid"),
+        F.col("ts").alias("sts"),
+    )
+    batch = p.join(
+        s,
+        (F.col("user_id") == F.col("su"))
+        & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("sts") <= F.col("pts")),
+        "left",
+    )
+    want = {(r.pid, r.sid) for r in batch.collect()}
+    assert {(r.p_event_id, r.s_event_id) for r in rows} == want
+
+
 def test_synthetic_envelope_stream_liveness(spark, tmp_path):
     """The rate-source CDC twin must emit decodable envelopes with
     strictly increasing lsn and the reference op mix categories."""
