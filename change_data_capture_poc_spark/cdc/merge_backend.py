@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 class ParquetOverwriteBackend:
@@ -102,7 +103,7 @@ class DeltaReplaceWhereBackend:
         # Persist before the double pass: the distinct partition list
         # and the write would otherwise each recompute the (possibly
         # expensive) merge plan.
-        rows = rows.persist()
+        rows = rows.transform(persist_once)
         try:
             parts = [
                 r[0]

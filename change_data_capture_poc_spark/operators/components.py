@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 def connected_components(
@@ -50,7 +51,7 @@ def connected_components(
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     # try/finally: the non-convergence RuntimeError below must not leak
     # the persisted edge table into executor storage for the rest of
@@ -124,13 +125,13 @@ def pagerank(
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     # Degrees are loop-invariant: fold them into the edge table ONCE so
     # each iteration is a single rank join + contribution shuffle, not
     # rank-join + degree-join.
-    e_deg = e.join(deg, "a").persist()
+    e_deg = e.join(deg, "a").transform(persist_once)
     ranks = deg.select(
         F.col("a").alias("node"), F.lit(1.0).alias("rank")
     ).localCheckpoint()

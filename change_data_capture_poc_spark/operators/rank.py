@@ -41,6 +41,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 def with_global_row_number(
@@ -73,7 +74,7 @@ def with_global_row_number(
     # between-query clearCache.
     part = df.repartitionByRange(p, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
-    ).persist()
+    ).transform(persist_once)
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # off_i = sum of counts of partitions before i. A P-row cumulative
     # sum — done as a triangular broadcast self-join so NO stage in the

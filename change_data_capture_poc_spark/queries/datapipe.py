@@ -28,6 +28,7 @@ from change_data_capture_poc_spark.functions.vectors import (
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 # --------------------------------------------------------------------
@@ -185,12 +186,12 @@ def ngram_jaccard_pairs(spark, sf_dir, rarest_first: bool = False):
                     "grams"
                 ),
             )
-            .persist()
+            .transform(persist_once)
         )
     else:
         ordered = g.select(
             "doc_id", F.array_sort("grams").alias("grams")
-        ).persist()
+        ).transform(persist_once)
     n = F.size("grams")
     # ceil(t*n) in exact integer arithmetic (t = 4/5): float ceil can
     # land one off at exact multiples, shaving the prefix too short and
@@ -350,7 +351,7 @@ def _spark_bands(g):
 def dedup_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
-    bands = _spark_bands(g).persist()
+    bands = _spark_bands(g).transform(persist_once)
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -441,7 +442,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def eval_minhash_estimator_calibration(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    g = _spark_grams(d).persist()
+    g = _spark_grams(d).transform(persist_once)
     sig = _spark_sigs(g)
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
@@ -555,7 +556,7 @@ def dedup_incremental_delta_index(spark, sf_dir):
     # index x index pair first — the full-re-dedup cost this operator
     # exists to avoid). Attaching the broadcast scalar to the band
     # table BEFORE the join lets each side prune to its half.
-    bands = _spark_bands(g).crossJoin(F.broadcast(split)).persist()
+    bands = _spark_bands(g).crossJoin(F.broadcast(split)).transform(persist_once)
     n = bands.where(F.col("doc_id") >= F.col("split")).alias("n")
     x = bands.where(F.col("doc_id") < F.col("split")).alias("x")
     cand = (
@@ -2312,7 +2313,7 @@ def events_hour_grid_fill(spark, sf_dir):
         "bounded by family size).",
 )
 def graph_triangle_count(spark, sf_dir):
-    pairs = dedup_minhash_lsh(spark, sf_dir).persist()
+    pairs = dedup_minhash_lsh(spark, sf_dir).transform(persist_once)
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
@@ -2608,7 +2609,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     )
     g = toks.select(
         "doc_id", ngram_shingles(F.col("w"), _DECON_N).alias("grams")
-    ).persist()
+    ).transform(persist_once)
     is_bench = (F.col("doc_id") % _DECON_MOD == 0) & (
         F.col("doc_id") < _DECON_BENCH_MAX
     )
@@ -2938,7 +2939,7 @@ def corpus_build_e2e(spark, sf_dir):
             & (ratio < 0.08)
         )
         .select("doc_id")
-        .persist()
+        .transform(persist_once)
     )
     # 32 bands: the band count only bounds the per-band sort's
     # parallelism (results are band-count-invariant); see
@@ -3189,7 +3190,7 @@ def text_token_pmi(spark, sf_dir):
     td = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
-    ).persist()
+    ).transform(persist_once)
     n_docs_df = td.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = td.groupBy("tok").agg(F.count("*").alias("df"))
     a = td.select("doc_id", F.col("tok").alias("tok_a"))
@@ -3272,7 +3273,7 @@ def basket_brand_lift(spark, sf_dir):
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-    ).persist()
+    ).transform(persist_once)
     n_df = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     bf = ob.groupBy("p_brand").agg(F.count("*").alias("df"))
     a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
@@ -3463,7 +3464,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total-count scalar, and without the persist each consumer
     # re-tokenizes and re-counts the whole corpus (a third full pass
     # the 8x probe caught as the worst ratio on the board).
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(persist_once)
     tot = vocab.agg(F.sum("c").alias("n"))
     # Vocab join strategy is AQE's call (Zipf vocabulary ≪ corpus, but
     # not constant-bounded, so no forced broadcast hint); the global

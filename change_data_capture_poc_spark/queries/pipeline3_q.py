@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 def _md5_mod(col, mod: int):
@@ -370,7 +371,7 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
-    ).persist()
+    ).transform(persist_once)
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -828,7 +829,7 @@ def embedding_pca_power_iteration(
             "vec_id",
             F.zip_with("v", "mu", lambda x, m: x - m).alias("c"),
         )
-        .persist()
+        .transform(persist_once)
     )
     # w carried as a 1-row broadcast frame; each iteration is
     # dot(c, w) map-side + 64 partial sums + in-row normalization.
@@ -1136,7 +1137,7 @@ def text_js_divergence_sources(
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.groupBy("source").agg(F.sum("n").alias("t")).persist()
+    tot = c.groupBy("source").agg(F.sum("n").alias("t")).transform(persist_once)
     p = c.join(F.broadcast(tot), "source").select(
         "source", "tok", (F.col("n") * 1.0 / F.col("t")).alias("p")
     )
@@ -1881,7 +1882,7 @@ def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    ed.persist()
+    ed.transform(persist_once)
     # Seed centroids = first K vectors. K is a compile-time constant, so
     # this collect (and the per-round one below) is bounded at K rows.
     cent = collect_centroids(ed, _KM_K)

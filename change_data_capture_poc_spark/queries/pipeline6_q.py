@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 # ---------------------------------------------------------------------------
 # dedup_substring_suffix_runs
@@ -1006,7 +1007,7 @@ def text_knn_similarity_graph(
     # t|a| <= |b| <= |a|/t in cross-multiplied integer form.
     ordered = g.select(
         "doc_id", F.array_sort("grams").alias("grams")
-    ).persist()
+    ).transform(persist_once)
     n = F.size("grams")
     ceil_tn = F.expr("(size(grams) + 4) div 5")
     prefix_len = (n - ceil_tn + 1).cast("int")

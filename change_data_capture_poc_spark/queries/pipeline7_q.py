@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 # ---------------------------------------------------------------------------
 # agg_cms_portable — cross-engine-exact Count-Min sketch
@@ -822,7 +823,7 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
         .where(F.col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
-        .persist()  # count-table-sized; four downstream branches
+        .transform(persist_once)  # count-table-sized; four downstream branches
         # (domain totals, global counts, grand total, scoring) would
         # otherwise each replay the corpus token shuffle
     )
@@ -1168,7 +1169,7 @@ def _bpe_train_state(
                 "transform(array_sort(collect_list(struct(pos, sym2))), "
                 "x -> x.sym2)"
             ).alias("toks"),
-        ).persist()  # vocab-sized; cuts round r's actions from
+        ).transform(persist_once)  # vocab-sized; cuts round r's actions from
         # replaying rounds 1..r-1's whole merge lineage. NOT unpersisted
         # here: repeated calls build identical logical plans, so the
         # CacheManager dedups them (total live caches are bounded at
@@ -1314,7 +1315,7 @@ def graph_triangle_count_dupgraph(
         .select(
             F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
         )
-        .persist()
+        .transform(persist_once)
     )
     w = (
         e.alias("e1")
@@ -1495,7 +1496,7 @@ def _blm_split_grams(d: DataFrame) -> DataFrame:
             _blm_gram_explode().alias("gh"),
         )
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
 
 
@@ -1955,7 +1956,7 @@ def corpus_weighted_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(wdup))
         .where(F.col("rn") == 1)
         .drop("rn")
-        .persist()  # survivors feed both the DoReMi pass and the
+        .transform(persist_once)  # survivors feed both the DoReMi pass and the
         # sampling pass; without the cache each replays gate+dedup
     )
     drm = _doremi_weights(surv.select("source", "text"))
@@ -2504,7 +2505,7 @@ def dedup_threshold_sensitivity(
     )
 
     d = load_table(spark, sf_dir, "documents")
-    g = _spark_grams(d).persist()  # grams feed the token join + sizes
+    g = _spark_grams(d).transform(persist_once)  # grams feed the token join + sizes
     # Candidates come from the REGISTERED pair query (same reuse rule
     # as the triangle census): the curve grades exactly the pairs the
     # production dedup path would verify.

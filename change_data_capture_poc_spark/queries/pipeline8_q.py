@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.functions.caching import persist_once
 
 
 # ---------------------------------------------------------------------------
@@ -830,7 +831,7 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times (exchange reuse never fires on differing plans).
     reg = r.groupBy("event_type", "j").agg(
         F.max("rho").alias("m")
-    ).persist()
+    ).transform(persist_once)
     rega = reg.where(F.col("event_type") == _HSO_A).select("j", "m")
     regb = reg.where(F.col("event_type") == _HSO_B).select("j", "m")
     regu = reg.groupBy("j").agg(F.max("m").alias("m"))

@@ -9,16 +9,22 @@ compares row-count + schema + order-insensitive value hash.
 stateful streaming, iterative algorithms) — the driver then records a
 weaker rows-only check.
 
-Cache contract: a query function MAY ``persist()`` a frame the returned
-plan references more than once (branch-shared register tables, ranged
-vocabularies) — those caches must stay alive until the caller
-materializes the result, so the query cannot release them itself. Any
-long-lived harness iterating the surface is expected to call
-``spark.catalog.clearCache()`` between queries (bench.py,
-tools/check_correctness.py, and tools/scale_probe.py all do). Caches
-that are NOT referenced by the returned plan (per-round training
-state) are released inside the query before it returns
-(e.g. bpe_train_iterative_merges).
+Cache contract (round 9): a query function MAY cache a frame the
+returned plan references more than once (branch-shared register
+tables, ranged vocabularies) — those caches must stay alive until the
+caller materializes the result, so the query cannot release them
+itself. Queries cache ONLY via ``functions.caching.persist_once``,
+which (a) skips re-persisting an already-cached identical plan, so
+warm re-runs never log "Asked to cache already cached data", and
+(b) records the pin in a session-keyed registry. Callers release the
+engine's pins — and nothing else in their session — with
+``functions.caching.release_pins(spark)`` after materializing
+(bench.py, tools/check_correctness.py, and tools/scale_probe.py all
+do; check_correctness additionally asserts the CacheManager is empty
+afterwards, so a raw ``.persist()`` added outside persist_once fails
+the gate instead of accreting silently). Caches that are NOT
+referenced by the returned plan (per-round training state) are still
+released inside the query before it returns.
 """
 
 from __future__ import annotations

@@ -172,6 +172,34 @@ def test_pack_best_fit_invariants(spark, sf_dir, tmp_path):
         assert nb_half[lang] <= nb_full[lang]
 
 
+def test_cache_contract_pins_and_releases(spark, sf_dir):
+    """Round-9 cache contract: a persist-reliant query pins via
+    persist_once (warm re-run adds NO new pins — the 'already cached'
+    warning source is gone by construction), release_pins drops
+    exactly the engine's pins, and the CacheManager ends empty."""
+    from change_data_capture_poc_spark.functions.caching import (
+        engine_cache_is_clean,
+        pinned_count,
+        release_pins,
+    )
+
+    release_pins(spark)
+    spark.catalog.clearCache()
+    q = all_queries()["dedup_minhash_lsh"]
+
+    q.fn(spark, sf_dir).count()
+    first = pinned_count(spark)
+    assert first >= 1  # the query is persist-reliant
+
+    q.fn(spark, sf_dir).count()  # warm re-run: identical plan
+    assert pinned_count(spark) == first  # no re-pin, no warning
+
+    released = release_pins(spark)
+    assert released == first
+    assert pinned_count(spark) == 0
+    assert engine_cache_is_clean(spark)
+
+
 def test_multiprobe_sampled_truth_agrees_with_exact(spark):
     """Calibration for the cheap multiprobe gate (the round-8 SCALING
     row this query retires): at sf0.01 the sampled-truth multiprobe

@@ -23,6 +23,10 @@ import time
 
 import duckdb
 
+from change_data_capture_poc_spark.functions.caching import (
+    engine_cache_is_clean,
+    release_pins,
+)
 from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources.tables import TABLES
@@ -124,9 +128,16 @@ def main():
             failures += 1
             continue
         finally:
-            # Some queries persist() intermediates; don't let caches
-            # accumulate across 60 sequential queries.
-            spark.catalog.clearCache()
+            # Release exactly the frames the engine pinned (the round-9
+            # cache contract: queries pin via persist_once, callers
+            # release via release_pins), then ASSERT nothing else is
+            # cached — a raw .persist() added outside persist_once
+            # fails loudly here instead of accreting silently.
+            release_pins(spark)
+            if not engine_cache_is_clean(spark):
+                spark.catalog.clearCache()
+                print(f"WARN {name}: cached plan not pinned via "
+                      "persist_once (cleared; fix the query)")
         rec = {"pass": True, "oracle": q.oracle is not None,
                "spark_rows": len(spark_rows),
                "secs": round(time.time() - t0, 1)}

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 import change_data_capture_poc_spark.queries  # noqa: F401 - registers all
+from change_data_capture_poc_spark.functions.caching import release_pins
 from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources import tables as tables_mod
@@ -236,10 +237,12 @@ def main() -> None:
             "overwrite"
         ).save()
         elapsed = time.time() - t0
-        # clearCache AFTER the clock stops: it is bookkeeping between
+        # release AFTER the clock stops: it is bookkeeping between
         # reps, not query work — timing it inflates absolute numbers
         # (and small-query ratios) relative to the bench protocol.
-        spark.catalog.clearCache()
+        # release_pins drops exactly the engine's persist_once pins
+        # (round-9 cache contract).
+        release_pins(spark)
         return elapsed
 
     consumers = _consumers()
