@@ -695,3 +695,197 @@ def pack_fill_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_overhead"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_quarantine_report — the malformed-envelope quarantine, on the gate
+# ---------------------------------------------------------------------------
+#
+# Reference parity: the reference's S3 sink lands raw Debezium JSON in
+# day-partitioned objects (connectors/s3-sink.json) and its DuckDB layer
+# reads them back with read_json — a single garbled message fails (or
+# silently drops from) the whole day's scan. sources/readers.py's
+# read_envelope_log_tolerant is the engine's answer (PERMISSIVE +
+# corrupt-record column); until round 9 it was pytest-only. This
+# promotes it to an oracle-checked per-day report: line totals, parse
+# successes, and failure counts BY REASON — the first dashboard every
+# production CDC pipeline builds, because a bad_fraction step change is
+# how transport rot (a broken producer, a bad deploy) actually surfaces.
+#
+# The log is synthesized once per SF from the events table with a
+# DETERMINISTIC corruption rule, so DuckDB can state the expected
+# report without ever reading the files:
+#   event_id % 97 == 0 -> line truncated at half length   ("truncated")
+#   event_id % 89 == 3 -> non-JSON transport prefix       ("not_json")
+#   otherwise          -> well-formed envelope             (parses)
+# Precedence: truncation wins when both rules hit. The engine never
+# sees event_id at read time — it classifies from the quarantined raw
+# text alone (a corrupt line starting with '{' can only be the
+# truncation; a valid envelope prefix cut strictly short is never
+# balanced JSON), so the classifier is honest: it works on any log,
+# and the rule-based oracle certifies it on this one.
+
+
+_QUAR_TRUNC_MOD = 97
+_QUAR_GARBLE_MOD = 89
+_QUAR_GARBLE_REM = 3
+_QUAR_PREFIX = "xlog-v1|"
+
+
+def _quarantine_log_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_quarlog_{key}"
+
+
+def ensure_quarantine_log(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Write the day-partitioned corrupted envelope log iff absent —
+    the S3-sink layout (sources/writers.py partitioned-JSON shape,
+    day= dirs) with transport damage injected by the deterministic
+    rule above. One linear map over events, no shuffle: partitionBy
+    splits the write by the ~|days| distinct day values."""
+    import json
+    import os
+
+    d = _quarantine_log_dir(sf_dir)
+    marker = os.path.join(d, "_LOG_META.json")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh).get("sf_dir") == sf_dir:
+                    return d
+        except (OSError, ValueError):
+            pass  # unreadable marker -> rebuild
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.col("event_type").alias("etype"),
+                ).alias("after"),
+                F.lit("u").alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+                F.struct(F.col("event_id").alias("lsn")).alias("source"),
+            ).alias("payload")
+        )
+    )
+    damaged = (
+        F.when(
+            F.col("event_id") % _QUAR_TRUNC_MOD == 0,
+            F.substring(line, 1, (F.length(line) / 2).cast("int")),
+        )
+        .when(
+            F.col("event_id") % _QUAR_GARBLE_MOD == _QUAR_GARBLE_REM,
+            F.concat(F.lit(_QUAR_PREFIX), line),
+        )
+        .otherwise(line)
+    )
+    ev.select(
+        damaged.alias("value"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).write.partitionBy("day").mode("overwrite").text(d)
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir}, fh)
+    return d
+
+
+@register(
+    "cdc_quarantine_report",
+    oracle=f"""
+    WITH e AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CASE
+                   WHEN event_id % {_QUAR_TRUNC_MOD} = 0 THEN 'truncated'
+                   WHEN event_id % {_QUAR_GARBLE_MOD} = {_QUAR_GARBLE_REM}
+                       THEN 'not_json'
+                   ELSE 'ok'
+               END AS reason
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (reason = 'ok') AS BIGINT) AS n_ok,
+           CAST(COUNT(*) FILTER (reason = 'truncated') AS BIGINT)
+               AS n_truncated,
+           CAST(COUNT(*) FILTER (reason = 'not_json') AS BIGINT)
+               AS n_not_json,
+           ROUND(COUNT(*) FILTER (reason != 'ok') * 1.0 / COUNT(*)
+                 + 1e-9, 6) AS bad_fraction
+    FROM e GROUP BY day
+    """,
+    doc="CDC QUARANTINE REPORT — per-day parse health of the raw "
+        "envelope log (read_envelope_log_tolerant promoted from "
+        "pytest-only to the oracle gate): line totals, parse "
+        "successes, and quarantined counts BY REASON, classified "
+        "from the corrupt raw text alone (no generation metadata at "
+        "read time). The oracle restates the deterministic damage "
+        "rule the log was synthesized with, so the tolerant reader + "
+        "classifier are certified end-to-end through real files. "
+        "Scale shape: PERMISSIVE parse and classification are "
+        "map-side over the partitioned scan (day comes from the "
+        "directory, so a dashboard range-query prunes partitions "
+        "before reading a byte); one |days|-key aggregation shuffle; "
+        "output is |days| rows.",
+)
+def cdc_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+    from change_data_capture_poc_spark.sources.readers import (
+        read_envelope_log_tolerant,
+    )
+
+    d = ensure_quarantine_log(spark, sf_dir)
+    raw = read_envelope_log_tolerant(
+        spark,
+        d,
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ],
+    )
+    # Cached per the reader's contract: Spark refuses an uncached scan
+    # whose projection touches only the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the report reads it in
+    # every branch. persist_once keeps the round-9 cache contract.
+    raw = raw.transform(persist_once)
+    bad = F.col("_corrupt_record")
+    reason = (
+        F.when(bad.isNull(), F.lit("ok"))
+        .when(F.substring(bad, 1, 1) != "{", F.lit("not_json"))
+        .otherwise(F.lit("truncated"))
+    )
+    n_reason = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, 1).otherwise(0)
+    ).cast("long")
+    return (
+        raw.select(F.col("day").cast("string").alias("day"), reason.alias("reason"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            n_reason("ok").alias("n_ok"),
+            n_reason("truncated").alias("n_truncated"),
+            n_reason("not_json").alias("n_not_json"),
+        )
+        .select(
+            "day",
+            "n_lines",
+            "n_ok",
+            "n_truncated",
+            "n_not_json",
+            F.round(
+                (F.col("n_lines") - F.col("n_ok")) * 1.0 / F.col("n_lines")
+                + F.lit(1e-9),
+                6,
+            ).alias("bad_fraction"),
+        )
+    )

@@ -225,3 +225,95 @@ def test_multiprobe_sampled_truth_agrees_with_exact(spark):
             assert r.ci95_halfwidth <= 1e-6
         else:
             assert r.ci95_halfwidth > 0
+
+
+def test_quarantine_report_counts_match_damage_rule(spark, sf_dir):
+    """The tolerant reader + raw-text classifier must reproduce the
+    deterministic damage rule exactly: per-reason totals equal the
+    modular arithmetic on event_id (truncation wins the overlap), and
+    the split is lossless (every line lands in exactly one bucket)."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _QUAR_GARBLE_MOD,
+        _QUAR_GARBLE_REM,
+        _QUAR_TRUNC_MOD,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    rep = all_queries()["cdc_quarantine_report"].fn(spark, sf_dir)
+    tot = rep.agg(
+        F.sum("n_lines").alias("n"),
+        F.sum("n_ok").alias("ok"),
+        F.sum("n_truncated").alias("tr"),
+        F.sum("n_not_json").alias("nj"),
+    ).first()
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    trunc = F.col("event_id") % _QUAR_TRUNC_MOD == 0
+    garble = F.col("event_id") % _QUAR_GARBLE_MOD == _QUAR_GARBLE_REM
+    exp = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(trunc.cast("long")).alias("tr"),
+        F.sum((~trunc & garble).cast("long")).alias("nj"),
+    ).first()
+
+    assert tot.n == exp.n
+    assert tot.tr == exp.tr > 0
+    assert tot.nj == exp.nj > 0
+    assert tot.ok == exp.n - exp.tr - exp.nj
+    assert tot.ok + tot.tr + tot.nj == tot.n  # lossless split
+
+
+def test_quarantine_ok_rows_parse_with_intact_lsn(spark, sf_dir):
+    """Undamaged lines must parse into the full envelope shape: the
+    recovered lsn set is exactly the undamaged event_id set (no
+    silent drops, no partial parses counted as ok)."""
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _QUAR_GARBLE_MOD,
+        _QUAR_GARBLE_REM,
+        _QUAR_TRUNC_MOD,
+        ensure_quarantine_log,
+    )
+    from change_data_capture_poc_spark.sources.readers import (
+        read_envelope_log_tolerant,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    d = ensure_quarantine_log(spark, sf_dir)
+    raw = read_envelope_log_tolerant(
+        spark,
+        d,
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ],
+    ).cache()
+    try:
+        ok = raw.where(F.col("_corrupt_record").isNull())
+        got = {
+            r.lsn
+            for r in ok.select(
+                F.col("payload.source.lsn").alias("lsn")
+            ).collect()
+        }
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("user_id").isNotNull()
+        )
+        want = {
+            r.event_id
+            for r in ev.where(
+                (F.col("event_id") % _QUAR_TRUNC_MOD != 0)
+                & (
+                    F.col("event_id") % _QUAR_GARBLE_MOD
+                    != _QUAR_GARBLE_REM
+                )
+            )
+            .select("event_id")
+            .collect()
+        }
+        assert got == want
+    finally:
+        raw.unpersist()
