@@ -1374,10 +1374,14 @@ def streaming_histogram_register_drain(
         reg_stream, "streaming_histogram_register_tbl", "complete"
     )
     # The readout joins two descendants of the drained table (registers
-    # + clip totals); Spark's memory-sink relation fails self-join
-    # attribute dedup with INTERNAL_ERROR "conflicting references", so
-    # snapshot the <= types x 512-row register table first — bounded by
-    # the sketch's own state bound, never data-sized.
+    # + clip totals); Spark 4.1.x's memory-sink relation fails
+    # self-join attribute dedup with INTERNAL_ERROR "conflicting
+    # references", so snapshot the <= types x 512-row register table
+    # first — bounded by the sketch's own state bound, never
+    # data-sized. Version-pinned: tests/test_streaming.py::
+    # test_memory_sink_self_join_workaround_still_needed reproduces
+    # the raw Spark bug and FAILS when an upgrade fixes it — remove
+    # this localCheckpoint (and the canary) then.
     regs = regs.localCheckpoint(eager=True)
     clip = regs.groupBy("event_type").agg(
         F.sum("clip_cnt").cast("long").alias("n_clipped")

@@ -518,3 +518,45 @@ def test_kafka_source_without_package_raises(spark):
             PRODUCT_FIELDS,
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_memory_sink_self_join_workaround_still_needed(spark, tmp_path):
+    """CANARY for the localCheckpoint workaround in
+    streaming_histogram_register_drain (queries/streaming_q.py):
+    Spark 4.1.x fails attribute dedup when a plan references two
+    descendants of one memory-sink relation — INTERNAL_ERROR
+    "conflicting references in Join". The drain snapshots the
+    (bounded) register table with localCheckpoint to dodge it.
+
+    This test asserts the underlying Spark bug STILL EXISTS. When a
+    Spark upgrade fixes it, this test fails — that is the signal to
+    REMOVE the localCheckpoint (and this canary), not to keep both
+    fossilized."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "canary")
+    spark.createDataFrame(
+        [(i % 3, i) for i in range(12)], "k long, v long"
+    ).write.mode("overwrite").parquet(src + "/t.parquet")
+    agg = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("canary_memsink_selfjoin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    t = spark.table("canary_memsink_selfjoin")
+    tot = t.groupBy("k").agg(F.sum("sv").alias("tot"))
+    with pytest.raises(Exception, match="INTERNAL_ERROR|conflicting"):
+        # Two descendants of the memory relation in one join: the
+        # exact shape the drain's readout needs.
+        t.join(tot, "k").collect()
