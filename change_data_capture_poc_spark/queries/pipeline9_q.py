@@ -889,3 +889,256 @@ def cdc_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bad_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_index_delta_serve — serve across the persisted index + a fresh delta
+# ---------------------------------------------------------------------------
+#
+# The gap between nightly index builds: vectors inserted AFTER the last
+# ann_index_build (monotonic ids above the build watermark) are not in
+# the persisted code table yet, but production serving cannot wait for
+# the rebuild — FAISS answers this with add() on the fixed codebook.
+# Relational form: encode ONLY the delta (the same zero-shuffle literal
+# argmin the build uses, against the PERSISTED codebook — no retrain),
+# union with the persisted base codes, and run the identical probe/ADC/
+# top-k tail. Because PQ encoding is deterministic in (codebook,
+# vector), base-codes ∪ fresh-delta-codes reconstructs the full-build
+# code table EXACTLY — so the serve oracle certifies merge transparency
+# bit for bit, and tests pin that the answer frame equals
+# ann_serve_from_index row for row.
+
+
+def _delta_watermark(spark: SparkSession, sf_dir: str) -> int:
+    """The last build's id watermark: 90% of the id range. One 1-row
+    aggregate collect (bounded); in production this is a literal read
+    from the index metadata, not computed."""
+    hi = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id").alias("m"))
+        .first()["m"]
+    )
+    return int(hi * 9 // 10)
+
+
+@register(
+    "ann_index_delta_serve",
+    oracle=_ivfpq_cte() + f"""
+    SELECT q_id, CAST(rn AS INT) AS rk, neighbor_id, adc_dist FROM (
+        SELECT q_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_K}
+    """,
+    doc=f"IVF-PQ INCREMENTAL SERVE — answer the request batch across "
+        f"the persisted index PLUS vectors inserted since the last "
+        f"build (ids above the build watermark): base codes come from "
+        f"the persisted code table with the watermark predicate PUSHED "
+        f"INTO the parquet scan, the delta is encoded in-plan against "
+        f"the persisted codebook (map-side literal argmin, zero "
+        f"shuffles, no retrain — FAISS add() semantics), and the "
+        f"union feeds the identical probe/ADC/top-{_PQ_K} tail. PQ "
+        f"codes are deterministic in (codebook, vector), so the "
+        f"merged table equals the full build exactly — the unchanged "
+        f"serve oracle certifies merge transparency end to end. "
+        f"Scale shape: delta scan is range-pruned to the new rows; "
+        f"everything else matches ann_serve_from_index.",
+)
+def ann_index_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+    )
+    from change_data_capture_poc_spark.operators.topk import grouped_topk
+
+    d = ensure_ann_index(spark, sf_dir)
+    cb = sorted(
+        (int(r["cid"]), [float(x) for x in r["v"]])
+        for r in spark.read.parquet(
+            os.path.join(d, "codebook.parquet")
+        ).collect()
+    )
+    qe = spark.read.parquet(os.path.join(d, "queries.parquet"))
+    wm = _delta_watermark(spark, sf_dir)
+
+    base = spark.read.parquet(os.path.join(d, "codes.parquet")).where(
+        F.col("vec_id") <= wm
+    )
+    delta = (
+        _pq_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") > wm)
+        .select(
+            "vec_id",
+            centroid_argmin_expr(cb, "v").getField("cid")
+            .cast("long")
+            .alias("ccid"),
+            *_pq_code_cols(cb),
+        )
+    )
+    codes = base.select("vec_id", "ccid", *_CODE_COLS).unionByName(
+        delta.select("vec_id", "ccid", *_CODE_COLS)
+    )
+
+    qprobe = _ivfpq_qprobe(qe, cb)
+    q_meta, adc = _pq_adc_parts(qe, cb)
+    scored = (
+        codes.join(F.broadcast(qprobe), "ccid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_meta), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    top = grouped_topk(
+        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
+    )
+    wr = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return top.select(
+        "q_id",
+        F.row_number().over(wr).alias("rk"),
+        "neighbor_id",
+        "adc_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdpr_erasure_purged_dim / gdpr_erasure_audit — right to be forgotten
+# ---------------------------------------------------------------------------
+#
+# The deletion request every CDC-fed warehouse eventually serves: a
+# user whose LATEST change is a tombstone (operation 'error' -> DELETE
+# in this log's op mapping, cdc/envelope.py) must have their ENTIRE
+# version history purged from the SCD2 dimension — not just the open
+# row closed, which is what ordinary SCD2 delete handling does. The
+# cohort is data-driven (arg_max of the op over the lsn order), the
+# purge is an anti-join, and the audit is the compliance evidence: per
+# tombstone day, how many users and historical versions left the
+# dimension. Scale shape: the cohort is one keyed aggregate, purge is
+# a key-partitioned anti-join (broadcast when the cohort is small, by
+# AQE's call), audit adds one |days|-key rollup; the dimension is
+# never globally sorted or collected.
+
+_GDPR_COHORT_SQL = """
+    coh AS (
+        SELECT user_id,
+               arg_max(event_type, event_id) AS last_op,
+               arg_max(ts, event_id) AS tombstone_ts
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING arg_max(event_type, event_id) = 'error'
+    )"""
+
+
+def _gdpr_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("last_op"),
+            F.max_by("ts", "event_id").alias("tombstone_ts"),
+        )
+        .where(F.col("last_op") == "error")
+    )
+
+
+@register(
+    "gdpr_erasure_purged_dim",
+    oracle=f"""
+    WITH {_GDPR_COHORT_SQL}
+    SELECT user_id,
+           event_id AS log_seq_num,
+           event_type AS operation_type,
+           value,
+           ROW_NUMBER() OVER w AS version_number
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND user_id NOT IN (SELECT user_id FROM coh)
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="GDPR PURGED DIMENSION — the SCD2 dimension after serving the "
+        "right-to-be-forgotten cohort (users whose latest change is a "
+        "tombstone): every historical version of a cohort user is "
+        "removed via anti-join, retained users keep their full "
+        "versioned history untouched (version numbers recomputed over "
+        "the retained log equal the originals, since erasure removes "
+        "whole users, never individual versions). Scale shape: cohort "
+        "aggregate + one anti-join on the dimension key; no global "
+        "sort, no collect.",
+)
+def gdpr_erasure_purged_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    coh = _gdpr_cohort(spark, sf_dir).select("user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.join(coh, "user_id", "left_anti")
+        .select(
+            "user_id",
+            F.col("event_id").alias("log_seq_num"),
+            F.col("event_type").alias("operation_type"),
+            "value",
+            F.row_number().over(w).alias("version_number"),
+        )
+    )
+
+
+@register(
+    "gdpr_erasure_ledger",
+    oracle=f"""
+    WITH {_GDPR_COHORT_SQL},
+    purged AS (
+        SELECT e.user_id,
+               strftime(CAST(c.tombstone_ts AS DATE), '%Y-%m-%d')
+                   AS tombstone_day
+        FROM events e JOIN coh c USING (user_id)
+        WHERE e.user_id IS NOT NULL
+    )
+    SELECT tombstone_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_erased,
+           CAST(COUNT(*) AS BIGINT) AS n_versions_purged
+    FROM purged GROUP BY tombstone_day
+    """,
+    doc="GDPR ERASURE LEDGER — the compliance evidence the purge must "
+        "produce: per tombstone day, how many users were erased and "
+        "how many historical versions left the dimension. Completes "
+        "the erasure trio: gdpr_erasure_audit (cdc_ops_q) is the "
+        "work queue, gdpr_erasure_purged_dim the executed purge, and "
+        "this the ledger (ledger + purged dim partition the original "
+        "row count — pytest pins the conservation law). Scale shape: "
+        "cohort aggregate, one semi-join keyed on user_id, one "
+        "|days|-key rollup.",
+)
+def gdpr_erasure_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    coh = _gdpr_cohort(spark, sf_dir).select(
+        "user_id",
+        F.date_format("tombstone_ts", "yyyy-MM-dd").alias(
+            "tombstone_day"
+        ),
+    )
+    return (
+        ev.join(coh, "user_id")
+        .groupBy("tombstone_day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias(
+                "n_users_erased"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_versions_purged"),
+        )
+    )

@@ -317,3 +317,68 @@ def test_quarantine_ok_rows_parse_with_intact_lsn(spark, sf_dir):
         assert got == want
     finally:
         raw.unpersist()
+
+
+def test_delta_serve_equals_full_serve(spark, sf_dir):
+    """Merge transparency: the persisted-base ∪ fresh-delta serve must
+    answer EXACTLY what the full-index serve answers (PQ codes are
+    deterministic in codebook + vector, so the merged code table is
+    the full build bit for bit)."""
+    qs = all_queries()
+    full = qs["ann_serve_from_index"].fn(spark, sf_dir)
+    delta = qs["ann_index_delta_serve"].fn(spark, sf_dir)
+    assert full.exceptAll(delta).count() == 0
+    assert delta.exceptAll(full).count() == 0
+
+
+def test_delta_serve_scan_pruning(spark, sf_dir):
+    """The incremental serve must read the persisted code table below
+    the watermark (pushed range filter) and raw embeddings only above
+    it — never a full embeddings scan."""
+    from change_data_capture_poc_spark.plans.inspect import (
+        formatted_plan,
+        pushed_filters,
+    )
+
+    df = all_queries()["ann_index_delta_serve"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = " | ".join(pushed_filters(df, plan))
+    assert "LessThanOrEqual(vec_id" in pushed  # base codes pruned
+    assert "GreaterThan(vec_id" in pushed      # delta range-pruned
+
+
+def test_gdpr_erasure_conservation_and_cohort(spark, sf_dir):
+    """Conservation law: ledger-purged versions + purged-dim retained
+    versions == the full history row count, and the ledger cohort is
+    exactly the work queue's `erasable` user set (gdpr_erasure_audit
+    in cdc_ops_q) — the three queries tell one consistent story."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _gdpr_cohort,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    qs = all_queries()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    total = ev.count()
+    retained = qs["gdpr_erasure_purged_dim"].fn(spark, sf_dir).count()
+    purged = (
+        qs["gdpr_erasure_ledger"].fn(spark, sf_dir)
+        .agg(F.sum("n_versions_purged"))
+        .first()[0]
+        or 0
+    )
+    assert retained + purged == total
+
+    cohort = {
+        r.user_id for r in _gdpr_cohort(spark, sf_dir).collect()
+    }
+    erasable = {
+        r.user_id
+        for r in qs["gdpr_erasure_audit"].fn(spark, sf_dir)
+        .where("erasable")
+        .collect()
+    }
+    assert cohort == erasable
+    assert cohort  # non-trivial at every SF
