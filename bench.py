@@ -140,6 +140,16 @@ HEADLINE = (
     "agg_histogram_quantile_hourly",  # per-hour p95 from mergeable registers
     "events_psi_drift_halves",      # PSI drift over fixed-grid registers
     "eval_histogram_width_sensitivity",  # sketch state-vs-accuracy curve
+    "bpe_encode_corpus",            # corpus-scale BPE apply of trained merges
+    "ann_multiprobe_recall_sampled_truth",  # sub-linear multiprobe gate
+    "ann_serve_from_index",         # online IVF-PQ serve off persisted index
+    "ann_index_delta_serve",        # persisted base + fresh delta serve
+    "pack_best_fit",                # no-split best-fit sequence packing
+    "pack_fill_rate_report",        # packing fill-rate/waste readout
+    "cdc_quarantine_report",        # tolerant-parse per-day health report
+    "cdc_quarantine_replay",        # prefix-strip recovery of garbled lines
+    "gdpr_erasure_purged_dim",      # right-to-be-forgotten purge execution
+    "gdpr_erasure_ledger",          # per-day erasure compliance ledger
 )
 
 

@@ -13,8 +13,15 @@ Closes the genuinely-absent deliverables from the round-8 verdict:
   plan).
 - ``pack_best_fit`` — length-bucketed first-fit-decreasing sequence
   packing with a fill-rate readout vs the greedy concat baseline.
-- ``cdc_quarantine_report`` — the malformed-envelope quarantine
-  promoted from pytest-only to an oracle-checked per-day report.
+- ``cdc_quarantine_report`` / ``cdc_quarantine_replay`` — the
+  malformed-envelope quarantine promoted from pytest-only to an
+  oracle-checked per-day report, plus the replay that recovers the
+  mechanically-recoverable slice (value-certified by recovered lsns).
+- ``ann_index_delta_serve`` — serve across the persisted index plus
+  vectors inserted since the last build (FAISS add() semantics).
+- ``gdpr_erasure_purged_dim`` / ``gdpr_erasure_ledger`` — the
+  executed right-to-be-forgotten purge and its compliance ledger,
+  completing the erasure trio with cdc_ops_q's work queue.
 """
 
 from __future__ import annotations
@@ -1141,4 +1148,90 @@ def gdpr_erasure_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).cast("long").alias("n_versions_purged"),
         )
+    )
+
+
+@register(
+    "cdc_quarantine_replay",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CASE
+                   WHEN event_id % {_QUAR_TRUNC_MOD} = 0 THEN 'truncated'
+                   WHEN event_id % {_QUAR_GARBLE_MOD} = {_QUAR_GARBLE_REM}
+                       THEN 'not_json'
+                   ELSE 'ok'
+               END AS reason
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (reason != 'ok') AS BIGINT)
+               AS n_quarantined,
+           CAST(COUNT(*) FILTER (reason = 'not_json') AS BIGINT)
+               AS n_recovered,
+           CAST(COUNT(*) FILTER (reason = 'truncated') AS BIGINT)
+               AS n_dead,
+           CAST(MIN(event_id) FILTER (reason = 'not_json') AS BIGINT)
+               AS min_recovered_lsn,
+           CAST(MAX(event_id) FILTER (reason = 'not_json') AS BIGINT)
+               AS max_recovered_lsn
+    FROM e GROUP BY day
+    HAVING COUNT(*) FILTER (reason != 'ok') > 0
+    """,
+    doc="QUARANTINE REPLAY — the second half of the quarantine "
+        "contract: reprocess the quarantined rows and recover what "
+        "is mechanically recoverable. Transport-prefixed lines are "
+        "intact JSON after stripping everything before the first "
+        "'{' (re-parsed through the SAME envelope schema, success "
+        "judged by a non-null lsn — not by the classifier), while "
+        "truncated lines are structurally dead and stay for manual "
+        "replay from the source. The per-day readout carries the "
+        "MIN/MAX recovered lsn, so the oracle certifies the replay "
+        "recovered the right VALUES, not merely the right counts. "
+        "Scale shape: strip + re-parse are map-side over only the "
+        "quarantined slice; one |days|-key rollup.",
+)
+def cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.cdc.envelope import envelope_schema
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+    from change_data_capture_poc_spark.sources.readers import (
+        read_envelope_log_tolerant,
+    )
+
+    d = ensure_quarantine_log(spark, sf_dir)
+    row_fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("etype", T.StringType()),
+    ]
+    raw = read_envelope_log_tolerant(spark, d, row_fields).transform(
+        persist_once
+    )
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("_corrupt_record").alias("line"),
+    )
+    # Strip the transport prefix (everything before the first '{');
+    # locate()=0 (no brace at all) yields an empty substring, which
+    # from_json maps to null — structurally dead either way.
+    stripped = F.expr("substring(line, locate('{', line))")
+    reparsed = F.from_json(stripped, envelope_schema(row_fields))
+    lsn = reparsed.getField("payload").getField("source").getField("lsn")
+    r = bad.select("day", lsn.alias("lsn"))
+    return (
+        r.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_quarantined"),
+            F.count("lsn").cast("long").alias("n_recovered"),
+            F.sum(F.col("lsn").isNull().cast("long"))
+            .cast("long")
+            .alias("n_dead"),
+            F.min("lsn").alias("min_recovered_lsn"),
+            F.max("lsn").alias("max_recovered_lsn"),
+        )
+        .where(F.col("n_quarantined") > 0)
     )

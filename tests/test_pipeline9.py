@@ -382,3 +382,35 @@ def test_gdpr_erasure_conservation_and_cohort(spark, sf_dir):
     }
     assert cohort == erasable
     assert cohort  # non-trivial at every SF
+
+
+def test_quarantine_replay_recovers_exactly_the_garbled_lines(
+    spark, sf_dir
+):
+    """Replay recovers every transport-prefixed line (strip + re-parse
+    succeeds) and none of the truncated ones; recovered + dead ==
+    quarantined, day by day."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _QUAR_GARBLE_MOD,
+        _QUAR_GARBLE_REM,
+        _QUAR_TRUNC_MOD,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    rep = all_queries()["cdc_quarantine_replay"].fn(spark, sf_dir)
+    rows = rep.collect()
+    assert all(
+        r.n_recovered + r.n_dead == r.n_quarantined for r in rows
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    trunc = F.col("event_id") % _QUAR_TRUNC_MOD == 0
+    garble = F.col("event_id") % _QUAR_GARBLE_MOD == _QUAR_GARBLE_REM
+    exp = ev.agg(
+        F.sum((~trunc & garble).cast("long")).alias("rec"),
+        F.sum(trunc.cast("long")).alias("dead"),
+    ).first()
+    assert sum(r.n_recovered for r in rows) == exp.rec
+    assert sum(r.n_dead for r in rows) == exp.dead
