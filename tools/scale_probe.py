@@ -171,6 +171,17 @@ PROBES = (
     "eval_histogram_width_sensitivity",
     "bpe_encode_corpus",
     "ann_multiprobe_recall_sampled_truth",
+    "pack_best_fit",
+    "pack_fill_rate_report",
+    "gdpr_erasure_purged_dim",
+    "gdpr_erasure_ledger",
+    # NOT probed: ann_serve_from_index / ann_index_delta_serve and the
+    # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
+    # tables, synthesized log) keyed on sf_dir — the probe's
+    # load_table self-union patch cannot scale those inputs, so a
+    # probe row would report a misleading ~1x. Their scale shape is
+    # pinned by the plan audit (pushed-range scans, map-side classify,
+    # |days|/|C|-key rollups) instead.
 )
 
 
