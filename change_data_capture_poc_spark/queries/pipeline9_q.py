@@ -803,9 +803,10 @@ def ensure_quarantine_log(
     return d
 
 
-@register(
-    "cdc_quarantine_report",
-    oracle=f"""
+# Shared by the batch report and its stream twin (streaming_q):
+# identical readout contract, so the drain proves the streaming path
+# computes the same dashboard.
+_QUAR_REPORT_ORACLE = f"""
     WITH e AS (
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                CASE
@@ -826,7 +827,12 @@ def ensure_quarantine_log(
            ROUND(COUNT(*) FILTER (reason != 'ok') * 1.0 / COUNT(*)
                  + 1e-9, 6) AS bad_fraction
     FROM e GROUP BY day
-    """,
+    """
+
+
+@register(
+    "cdc_quarantine_report",
+    oracle=_QUAR_REPORT_ORACLE,
     doc="CDC QUARANTINE REPORT — per-day parse health of the raw "
         "envelope log (read_envelope_log_tolerant promoted from "
         "pytest-only to the oracle gate): line totals, parse "

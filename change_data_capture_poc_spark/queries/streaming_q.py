@@ -1389,3 +1389,102 @@ def streaming_histogram_register_drain(
     return _qsk_quantile_readout(
         regs.select("event_type", "bucket", "cnt"), clip
     )
+
+
+def _quar_report_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _QUAR_REPORT_ORACLE,
+    )
+
+    return _QUAR_REPORT_ORACLE
+
+
+@register(
+    "streaming_quarantine_drain",
+    oracle=_quar_report_oracle(),
+    doc="STREAMING parse-health dashboard — cdc_quarantine_report's "
+        "stream twin (the production shape: the quarantine dashboard "
+        "watches the landing directory live, it does not batch-scan "
+        "it nightly): raw envelope lines arrive as a text stream from "
+        "the day-partitioned log, each line is parse-judged and "
+        "reason-classified IN THE MAP STAGE (from_json through the "
+        "real envelope schema, success = non-null lsn — the replay "
+        "query's judge, so a stream row can never be classified "
+        "differently than the batch path), and a running (day, "
+        "reason) count is the only streaming state (bounded at "
+        "|days| x 3 rows forever). The batch-side readout pivots the "
+        "drained counts into the identical report columns — shared "
+        "oracle, so stream == batch is the checked contract.",
+)
+def streaming_quarantine_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from change_data_capture_poc_spark.cdc.envelope import envelope_schema
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        ensure_quarantine_log,
+    )
+
+    d = ensure_quarantine_log(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("value", T.StringType()),
+                    T.StructField("day", T.StringType()),
+                ]
+            )
+        )
+        .format("text")
+        .load(d)
+    )
+    env = envelope_schema(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    lsn = (
+        F.from_json("value", env)
+        .getField("payload")
+        .getField("source")
+        .getField("lsn")
+    )
+    reason = (
+        F.when(lsn.isNotNull(), F.lit("ok"))
+        .when(F.substring("value", 1, 1) != "{", F.lit("not_json"))
+        .otherwise(F.lit("truncated"))
+    )
+    counts = (
+        stream.select(F.col("day").cast("string").alias("day"), reason.alias("reason"))
+        .groupBy("day", "reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    drained = _drain(
+        counts, "streaming_quarantine_tbl", "complete"
+    )
+    n_reason = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, F.col("cnt")).otherwise(0)
+    ).cast("long")
+    return (
+        drained.groupBy("day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            n_reason("ok").alias("n_ok"),
+            n_reason("truncated").alias("n_truncated"),
+            n_reason("not_json").alias("n_not_json"),
+        )
+        .select(
+            "day",
+            "n_lines",
+            "n_ok",
+            "n_truncated",
+            "n_not_json",
+            F.round(
+                (F.col("n_lines") - F.col("n_ok")) * 1.0 / F.col("n_lines")
+                + F.lit(1e-9),
+                6,
+            ).alias("bad_fraction"),
+        )
+    )
