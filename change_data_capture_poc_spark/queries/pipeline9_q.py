@@ -346,6 +346,18 @@ from change_data_capture_poc_spark.queries.pipeline7_q import (  # noqa: E402
 )
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> list[int]:
+    """(size, mtime_ns) of a source parquet — the staleness guard for
+    per-SF artifacts persisted under /tmp (index tables, synthesized
+    logs): testdata can be REGENERATED at the same path between
+    rounds, and an artifact keyed on the path alone would silently
+    serve the old generation. One os.stat, no data read."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return [st.st_size, st.st_mtime_ns]
+
+
 def _ann_index_dir(sf_dir: str) -> str:
     """Per-SF index home (same /tmp device as streaming_q._stream_dir
     — in production this is the object-store prefix the offline build
@@ -372,19 +384,24 @@ def ensure_ann_index(
       input in production; materialized here so the serve plan
       provably never touches the embeddings table).
 
-    plus ``_INDEX_META.json`` recording the source. Rebuild happens
-    only on ``force`` or a missing/mismatched marker — serving does
-    NOT fingerprint the corpus per call (neither does FAISS); refresh
-    via ann_index_build."""
+    plus ``_INDEX_META.json`` recording the source path AND its stat
+    fingerprint (size + mtime): /tmp artifacts outlive testdata
+    regeneration at the same path, and a stale index would silently
+    diverge from a refreshed embeddings table. The fingerprint is one
+    os.stat — no data read — so freshness is checked on every call
+    without violating the FAISS-style no-per-call-corpus-scan rule;
+    force-refresh via ann_index_build."""
     import json
     import os
 
     d = _ann_index_dir(sf_dir)
     marker = os.path.join(d, "_INDEX_META.json")
+    fp = _source_fingerprint(sf_dir, "embeddings")
     if not force and os.path.exists(marker):
         try:
             with open(marker) as fh:
-                if json.load(fh).get("sf_dir") == sf_dir:
+                meta = json.load(fh)
+                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
                     return d
         except (OSError, ValueError):
             pass  # unreadable marker -> rebuild
@@ -409,7 +426,7 @@ def ensure_ann_index(
         os.path.join(d, "queries.parquet")
     )
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": sf_dir}, fh)
+        json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
     return d
 
 
@@ -759,10 +776,12 @@ def ensure_quarantine_log(
 
     d = _quarantine_log_dir(sf_dir)
     marker = os.path.join(d, "_LOG_META.json")
+    fp = _source_fingerprint(sf_dir, "events")
     if not force and os.path.exists(marker):
         try:
             with open(marker) as fh:
-                if json.load(fh).get("sf_dir") == sf_dir:
+                meta = json.load(fh)
+                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
                     return d
         except (OSError, ValueError):
             pass  # unreadable marker -> rebuild
@@ -799,7 +818,7 @@ def ensure_quarantine_log(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
     ).write.partitionBy("day").mode("overwrite").text(d)
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": sf_dir}, fh)
+        json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
     return d
 
 

@@ -414,3 +414,42 @@ def test_quarantine_replay_recovers_exactly_the_garbled_lines(
     ).first()
     assert sum(r.n_recovered for r in rows) == exp.rec
     assert sum(r.n_dead for r in rows) == exp.dead
+
+
+def test_quarantine_log_regenerates_when_source_changes(
+    spark, sf_dir, tmp_path
+):
+    """Staleness guard: per-SF /tmp artifacts outlive testdata
+    regeneration at the same path. A changed source fingerprint
+    (size/mtime) must trigger a rebuild; an unchanged one must not."""
+    import json
+    import os
+    import shutil
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _quarantine_log_dir,
+        ensure_quarantine_log,
+    )
+
+    my_sf = str(tmp_path / "sf")
+    os.makedirs(my_sf)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(my_sf, "events.parquet"),
+    )
+    d = ensure_quarantine_log(spark, my_sf)
+    marker = os.path.join(_quarantine_log_dir(my_sf), "_LOG_META.json")
+    with open(marker) as fh:
+        fp1 = json.load(fh)["fp"]
+
+    # Unchanged source: marker (and its mtime) stay put.
+    m1 = os.path.getmtime(marker)
+    assert ensure_quarantine_log(spark, my_sf) == d
+    assert os.path.getmtime(marker) == m1
+
+    # "Regenerated" source (new mtime): rebuild, new fingerprint.
+    os.utime(os.path.join(my_sf, "events.parquet"))
+    ensure_quarantine_log(spark, my_sf)
+    with open(marker) as fh:
+        fp2 = json.load(fh)["fp"]
+    assert fp2 != fp1
