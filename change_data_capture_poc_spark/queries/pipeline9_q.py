@@ -1260,3 +1260,133 @@ def cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_quarantined") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_build / bpe_encode_from_vocab — tokenizer train/serve split
+# ---------------------------------------------------------------------------
+#
+# The tokenizer twin of the ANN index split: production pipelines train
+# a tokenizer ONCE and ship the artifact; every encode job afterwards
+# loads the artifact and never re-runs training. Relational form: the
+# trainer's final word -> token-array vocabulary and the symbol -> id
+# table are written to parquet (with the same source fingerprint guard
+# as the other persisted artifacts), and the from-vocab encoder is one
+# corpus scan + a vocabulary join — its plan embeds ZERO trainer
+# stages (pytest pins exactly one documents scan vs. the in-plan
+# encoder's trainer cascade).
+
+
+def _bpe_vocab_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_bpe_vocab_{key}"
+
+
+def ensure_bpe_vocab(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Train iff absent/stale; write ``vocab.parquet`` (word, toks)
+    and ``token_ids.parquet`` (token, token_id)."""
+    import json
+    import os
+
+    d = _bpe_vocab_dir(sf_dir)
+    marker = os.path.join(d, "_VOCAB_META.json")
+    fp = _source_fingerprint(sf_dir, "documents")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
+                    return d
+        except (OSError, ValueError):
+            pass  # unreadable marker -> rebuild
+
+    _merges, v = _bpe_train_state(spark, sf_dir)
+    v.select("word", "toks").write.mode("overwrite").parquet(
+        os.path.join(d, "vocab.parquet")
+    )
+    syms = v.select(F.explode("toks").alias("token")).distinct()
+    syms.select(
+        "token",
+        (F.row_number().over(global_window("token")) - 1)
+        .cast("int")
+        .alias("token_id"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "token_ids.parquet")
+    )
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
+    return d
+
+
+@register(
+    "tokenizer_vocab_build",
+    oracle=_bpe_rounds_cte() + f""",
+    vocab AS (SELECT word, toks FROM v{_BPE_ROUNDS}),
+    syms AS (
+        SELECT DISTINCT t AS token
+        FROM (SELECT unnest(toks) AS t FROM vocab)
+    )
+    SELECT token,
+           CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT)
+               AS token_id
+    FROM syms
+    """,
+    doc=f"TOKENIZER ARTIFACT BUILD — the offline half of the "
+        f"tokenizer train/serve split: runs the {_BPE_ROUNDS}-round "
+        f"trainer once, persists the word->tokens vocabulary and the "
+        f"symbol->id table to parquet, and RETURNS the id table read "
+        f"back FROM DISK so the oracle certifies the persisted bytes "
+        f"(the ann_index_build pattern). Refreshes on force or when "
+        f"the source fingerprint changes. Scale shape: training is "
+        f"the documented Heaps-bounded trainer; the artifact is "
+        f"vocabulary-sized, not corpus-sized.",
+)
+def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = ensure_bpe_vocab(spark, sf_dir, force=True)
+    return spark.read.parquet(os.path.join(d, "token_ids.parquet"))
+
+
+@register(
+    "bpe_encode_from_vocab",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODE FROM THE PERSISTED ARTIFACT — the online half: "
+        "tokenize the corpus reading the trained vocabulary from "
+        "parquet instead of embedding the trainer in the plan (what "
+        "every encode job after training actually does). One corpus "
+        "scan, one join against the artifact's word table (Zipf-"
+        "bounded, AQE picks broadcast vs hash), one broadcast id "
+        "join; pytest pins the plan contains exactly one documents "
+        "scan and row-for-row equality with the in-plan encoder — "
+        "the trainer cascade is provably absent. Shares "
+        "bpe_encode_corpus's oracle: artifact round-trip through "
+        "parquet must be semantics-preserving.",
+)
+def bpe_encode_from_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = ensure_bpe_vocab(spark, sf_dir)
+    v = spark.read.parquet(os.path.join(d, "vocab.parquet"))
+    ids = spark.read.parquet(os.path.join(d, "token_ids.parquet"))
+
+    doc = load_table(spark, sf_dir, "documents")
+    dw = (
+        doc.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("word_pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    enc = dw.join(v, "word").select(
+        "doc_id",
+        "word_pos",
+        F.posexplode("toks").alias("tok_idx", "token"),
+    )
+    return enc.join(F.broadcast(ids), "token").select(
+        "doc_id", "word_pos", "tok_idx", "token", "token_id"
+    )

@@ -453,3 +453,31 @@ def test_quarantine_log_regenerates_when_source_changes(
     with open(marker) as fh:
         fp2 = json.load(fh)["fp"]
     assert fp2 != fp1
+
+
+def test_bpe_encode_from_vocab_matches_and_skips_trainer(spark, sf_dir):
+    """Tokenizer train/serve split: the from-artifact encoder equals
+    the in-plan encoder row for row, and its plan scans documents
+    exactly ONCE (the corpus pass) plus the two artifact tables — the
+    trainer cascade is provably absent (the in-plan encoder's plan
+    scans documents more than once because it embeds training)."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _bpe_vocab_dir,
+        ensure_bpe_vocab,
+    )
+
+    ensure_bpe_vocab(spark, sf_dir, force=True)
+    qs = all_queries()
+    art = qs["bpe_encode_from_vocab"].fn(spark, sf_dir)
+    plan = art._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    assert _bpe_vocab_dir(sf_dir).split("/")[-1] in plan
+
+    inplan = qs["bpe_encode_corpus"].fn(spark, sf_dir)
+    assert (
+        inplan._jdf.queryExecution().executedPlan().toString()
+        .count("documents.parquet")
+        > 1
+    )
+    assert art.exceptAll(inplan).count() == 0
+    assert inplan.exceptAll(art).count() == 0
