@@ -150,6 +150,7 @@ HEADLINE = (
     "cdc_quarantine_replay",        # prefix-strip recovery of garbled lines
     "gdpr_erasure_purged_dim",      # right-to-be-forgotten purge execution
     "gdpr_erasure_ledger",          # per-day erasure compliance ledger
+    "bpe_encode_from_vocab",        # encode off the persisted tokenizer artifact
 )
 
 

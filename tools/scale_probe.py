@@ -175,7 +175,8 @@ PROBES = (
     "pack_fill_rate_report",
     "gdpr_erasure_purged_dim",
     "gdpr_erasure_ledger",
-    # NOT probed: ann_serve_from_index / ann_index_delta_serve and the
+    # NOT probed: ann_serve_from_index / ann_index_delta_serve,
+    # bpe_encode_from_vocab, and the
     # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
     # tables, synthesized log) keyed on sf_dir — the probe's
     # load_table self-union patch cannot scale those inputs, so a
