@@ -1691,21 +1691,25 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c0", F.lit(0)).alias("c0"),
         F.coalesce("c1", F.lit(0)).alias("c1"),
     )
-    from pyspark.sql.window import Window
-
-    wt = Window.partitionBy("event_type")
+    # Per-type totals as a plain groupBy + join (the grid is
+    # |types| x 16 rows, so the join is trivial and reads simpler
+    # than the former double window-sum + MIN-aggregate).
+    tot = f.groupBy("event_type").agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
     smooth = _PSI_B * 0.5
-    p = (F.col("c0") + 0.5) / (F.sum("c0").over(wt) + smooth)
-    q = (F.col("c1") + 0.5) / (F.sum("c1").over(wt) + smooth)
-    terms = f.select(
+    p = (F.col("c0") + 0.5) / (F.col("n0") + smooth)
+    q = (F.col("c1") + 0.5) / (F.col("n1") + smooth)
+    terms = f.join(tot, "event_type").select(
         "event_type",
-        F.sum("c0").over(wt).alias("n0"),
-        F.sum("c1").over(wt).alias("n1"),
+        "n0",
+        "n1",
         ((p - q) * F.log(p / q)).alias("term"),
     )
     return terms.groupBy("event_type").agg(
-        F.min("n0").cast("long").alias("n_first"),
-        F.min("n1").cast("long").alias("n_second"),
+        F.min("n0").alias("n_first"),
+        F.min("n1").alias("n_second"),
         F.round(F.sum("term") + F.lit(1e-9), 6).alias("psi"),
         (F.sum("term") > _PSI_FLAG).alias("drift_flag"),
     )
