@@ -151,6 +151,7 @@ HEADLINE = (
     "gdpr_erasure_purged_dim",      # right-to-be-forgotten purge execution
     "gdpr_erasure_ledger",          # per-day erasure compliance ledger
     "bpe_encode_from_vocab",        # encode off the persisted tokenizer artifact
+    "pack_best_fit_bpe_tokens",     # token-budget packing off the tokenizer
 )
 
 

@@ -1390,3 +1390,162 @@ def bpe_encode_from_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.join(F.broadcast(ids), "token").select(
         "doc_id", "word_pos", "tok_idx", "token", "token_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_best_fit_bpe_tokens — the packer fed by the tokenizer, end to end
+# ---------------------------------------------------------------------------
+#
+# pack_best_fit packs by n_chars because that column ships with the
+# corpus; a real pretraining packer packs by TOKEN counts from the
+# production tokenizer. This composes the two round-9 deliverables:
+# per-doc token counts come from the persisted-vocabulary encode
+# (bpe_encode_from_vocab — no trainer in the plan), and the identical
+# banded-FFD assignment runs with a token capacity. The readout is the
+# per-lang fill-rate report — the number that decides whether the
+# tokenizer/packer pair wastes FLOPs.
+
+_PACKT_L = 256   # sequence capacity in TOKENS
+_PACKT_B = 8     # packing bands per (lang, class)
+_PACKT_KMAX = 8  # 2^8 = L: smallest class holds 1-token docs
+
+
+def _packt_class_case_sql() -> str:
+    branches = [f"WHEN n_toks > {_PACKT_L} THEN -1"]
+    for k in range(_PACKT_KMAX):
+        branches.append(f"WHEN n_toks > {_PACKT_L >> (k + 1)} THEN {k}")
+    return "CASE " + " ".join(branches) + f" ELSE {_PACKT_KMAX} END"
+
+
+def _packt_class_col() -> F.Column:
+    c = F.when(F.col("n_toks") > _PACKT_L, F.lit(-1))
+    for k in range(_PACKT_KMAX):
+        c = c.when(F.col("n_toks") > (_PACKT_L >> (k + 1)), F.lit(k))
+    return c.otherwise(F.lit(_PACKT_KMAX))
+
+
+@register(
+    "pack_best_fit_bpe_tokens",
+    oracle=_bpe_rounds_cte() + f""",
+    dw AS (
+        SELECT sp.doc_id, sp.s[s.i + 1] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS s
+              FROM documents) sp,
+             LATERAL (SELECT unnest(range(len(sp.s))) AS i) s
+        WHERE sp.s[s.i + 1] != ''
+    ),
+    tc AS (
+        SELECT dw.doc_id,
+               CAST(SUM(len(v.toks)) AS BIGINT) AS n_toks
+        FROM dw JOIN v{_BPE_ROUNDS} v USING (word)
+        GROUP BY dw.doc_id
+    ),
+    d AS (
+        SELECT t.doc_id, doc.lang, t.n_toks,
+               {_packt_class_case_sql()} AS size_class,
+               CAST(t.doc_id % {_PACKT_B} AS INT) AS band
+        FROM tc t JOIN documents doc USING (doc_id)
+    ),
+    a AS (
+        SELECT doc_id, lang, n_toks, size_class, band,
+               CAST((ROW_NUMBER() OVER (
+                        PARTITION BY lang, size_class, band
+                        ORDER BY n_toks DESC, doc_id) - 1)
+                    // (CASE WHEN size_class = -1 THEN 1
+                        ELSE (1 << size_class) END) AS BIGINT) AS bin_id
+        FROM d
+    ),
+    bins AS (
+        SELECT lang, size_class, band, bin_id,
+               COUNT(*) AS n_docs, SUM(n_toks) AS toks
+        FROM a GROUP BY lang, size_class, band, bin_id
+    )
+    SELECT lang,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN size_class = -1 THEN toks
+                    ELSE {_PACKT_L} END) AS BIGINT) AS capacity,
+           ROUND(SUM(toks) * 1.0 /
+                 SUM(CASE WHEN size_class = -1 THEN toks
+                     ELSE {_PACKT_L} END) + 1e-9, 6) AS fill_rate,
+           CAST((SUM(toks) + {_PACKT_L - 1}) // {_PACKT_L} AS BIGINT)
+               AS baseline_seqs,
+           ROUND(COUNT(*) * 1.0 /
+                 ((SUM(toks) + {_PACKT_L - 1}) // {_PACKT_L})
+                 + 1e-9, 6) AS bin_overhead
+    FROM bins GROUP BY lang
+    """,
+    doc=f"TOKEN-BUDGET SEQUENCE PACKING — the tokenizer/packer "
+        f"composition a pretraining pipeline actually runs: per-doc "
+        f"token counts from the PERSISTED-vocabulary encode "
+        f"(bpe_encode_from_vocab; no trainer stages), then the "
+        f"pack_best_fit banded-FFD assignment with a {_PACKT_L}-token "
+        f"capacity and harmonic size classes, read out as the "
+        f"per-lang fill-rate report (fill rate + bin overhead vs the "
+        f"split-anywhere lower bound) — the number that decides "
+        f"whether the tokenizer/packer pair wastes FLOPs. Scale "
+        f"shape: one corpus scan + vocab join for counts, one "
+        f"(lang, class, band)-keyed window over |docs| COUNTS (not "
+        f"tokens), two keyed rollups; token streams never shuffle.",
+)
+def pack_best_fit_bpe_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    enc = bpe_encode_from_vocab(spark, sf_dir)
+    tc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = tc.join(doc, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        _packt_class_col().alias("size_class"),
+        (F.col("doc_id") % _PACKT_B).cast("int").alias("band"),
+    )
+    w = Window.partitionBy("lang", "size_class", "band").orderBy(
+        F.col("n_toks").desc(), "doc_id"
+    )
+    cap = F.expr(
+        "CASE WHEN size_class = -1 THEN 1 ELSE (1 << size_class) END"
+    )
+    a = d.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "size_class",
+        "band",
+        ((F.row_number().over(w) - 1) / cap).cast("long").alias("bin_id"),
+    )
+    bins = a.groupBy("lang", "size_class", "band", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("toks"),
+    )
+    cap_toks = F.when(
+        F.col("size_class") == -1, F.col("toks")
+    ).otherwise(F.lit(_PACKT_L))
+    per_lang = bins.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(cap_toks).cast("long").alias("capacity"),
+    )
+    baseline = F.expr(f"(total_tokens + {_PACKT_L - 1}) div {_PACKT_L}")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        "capacity",
+        F.round(
+            F.col("total_tokens") * 1.0 / F.col("capacity") + F.lit(1e-9),
+            6,
+        ).alias("fill_rate"),
+        baseline.cast("long").alias("baseline_seqs"),
+        F.round(
+            F.col("n_bins") * 1.0 / baseline + F.lit(1e-9), 6
+        ).alias("bin_overhead"),
+    )
