@@ -1416,42 +1416,42 @@ def cdc_envelope_key_census(
         ).alias("raw")
     )
     n = raw.agg(F.count(F.lit(1)).cast("long").alias("total"))
-    # The whole after-image parses once into a string map and explodes
-    # to (key, value) appearances — get_json_object can't take a
-    # computed path (paths must be foldable), and a per-key parse would
-    # rescan the document per key anyway.
+    # One regex pass pulls every `"key":token` pair out of the
+    # after-image WITH its raw token (quotes intact) — quoting is the
+    # type signal the map-parse approach destroyed, and the former
+    # recovery (per-appearance locate() back into the serialized
+    # image, round 8) re-scanned the document once per key; measured
+    # 1.9x the round-7 cost at sf0.1. Sound for this flat to_json
+    # object — no spaces around ':', and a `"key":` sequence can't
+    # occur inside a string value because to_json escapes embedded
+    # quotes as \".
     k = raw.select(
-        F.get_json_object("raw", "$.after").alias("after_raw"),
         F.explode(
-            F.from_json(
-                F.get_json_object("raw", "$.after"), "map<string,string>"
+            F.expr(
+                r"""regexp_extract_all(
+                    get_json_object(raw, '$.after'),
+                    '"([^"]+)":("[^"]*"|[^,}]+)', 0)"""
             )
-        ).alias("key_name", "val"),
+        ).alias("pair")
+    ).select(
+        F.regexp_extract("pair", '^"([^"]+)"', 1).alias("key_name"),
+        # The raw token starts right after `"key":` — position
+        # len(key)+4 (quote + key + quote + colon, 1-based).
+        F.expr(
+            "substr(pair, length(regexp_extract(pair,"
+            " '^\"([^\"]+)\"', 1)) + 4)"
+        ).alias("tok"),
     )
     # Per-appearance JSON type from the RAW token, named the way
-    # DuckDB's json_type names them (lowercased for parity). The map
-    # parse strips quotes, so lexical shape alone would call a
-    # string-typed '123' a bigint where json_type says VARCHAR; we
-    # recover quoting from the serialized after-image instead: the
-    # character right after `"key":` is '"' iff the token is a JSON
-    # string. Sound for this flat to_json object — no spaces around
-    # ':', and a `"key":` sequence can't occur inside a string value
-    # because to_json escapes embedded quotes as \".
-    quoted = (
-        F.expr(
-            "substr(after_raw,"
-            " locate(concat('\"', key_name, '\":'), after_raw)"
-            " + length(key_name) + 3, 1)"
-        )
-        == '"'
-    )
+    # DuckDB's json_type names them (lowercased for parity): a leading
+    # quote is a string no matter how numeric the content looks.
     jtype = (
-        F.when(quoted, F.lit("varchar"))
-        .when(F.col("val").rlike("^-?[0-9]+$"), F.lit("bigint"))
+        F.when(F.substring("tok", 1, 1) == '"', F.lit("varchar"))
+        .when(F.col("tok").rlike("^-?[0-9]+$"), F.lit("bigint"))
         .when(
-            F.col("val").rlike("^-?[0-9]*\\.[0-9]+$"), F.lit("double")
+            F.col("tok").rlike("^-?[0-9]*\\.[0-9]+$"), F.lit("double")
         )
-        .when(F.col("val").isin("true", "false"), F.lit("boolean"))
+        .when(F.col("tok").isin("true", "false"), F.lit("boolean"))
         .otherwise(F.lit("varchar"))
     )
     c = k.select("key_name", jtype.alias("jt")).groupBy("key_name").agg(
