@@ -152,6 +152,7 @@ HEADLINE = (
     "gdpr_erasure_ledger",          # per-day erasure compliance ledger
     "bpe_encode_from_vocab",        # encode off the persisted tokenizer artifact
     "pack_best_fit_bpe_tokens",     # token-budget packing off the tokenizer
+    "cdc_incremental_agg_maintenance",  # snapshot + pruned-delta IVM merge
 )
 
 

@@ -1549,3 +1549,121 @@ def pack_best_fit_bpe_tokens(
             F.col("n_bins") * 1.0 / baseline + F.lit(1e-9), 6
         ).alias("bin_overhead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_incremental_agg_maintenance — materialized-view maintenance off CDC
+# ---------------------------------------------------------------------------
+#
+# The reason CDC feeds exist at all: keep a downstream aggregate
+# CURRENT without rescanning history. The per-user aggregate over the
+# first half of the log is materialized once (the "view snapshot",
+# fingerprint-guarded like every persisted artifact here); maintenance
+# reads the snapshot plus ONLY the rows past the snapshot watermark
+# (the predicate is pushed into the events scan — pytest pins it) and
+# merges with a full-outer coalesce. The full-recompute oracle states
+# the contract that makes IVM trustworthy: snapshot + delta == truth.
+
+
+def _agg_snapshot_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_aggsnap_{key}"
+
+
+def ensure_agg_snapshot(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> tuple[str, int]:
+    """Materialize the per-user (n_events, value_sum) aggregate over
+    event_id <= T (T = max id div 2, the halves convention); returns
+    (dir, T)."""
+    import json
+    import os
+
+    d = _agg_snapshot_dir(sf_dir)
+    marker = os.path.join(d, "_SNAP_META.json")
+    fp = _source_fingerprint(sf_dir, "events")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
+                    return d, int(meta["t"])
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable marker -> rebuild
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    t = int(ev.agg(F.expr("max(event_id) div 2")).first()[0])
+    (
+        ev.where(F.col("event_id") <= t)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "snapshot.parquet"))
+    )
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "fp": fp, "t": t}, fh)
+    return d, t
+
+
+@register(
+    "cdc_incremental_agg_maintenance",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) + 1e-9, 6) AS value_sum
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view "
+        "update every CDC consumer ultimately runs: the per-user "
+        "aggregate snapshot (materialized once at the id watermark) "
+        "merges with an aggregate over ONLY the post-watermark delta "
+        "rows via full-outer coalesce — history is never rescanned "
+        "(the delta predicate is pushed into the events scan; pytest "
+        "pins it, plus snapshot-staleness regeneration). The "
+        "full-recompute oracle states the IVM contract: snapshot + "
+        "delta == truth, key by key. Scale shape: the delta scan is "
+        "range-pruned to new rows; one aggregate shuffle over the "
+        "delta; the merge joins on the snapshot's own key "
+        "partitioning. At 100 TB this is the difference between "
+        "touching a day's changes and touching a year's history.",
+)
+def cdc_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    d, t = ensure_agg_snapshot(spark, sf_dir)
+    snap = spark.read.parquet(os.path.join(d, "snapshot.parquet"))
+    delta = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & (F.col("event_id") > t))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_n"),
+            F.sum("value").alias("d_sum"),
+        )
+    )
+    return (
+        snap.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce("n_events", F.lit(0))
+                + F.coalesce("d_n", F.lit(0))
+            ).alias("n_events"),
+            F.round(
+                F.coalesce("value_sum", F.lit(0.0))
+                + F.coalesce("d_sum", F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("value_sum"),
+        )
+    )

@@ -1488,3 +1488,32 @@ def streaming_quarantine_drain(
             ).alias("bad_fraction"),
         )
     )
+
+
+@register(
+    "streaming_dedup_ttl_drain",
+    oracle="SELECT DISTINCT user_id FROM events",
+    doc="Streaming dedup with TTL-BOUNDED state "
+        "(dropDuplicatesWithinWatermark): the plain streaming "
+        "dropDuplicates keeps every key it has ever seen — state "
+        "grows with key cardinality forever, the thing that actually "
+        "kills month-long streaming jobs at 100 TB. The "
+        "within-watermark variant expires a key's dedup state once "
+        "the event-time watermark passes it, bounding state at "
+        "(keys active inside one watermark window). The 45-day delay "
+        "covers this corpus's whole 30-day span, so the drain equals "
+        "plain DISTINCT — same oracle as streaming_dedup_drain, "
+        "different (bounded) state machine underneath; a production "
+        "deployment shrinks the delay to its real duplicate horizon.",
+)
+def streaming_dedup_ttl_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    return _drain(ev, "streaming_dedup_ttl_tbl", "append")

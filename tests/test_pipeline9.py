@@ -481,3 +481,42 @@ def test_bpe_encode_from_vocab_matches_and_skips_trainer(spark, sf_dir):
     )
     assert art.exceptAll(inplan).count() == 0
     assert inplan.exceptAll(art).count() == 0
+
+
+def test_ivm_maintenance_reads_snapshot_plus_pruned_delta(
+    spark, sf_dir
+):
+    """The IVM contract in the plan: maintenance reads the persisted
+    snapshot table plus an events scan whose delta predicate
+    (event_id > T) is PUSHED into the parquet reader — history is
+    never rescanned. Result equality with the full recompute is the
+    oracle's job; here we also pin it against a direct groupBy."""
+    from change_data_capture_poc_spark.plans.inspect import (
+        formatted_plan,
+        pushed_filters,
+    )
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _agg_snapshot_dir,
+        ensure_agg_snapshot,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    ensure_agg_snapshot(spark, sf_dir, force=True)
+    df = all_queries()["cdc_incremental_agg_maintenance"].fn(
+        spark, sf_dir
+    )
+    plan = formatted_plan(df)
+    assert _agg_snapshot_dir(sf_dir).split("/")[-1] in plan
+    assert "GreaterThan(event_id" in " | ".join(
+        pushed_filters(df, plan)
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    direct = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("value_sum"),
+    )
+    assert df.exceptAll(direct).count() == 0
+    assert direct.exceptAll(df).count() == 0

@@ -176,7 +176,8 @@ PROBES = (
     "gdpr_erasure_purged_dim",
     "gdpr_erasure_ledger",
     # NOT probed: ann_serve_from_index / ann_index_delta_serve,
-    # bpe_encode_from_vocab / pack_best_fit_bpe_tokens, and the
+    # bpe_encode_from_vocab / pack_best_fit_bpe_tokens /
+    # cdc_incremental_agg_maintenance, and the
     # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
     # tables, synthesized log) keyed on sf_dir — the probe's
     # load_table self-union patch cannot scale those inputs, so a
