@@ -401,7 +401,11 @@ def ensure_ann_index(
         try:
             with open(marker) as fh:
                 meta = json.load(fh)
-                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
+                if (
+                    meta.get("sf_dir") == sf_dir
+                    and meta.get("fp") == fp
+                    and "max_vec_id" in meta  # pre-watermark marker -> stale
+                ):
                     return d
         except (OSError, ValueError):
             pass  # unreadable marker -> rebuild
@@ -425,8 +429,12 @@ def ensure_ann_index(
     _pq_queries(e).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(d, "queries.parquet")
     )
+    # max_vec_id = the build's id watermark, recorded so incremental
+    # serving can find "rows inserted since this build" from the
+    # metadata alone (no corpus scan at serve time).
+    hi = int(e.agg(F.max("vec_id")).first()[0])
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
+        json.dump({"sf_dir": sf_dir, "fp": fp, "max_vec_id": hi}, fh)
     return d
 
 
@@ -942,15 +950,17 @@ def cdc_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _delta_watermark(spark: SparkSession, sf_dir: str) -> int:
-    """The last build's id watermark: 90% of the id range. One 1-row
-    aggregate collect (bounded); in production this is a literal read
-    from the index metadata, not computed."""
-    hi = (
-        load_table(spark, sf_dir, "embeddings")
-        .agg(F.max("vec_id").alias("m"))
-        .first()["m"]
-    )
-    return int(hi * 9 // 10)
+    """The last build's id watermark: 90% of the max id the BUILD
+    recorded in the index metadata — a marker read, zero scans at
+    serve time (the simulated delta is the top decile of build-time
+    ids standing in for rows inserted after the build)."""
+    import json
+    import os
+
+    d = ensure_ann_index(spark, sf_dir)
+    with open(os.path.join(d, "_INDEX_META.json")) as fh:
+        hi = int(json.load(fh)["max_vec_id"])
+    return hi * 9 // 10
 
 
 @register(
