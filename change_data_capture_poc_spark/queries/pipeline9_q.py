@@ -22,6 +22,17 @@ Closes the genuinely-absent deliverables from the round-8 verdict:
 - ``gdpr_erasure_purged_dim`` / ``gdpr_erasure_ledger`` — the
   executed right-to-be-forgotten purge and its compliance ledger,
   completing the erasure trio with cdc_ops_q's work queue.
+- ``tokenizer_vocab_build`` / ``bpe_encode_from_vocab`` — the
+  tokenizer train/serve split (persisted vocabulary artifact; encode
+  jobs never embed the trainer), and ``pack_best_fit_bpe_tokens``,
+  the tokenizer->packer composition packing by real token counts.
+- ``cdc_incremental_agg_maintenance`` — materialized-view
+  maintenance off the CDC feed: persisted snapshot + pushed-predicate
+  delta merge, full-recompute oracle (snapshot + delta == truth).
+
+Every persisted /tmp artifact (index, log, vocabulary, snapshot) is
+fingerprint-guarded against testdata regeneration at the same path
+(``_source_fingerprint``).
 """
 
 from __future__ import annotations
