@@ -1680,9 +1680,18 @@ def cdc_incremental_agg_maintenance(
                 F.coalesce("n_events", F.lit(0))
                 + F.coalesce("d_n", F.lit(0))
             ).alias("n_events"),
+            # NULL-aware merge: SUM ignores NULLs, so a key whose
+            # values are all NULL sums to NULL (not 0.0) in both
+            # engines — coalescing both sides to 0.0 would turn that
+            # into 0.0 and silently diverge from the recompute.
             F.round(
-                F.coalesce("value_sum", F.lit(0.0))
-                + F.coalesce("d_sum", F.lit(0.0))
+                F.when(
+                    F.col("value_sum").isNull() & F.col("d_sum").isNull(),
+                    F.lit(None).cast("double"),
+                ).otherwise(
+                    F.coalesce("value_sum", F.lit(0.0))
+                    + F.coalesce("d_sum", F.lit(0.0))
+                )
                 + F.lit(1e-9),
                 6,
             ).alias("value_sum"),

@@ -520,3 +520,37 @@ def test_ivm_maintenance_reads_snapshot_plus_pruned_delta(
     )
     assert df.exceptAll(direct).count() == 0
     assert direct.exceptAll(df).count() == 0
+
+
+def test_ivm_merge_preserves_all_null_sum(spark, tmp_path):
+    """SUM ignores NULLs: a key whose values are ALL NULL must stay
+    NULL through the snapshot+delta merge (coalescing both sides to
+    0.0 would silently report 0.0 where the recompute says NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # user 1: all-null values split across both halves; user 2: mixed.
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(4)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1, 2, 1, 2], type=pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([None, 1.5, None, 2.25], type=pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    out = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in all_queries()["cdc_incremental_agg_maintenance"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert out[1] == (2, None)
+    assert out[2][0] == 2 and abs(out[2][1] - 3.75) < 1e-6
