@@ -153,6 +153,9 @@ HEADLINE = (
     "bpe_encode_from_vocab",        # encode off the persisted tokenizer artifact
     "pack_best_fit_bpe_tokens",     # token-budget packing off the tokenizer
     "cdc_incremental_agg_maintenance",  # snapshot + pruned-delta IVM merge
+    "ann_index_compact",            # fold the delta into a new generation
+    "bpe_detokenize_roundtrip",     # certified tokenizer inverse
+    "pack_emit_sequences",          # slot-ordered sequence manifests
 )
 
 

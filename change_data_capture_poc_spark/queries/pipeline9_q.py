@@ -29,6 +29,12 @@ Closes the genuinely-absent deliverables from the round-8 verdict:
 - ``cdc_incremental_agg_maintenance`` — materialized-view
   maintenance off the CDC feed: persisted snapshot + pushed-predicate
   delta merge, full-recompute oracle (snapshot + delta == truth).
+- ``ann_index_compact`` / ``bpe_detokenize_roundtrip`` /
+  ``pack_emit_sequences`` — the lifecycle closers: fold the served
+  delta into a new index generation (== from-scratch build, bit for
+  bit), decode the token stream back to the source text (the
+  tokenizer's certified inverse), and emit the slot-ordered sequence
+  manifests the training loader actually consumes.
 
 Every persisted /tmp artifact (index, log, vocabulary, snapshot) is
 fingerprint-guarded against testdata regeneration at the same path
@@ -452,9 +458,11 @@ def ensure_ann_index(
 _CODE_COLS = [f"code_{m}" for m in range(_PQ_M)]
 
 
-@register(
-    "ann_index_build",
-    oracle=_ivfpq_cte() + f""",
+def _codes_oracle() -> str:
+    """The full-corpus code table restated from raw embeddings — the
+    oracle for every query whose answer IS the persisted index state
+    (build, and compaction, which must reproduce it exactly)."""
+    return _ivfpq_cte() + f""",
     pcodes AS (
         SELECT vec_id,
                {", ".join(
@@ -465,7 +473,12 @@ _CODE_COLS = [f"code_{m}" for m in range(_PQ_M)]
     SELECT a.vec_id, CAST(a.ccid AS BIGINT) AS ccid,
            {", ".join(f"p.code_{m}" for m in range(_PQ_M))}
     FROM asgn a JOIN pcodes p USING (vec_id)
-    """,
+    """
+
+
+@register(
+    "ann_index_build",
+    oracle=_codes_oracle(),
     doc=f"IVF-PQ index BUILD — the offline half of the production "
         f"build/serve split (FAISS builds the index once; serving "
         f"never re-reads raw vectors). Writes codebook ({_PQ_C} "
@@ -1696,4 +1709,198 @@ def cdc_incremental_agg_maintenance(
                 6,
             ).alias("value_sum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_index_compact — fold the delta into a new index generation
+# ---------------------------------------------------------------------------
+#
+# The third verb of the index lifecycle (build -> delta-serve ->
+# COMPACT): delta-serving re-encodes the post-watermark rows on every
+# request, so once the delta grows past a threshold the nightly job
+# folds it into a new code-table generation and the watermark advances.
+# FAISS ships this as "rebuild with add()-ed vectors"; relationally it
+# is the delta-serve union WRITTEN BACK instead of scored: base codes
+# (pushed-range scan, <= watermark) union the delta encoded against the
+# persisted codebook (map-side literal argmin, NO retrain — the coarse
+# geometry is frozen, exactly like FAISS compaction), landing as
+# codes_g2. Because PQ encoding is deterministic in (codebook, vector),
+# the compacted generation must equal a from-scratch build bit for bit
+# — that is the oracle (shared with ann_index_build), and the pytest
+# pins generation-2 == generation-1 row for row. In production the swap
+# is then atomic: rename the generation directory, bump max_vec_id in
+# the metadata; this query leaves generation 1 untouched so serve/
+# delta-serve keep answering during the compaction (the reason
+# generations exist).
+
+
+@register(
+    "ann_index_compact",
+    oracle=_codes_oracle(),
+    doc=f"IVF-PQ index COMPACTION — fold the post-watermark delta into "
+        f"a new code-table generation: base codes come off the "
+        f"persisted table with the watermark range PUSHED into the "
+        f"scan, the delta is encoded in-plan against the persisted "
+        f"{_PQ_C}-codeword codebook (map-side argmin, no retrain), and "
+        f"the union is written as generation 2 and read back — the "
+        f"oracle (shared with ann_index_build) certifies the persisted "
+        f"bytes equal a from-scratch build, because PQ encoding is "
+        f"deterministic in (codebook, vector). Generation 1 stays "
+        f"untouched so serving continues mid-compaction. Scale shape: "
+        f"one linear pass over base codes (~128x smaller than raw "
+        f"vectors) + one over the delta slice; zero shuffles, zero "
+        f"joins — compaction is strictly cheaper than the build it "
+        f"replaces.",
+)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from change_data_capture_poc_spark.functions.vectors import (
+        centroid_argmin_expr,
+    )
+
+    d = ensure_ann_index(spark, sf_dir)
+    wm = _delta_watermark(spark, sf_dir)
+    cb = sorted(
+        (int(r["cid"]), [float(x) for x in r["v"]])
+        for r in spark.read.parquet(
+            os.path.join(d, "codebook.parquet")
+        ).collect()
+    )
+    base = (
+        spark.read.parquet(os.path.join(d, "codes.parquet"))
+        .where(F.col("vec_id") <= wm)
+        .select("vec_id", "ccid", *_CODE_COLS)
+    )
+    delta = (
+        _pq_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") > wm)
+        .select(
+            "vec_id",
+            centroid_argmin_expr(cb, "v").getField("cid")
+            .cast("long")
+            .alias("ccid"),
+            *_pq_code_cols(cb),
+        )
+        .select("vec_id", "ccid", *_CODE_COLS)
+    )
+    g2 = os.path.join(d, "codes_g2.parquet")
+    base.unionByName(delta).write.mode("overwrite").parquet(g2)
+    return spark.read.parquet(g2).select("vec_id", "ccid", *_CODE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# bpe_detokenize_roundtrip — decode the token stream back to text
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_detokenize_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       x -> x != ''), ' ') AS text_rt,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x != '')) AS BIGINT) AS n_words
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+    """,
+    doc="TOKENIZER DECODE — reassemble every document from its "
+        "persisted-vocabulary token stream (bpe_encode_from_vocab) and "
+        "certify the round trip: tokens concatenate back into their "
+        "word (BPE merges only ever concatenate, so the token arrays "
+        "partition the word by construction), words rejoin in word_pos "
+        "order. The oracle states the lossless contract DIRECTLY from "
+        "the source text (whitespace-normalized, the tokenizer's "
+        "pre-tokenization), never touching the trainer: any vocabulary "
+        "corruption, dropped token, or mis-ordered merge surfaces as a "
+        "text hash mismatch. Decode is what serving does millions of "
+        "times a day; a tokenizer without a certified inverse is half "
+        "shipped. Scale shape: two keyed aggregations ((doc, word) "
+        "then doc) over the token stream; reassembly is per-document, "
+        "nothing global.",
+)
+def bpe_detokenize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    enc = bpe_encode_from_vocab(spark, sf_dir)
+    words = enc.groupBy("doc_id", "word_pos").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+                lambda x: x["token"],
+            ),
+            "",
+        ).alias("word")
+    )
+    return words.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text_rt"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_emit_sequences — materialize the packed sequences themselves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_emit_sequences",
+    oracle=f"""
+    WITH {_PACK_ASSIGN_SQL}
+    SELECT lang, size_class, band, bin_id,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY slot),
+                           ',') AS doc_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS seq_chars,
+           CAST(CASE WHEN size_class = -1 THEN 0
+                ELSE {_PACK_L} - SUM(n_chars) END AS BIGINT) AS n_pad
+    FROM a GROUP BY lang, size_class, band, bin_id
+    """,
+    doc=f"PACKED SEQUENCE EMISSION — materialize what pack_best_fit "
+        f"only assigns: one row per bin carrying the slot-ordered "
+        f"document manifest (the deterministic concatenation order a "
+        f"trainer's data loader replays), occupancy, and the padding "
+        f"the {_PACK_L}-char capacity leaves (zero by convention for "
+        f"oversize singletons, which truncate downstream instead). "
+        f"This is the boundary artifact between the data pipeline and "
+        f"the training job: the loader consumes (sequence -> ordered "
+        f"doc ids), not per-doc assignments, and attention masking "
+        f"needs the boundaries in order. Scale shape: the assignment's "
+        f"(lang, class, band) window shuffle plus one keyed "
+        f"aggregation; manifests are per-bin (<= 2^{_PACK_KMAX} ids), "
+        f"never corpus-wide.",
+)
+def pack_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _pack_assignment(spark, sf_dir)
+    agg = a.groupBy("lang", "size_class", "band", "bin_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "doc_id"))),
+                lambda x: x["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("seq_chars"),
+    )
+    return agg.select(
+        "lang",
+        "size_class",
+        "band",
+        "bin_id",
+        "doc_ids",
+        "n_docs",
+        "seq_chars",
+        F.when(F.col("size_class") == -1, F.lit(0))
+        .otherwise(F.lit(_PACK_L) - F.col("seq_chars"))
+        .cast("long")
+        .alias("n_pad"),
     )

@@ -554,3 +554,100 @@ def test_ivm_merge_preserves_all_null_sum(spark, tmp_path):
     }
     assert out[1] == (2, None)
     assert out[2][0] == 2 and abs(out[2][1] - 3.75) < 1e-6
+
+
+def test_compact_generation_equals_build(spark, sf_dir):
+    """Compaction transparency: folding the post-watermark delta into
+    generation 2 must reproduce the from-scratch build exactly (PQ
+    codes are deterministic in codebook + vector), and generation 1
+    must survive untouched so serving continues mid-compaction."""
+    import os
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _ann_index_dir,
+        ensure_ann_index,
+    )
+
+    qs = all_queries()
+    d = ensure_ann_index(spark, sf_dir)
+    g1_before = sorted(
+        os.listdir(os.path.join(d, "codes.parquet"))
+    )
+    g2 = qs["ann_index_compact"].fn(spark, sf_dir)
+    g1 = spark.read.parquet(os.path.join(d, "codes.parquet")).select(
+        *g2.columns
+    )
+    assert g2.exceptAll(g1).count() == 0
+    assert g1.exceptAll(g2).count() == 0
+    assert d == _ann_index_dir(sf_dir)
+    assert sorted(
+        os.listdir(os.path.join(d, "codes.parquet"))
+    ) == g1_before
+
+
+def test_detokenize_roundtrip_is_lossless(spark, sf_dir):
+    """Decode must invert encode for EVERY document: the reassembled
+    text equals the whitespace-normalized source (the tokenizer's
+    pre-tokenization), and no document with at least one word is
+    dropped or duplicated."""
+    qs = all_queries()
+    rt = qs["bpe_detokenize_roundtrip"].fn(spark, sf_dir)
+
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_join(words, " ").alias("text_exp"),
+            F.size(words).cast("long").alias("n_words_exp"),
+        )
+        .where(F.col("n_words_exp") > 0)
+    )
+    j = rt.join(expected, "doc_id", "full_outer")
+    assert j.where(
+        F.col("text_rt").isNull()
+        | F.col("text_exp").isNull()
+        | (F.col("text_rt") != F.col("text_exp"))
+        | (F.col("n_words") != F.col("n_words_exp"))
+    ).count() == 0
+
+
+def test_pack_emit_manifest_invariants(spark, sf_dir):
+    """Per-bin manifest laws: the slot-ordered id list carries exactly
+    n_docs entries, occupancy + padding equals capacity for sized
+    classes (padding is zero for oversize singletons), and the
+    manifests partition the assignment (every doc appears in exactly
+    one manifest)."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _PACK_L,
+        _pack_assignment,
+    )
+
+    qs = all_queries()
+    seqs = qs["pack_emit_sequences"].fn(spark, sf_dir)
+    bad = seqs.where(
+        (F.size(F.split("doc_ids", ",")) != F.col("n_docs"))
+        | (
+            (F.col("size_class") >= 0)
+            & (F.col("seq_chars") + F.col("n_pad") != F.lit(_PACK_L))
+        )
+        | ((F.col("size_class") == -1) & (F.col("n_pad") != 0))
+        | (F.col("n_pad") < 0)
+    )
+    assert bad.count() == 0
+
+    n_assigned = _pack_assignment(spark, sf_dir).count()
+    n_manifest = (
+        seqs.agg(F.sum("n_docs").cast("long")).first()[0]
+    )
+    n_distinct = (
+        seqs.select(
+            F.explode(F.split("doc_ids", ",")).alias("doc_id")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_manifest == n_assigned
+    assert n_distinct == n_assigned

@@ -175,8 +175,10 @@ PROBES = (
     "pack_fill_rate_report",
     "gdpr_erasure_purged_dim",
     "gdpr_erasure_ledger",
-    # NOT probed: ann_serve_from_index / ann_index_delta_serve,
-    # bpe_encode_from_vocab / pack_best_fit_bpe_tokens /
+    "pack_emit_sequences",
+    # NOT probed: ann_serve_from_index / ann_index_delta_serve /
+    # ann_index_compact, bpe_encode_from_vocab /
+    # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
     # cdc_incremental_agg_maintenance, and the
     # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
     # tables, synthesized log) keyed on sf_dir — the probe's
