@@ -156,6 +156,8 @@ HEADLINE = (
     "ann_index_compact",            # fold the delta into a new generation
     "bpe_detokenize_roundtrip",     # certified tokenizer inverse
     "pack_emit_sequences",          # slot-ordered sequence manifests
+    "wordpiece_maxmatch_encode",    # second tokenizer family (MaxMatch)
+    "tokenizer_family_fertility_compare",  # WordPiece-vs-BPE bake-off
 )
 
 

@@ -651,3 +651,58 @@ def test_pack_emit_manifest_invariants(spark, sf_dir):
     )
     assert n_manifest == n_assigned
     assert n_distinct == n_assigned
+
+
+def test_wordpiece_maxmatch_vs_pure_python(spark, sf_dir):
+    """The engine's relational MaxMatch (vocab admission -> jumps ->
+    greedy fold) must segment every distinct word exactly like a
+    straightforward Python greedy longest-match over the same
+    vocabulary rule."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _WP_MAXLEN,
+        _WP_PERMILLE,
+        _wp_word_toks,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    words = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    ):
+        words[r["w"]] = r["count"]
+
+    total = sum(words.values())
+    freq: dict[str, int] = {}
+    vocab = set()
+    for w, n in words.items():
+        for i in range(len(w)):
+            vocab.add(w[i])  # chars always admitted
+        for l in range(2, _WP_MAXLEN + 1):
+            for i in range(len(w) - l + 1):
+                t = w[i : i + l]
+                freq[t] = freq.get(t, 0) + n
+    vocab |= {t for t, f in freq.items() if f * 1000 >= total * _WP_PERMILLE}
+
+    def maxmatch(w: str) -> list[str]:
+        out, i = [], 0
+        while i < len(w):
+            for l in range(_WP_MAXLEN, 0, -1):
+                if i + l <= len(w) and w[i : i + l] in vocab:
+                    out.append(w[i : i + l])
+                    i += l
+                    break
+        return out
+
+    engine = {
+        r["word"]: list(r["toks"])
+        for r in _wp_word_toks(spark, sf_dir).collect()
+    }
+    assert set(engine) == set(words)
+    for w in words:
+        assert engine[w] == maxmatch(w), w
+        assert "".join(engine[w]) == w  # segmentation partitions the word

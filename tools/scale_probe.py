@@ -176,9 +176,11 @@ PROBES = (
     "gdpr_erasure_purged_dim",
     "gdpr_erasure_ledger",
     "pack_emit_sequences",
+    "wordpiece_maxmatch_encode",
     # NOT probed: ann_serve_from_index / ann_index_delta_serve /
     # ann_index_compact, bpe_encode_from_vocab /
     # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
+    # tokenizer_family_fertility_compare (persisted-vocab BPE side) /
     # cdc_incremental_agg_maintenance, and the
     # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
     # tables, synthesized log) keyed on sf_dir — the probe's
