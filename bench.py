@@ -158,6 +158,7 @@ HEADLINE = (
     "pack_emit_sequences",          # slot-ordered sequence manifests
     "wordpiece_maxmatch_encode",    # second tokenizer family (MaxMatch)
     "tokenizer_family_fertility_compare",  # WordPiece-vs-BPE bake-off
+    "wordpiece_threshold_sensitivity",  # vocab-size/fertility knob curve
 )
 
 

@@ -1941,12 +1941,12 @@ _WP_MAXLEN = 4      # longest subword the segmenter considers
 _WP_PERMILLE = 50   # vocab admission: freq >= 5% of word instances
 
 
-def _wp_vocab_ctes() -> str:
-    """Shared oracle CTE block: word counts -> admission-thresholded
-    subword vocabulary -> per-position longest-match jumps -> the
-    recursive greedy walk (word, tok_idx, token). Callers prepend
-    WITH RECURSIVE (the walk member requires it)."""
-    return f"""
+def _wp_base_ctes() -> str:
+    """Threshold-independent oracle CTEs: word counts, the instance
+    total, the char alphabet, occurrence-weighted substring
+    frequencies, the per-word position grid, and the doc->word
+    stream."""
+    return """
     wpc AS (
         SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
             SELECT unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1968,38 +1968,11 @@ def _wp_vocab_ctes() -> str:
              ) s
         GROUP BY 1
     ),
-    wpvocab AS (
-        SELECT token FROM wpchars
-        UNION
-        SELECT s.token FROM wpsubs s, wptot
-        WHERE s.freq * 1000 >= wptot.t * {_WP_PERMILLE}
-    ),
     wppos AS (
         SELECT wpc.word, s.p
         FROM wpc, LATERAL (
             SELECT unnest(range(1, length(wpc.word) + 1)) AS p
         ) s
-    ),
-    wpj AS (
-        SELECT word, p,
-               CASE WHEN p + 3 <= length(word) AND substring(word, p, 4)
-                             IN (SELECT token FROM wpvocab) THEN 4
-                    WHEN p + 2 <= length(word) AND substring(word, p, 3)
-                             IN (SELECT token FROM wpvocab) THEN 3
-                    WHEN p + 1 <= length(word) AND substring(word, p, 2)
-                             IN (SELECT token FROM wpvocab) THEN 2
-                    ELSE 1 END AS jump
-        FROM wppos
-    ),
-    wpwalk AS (
-        SELECT j.word, 1 + j.jump AS p, CAST(0 AS INT) AS tok_idx,
-               substring(j.word, 1, j.jump) AS token
-        FROM wpj j WHERE j.p = 1
-        UNION ALL
-        SELECT w.word, w.p + j2.jump, CAST(w.tok_idx + 1 AS INT),
-               substring(w.word, CAST(w.p AS INT), j2.jump)
-        FROM wpwalk w JOIN wpj j2 ON j2.word = w.word AND j2.p = w.p
-        WHERE w.p <= length(w.word)
     ),
     wpdw AS (
         SELECT sp.doc_id, CAST(s.i AS INT) AS word_pos,
@@ -2011,9 +1984,56 @@ def _wp_vocab_ctes() -> str:
     )"""
 
 
-def _wp_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, toks): the MaxMatch segmentation of every distinct word
-    — the engine half of _wp_vocab_ctes, all on the Heaps-bounded
+def _wp_walk_ctes(sfx: str, permille: int) -> str:
+    """Per-threshold oracle CTEs (vocab admission -> longest-match
+    jumps -> the recursive greedy walk), name-suffixed so several
+    thresholds coexist in one statement."""
+    return f"""
+    wpvocab{sfx} AS (
+        SELECT token FROM wpchars
+        UNION
+        SELECT s.token FROM wpsubs s, wptot
+        WHERE s.freq * 1000 >= wptot.t * {permille}
+    ),
+    wpj{sfx} AS (
+        SELECT word, p,
+               CASE WHEN p + 3 <= length(word) AND substring(word, p, 4)
+                             IN (SELECT token FROM wpvocab{sfx}) THEN 4
+                    WHEN p + 2 <= length(word) AND substring(word, p, 3)
+                             IN (SELECT token FROM wpvocab{sfx}) THEN 3
+                    WHEN p + 1 <= length(word) AND substring(word, p, 2)
+                             IN (SELECT token FROM wpvocab{sfx}) THEN 2
+                    ELSE 1 END AS jump
+        FROM wppos
+    ),
+    wpwalk{sfx} AS (
+        SELECT j.word, 1 + j.jump AS p, CAST(0 AS INT) AS tok_idx,
+               substring(j.word, 1, j.jump) AS token
+        FROM wpj{sfx} j WHERE j.p = 1
+        UNION ALL
+        SELECT w.word, w.p + j2.jump, CAST(w.tok_idx + 1 AS INT),
+               substring(w.word, CAST(w.p AS INT), j2.jump)
+        FROM wpwalk{sfx} w
+        JOIN wpj{sfx} j2 ON j2.word = w.word AND j2.p = w.p
+        WHERE w.p <= length(w.word)
+    )"""
+
+
+def _wp_vocab_ctes() -> str:
+    """Shared oracle CTE block at the default admission threshold:
+    word counts -> vocabulary -> jumps -> the recursive greedy walk
+    (word, tok_idx, token) -> the doc->word stream. Callers prepend
+    WITH RECURSIVE (the walk member requires it)."""
+    return (
+        _wp_base_ctes() + "," + _wp_walk_ctes("", _WP_PERMILLE)
+    )
+
+
+def _wp_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Threshold-independent engine frames: (words, chars, freq, tot)
+    — the engine half of _wp_base_ctes, all on the Heaps-bounded
     word table."""
     from change_data_capture_poc_spark.functions.caching import (
         persist_once,
@@ -2058,15 +2078,31 @@ def _wp_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         subs = s if subs is None else subs.unionByName(s)
     tot = words.agg(F.sum("n").cast("long").alias("t"))
+    freq = subs.groupBy("token").agg(
+        F.sum("n").cast("long").alias("freq")
+    )
+    return words, chars, freq, tot
+
+
+def _wp_vocab_for(
+    chars: DataFrame, freq: DataFrame, tot: DataFrame, permille: int
+) -> DataFrame:
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
     admitted = (
-        subs.groupBy("token")
-        .agg(F.sum("n").cast("long").alias("freq"))
-        .crossJoin(F.broadcast(tot))
-        .where(F.col("freq") * 1000 >= F.col("t") * _WP_PERMILLE)
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("freq") * 1000 >= F.col("t") * permille)
         .select("token")
     )
-    vocab = chars.unionByName(admitted).distinct().transform(persist_once)
+    return chars.unionByName(admitted).distinct().transform(persist_once)
 
+
+def _wp_toks_for(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, toks): the MaxMatch segmentation of every distinct word
+    under the given vocabulary — per-position longest-match jumps via
+    three joins against the bounded vocab, then one greedy fold."""
     wp = words.select(
         "word", F.explode(F.expr("sequence(1, length(word))")).alias("pos")
     )
@@ -2112,6 +2148,13 @@ def _wp_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("toks"),
     )
+
+
+def _wp_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, toks) at the default admission threshold — the engine
+    half of _wp_vocab_ctes."""
+    words, chars, freq, tot = _wp_tables(spark, sf_dir)
+    return _wp_toks_for(words, _wp_vocab_for(chars, freq, tot, _WP_PERMILLE))
 
 
 @register(
@@ -2230,3 +2273,94 @@ def tokenizer_family_fertility_compare(
     wp = wordpiece_maxmatch_encode(spark, sf_dir)
     bpe = bpe_encode_from_vocab(spark, sf_dir)
     return summarize(wp, "wordpiece").unionByName(summarize(bpe, "bpe"))
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_threshold_sensitivity — the vocab-size/fertility knob curve
+# ---------------------------------------------------------------------------
+
+_WP_CURVE = (20, 50, 100)  # admission thresholds, permille of instances
+
+
+def _wp_curve_oracle() -> str:
+    parts = ["WITH RECURSIVE " + _wp_base_ctes().strip()]
+    selects = []
+    for pm in _WP_CURVE:
+        sfx = f"_{pm}"
+        parts.append("," + _wp_walk_ctes(sfx, pm).strip())
+        selects.append(f"""
+        SELECT CAST({pm} AS INT) AS permille,
+               CAST((SELECT COUNT(*) FROM wpvocab{sfx}) AS BIGINT)
+                   AS vocab_size,
+               CAST(SUM(c.n) AS BIGINT) AS n_words,
+               CAST(SUM(c.n * tc.k) AS BIGINT) AS n_tokens
+        FROM wpc c JOIN (
+            SELECT word, COUNT(*) AS k FROM wpwalk{sfx} GROUP BY word
+        ) tc USING (word)""")
+    return (
+        "".join(parts)
+        + ", wcurve AS ("
+        + " UNION ALL ".join(selects)
+        + """)
+    SELECT permille, vocab_size, n_words, n_tokens,
+           ROUND(n_tokens * 1.0 / n_words + 1e-9, 6) AS fertility
+    FROM wcurve
+    """
+    )
+
+
+@register(
+    "wordpiece_threshold_sensitivity",
+    oracle=_wp_curve_oracle(),
+    doc=f"TOKENIZER ADMISSION-THRESHOLD CURVE — vocabulary size and "
+        f"corpus fertility at {len(_WP_CURVE)} MaxMatch admission "
+        f"thresholds ({', '.join(str(p) for p in _WP_CURVE)} permille "
+        f"of word instances) measured in ONE pass: the "
+        f"threshold-independent work (word counts, char alphabet, "
+        f"substring frequencies) is computed once and cached, each "
+        f"threshold re-derives only its vocab/jumps/segmentation, and "
+        f"— the scale move — corpus totals come from the WORD TABLE "
+        f"(n_tokens = sum over words of count x segment length), so "
+        f"the corpus itself is never re-scanned per knob. The "
+        f"vocab-size-vs-FLOPs trade-off table a tokenizer design "
+        f"review reads (same one-pass-knob-curve family as "
+        f"dedup_threshold_sensitivity and "
+        f"eval_histogram_width_sensitivity); fertility is "
+        f"non-increasing in vocab size, pytest-pinned. Scale shape: "
+        f"everything after the one corpus tokenize runs on the "
+        f"Heaps-bounded word table; output is {len(_WP_CURVE)} rows.",
+)
+def wordpiece_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    words, chars, freq, tot = _wp_tables(spark, sf_dir)
+    out = None
+    for pm in _WP_CURVE:
+        vocab = _wp_vocab_for(chars, freq, tot, pm)
+        toks = _wp_toks_for(words, vocab)
+        stats = (
+            toks.join(words, "word")
+            .agg(
+                F.sum("n").cast("long").alias("n_words"),
+                F.sum(F.col("n") * F.size("toks"))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+        )
+        row = (
+            vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+            .crossJoin(stats)
+            .select(
+                F.lit(pm).cast("int").alias("permille"),
+                "vocab_size",
+                "n_words",
+                "n_tokens",
+                F.round(
+                    F.col("n_tokens") * 1.0 / F.col("n_words")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("fertility"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -706,3 +706,31 @@ def test_wordpiece_maxmatch_vs_pure_python(spark, sf_dir):
     for w in words:
         assert engine[w] == maxmatch(w), w
         assert "".join(engine[w]) == w  # segmentation partitions the word
+
+
+def test_wordpiece_threshold_curve_monotone(spark, sf_dir):
+    """A looser admission threshold can only grow the vocabulary, and
+    a larger vocabulary can only shorten segmentations: vocab_size is
+    non-increasing and fertility non-decreasing in the threshold."""
+    rows = sorted(
+        (
+            r["permille"],
+            r["vocab_size"],
+            r["n_words"],
+            r["n_tokens"],
+        )
+        for r in all_queries()["wordpiece_threshold_sensitivity"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 3
+    n_words = {r[2] for r in rows}
+    assert len(n_words) == 1  # same corpus, same word split
+    for (p1, v1, _, t1), (p2, v2, _, t2) in zip(rows, rows[1:]):
+        assert p1 < p2
+        assert v1 >= v2      # looser threshold admits a superset
+        # MaxMatch greediness is not globally optimal, so token counts
+        # are not theoretically monotone in vocab inclusion for
+        # adversarial vocabularies; on this corpus the curve is
+        # monotone and the assert pins the measured behavior.
+        assert t1 <= t2

@@ -177,6 +177,7 @@ PROBES = (
     "gdpr_erasure_ledger",
     "pack_emit_sequences",
     "wordpiece_maxmatch_encode",
+    "wordpiece_threshold_sensitivity",
     # NOT probed: ann_serve_from_index / ann_index_delta_serve /
     # ann_index_compact, bpe_encode_from_vocab /
     # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
