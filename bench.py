@@ -159,6 +159,7 @@ HEADLINE = (
     "wordpiece_maxmatch_encode",    # second tokenizer family (MaxMatch)
     "tokenizer_family_fertility_compare",  # WordPiece-vs-BPE bake-off
     "wordpiece_threshold_sensitivity",  # vocab-size/fertility knob curve
+    "unigram_viterbi_encode",       # third tokenizer family (Viterbi DP)
 )
 
 

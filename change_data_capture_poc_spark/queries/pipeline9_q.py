@@ -36,10 +36,16 @@ Closes the genuinely-absent deliverables from the round-8 verdict:
   tokenizer's certified inverse), and emit the slot-ordered sequence
   manifests the training loader actually consumes.
 - ``wordpiece_maxmatch_encode`` / ``tokenizer_family_fertility_compare``
-  — the second subword family (WordPiece greedy longest-match-first
-  inference, all integer/string logic) and the per-language
-  fertility bake-off against the trained-BPE encode — the
-  tokenizer-selection readout.
+  / ``wordpiece_threshold_sensitivity`` — the second subword family
+  (WordPiece greedy longest-match-first inference, all integer/string
+  logic), the per-language fertility bake-off against the trained-BPE
+  encode, and the one-pass vocab-size/fertility admission-threshold
+  curve.
+- ``unigram_viterbi_encode`` — the third subword family
+  (SentencePiece's unigram model): millinat integer cost grid +
+  total-order tie-break; linear backward-Viterbi fold per distinct
+  word, oracle = recursive-CTE enumeration picking the identical
+  minimum.
 
 Every persisted /tmp artifact (index, log, vocabulary, snapshot) is
 fingerprint-guarded against testdata regeneration at the same path
@@ -2364,3 +2370,236 @@ def wordpiece_threshold_sensitivity(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# unigram_viterbi_encode — the third tokenizer family (unigram LM / Viterbi)
+# ---------------------------------------------------------------------------
+#
+# SentencePiece's unigram model (Kudo 2018) segments each word into the
+# token sequence MAXIMIZING the product of unigram probabilities — the
+# probabilistic alternative to BPE's learned merges and WordPiece's
+# greedy MaxMatch. Relational form with exact cross-engine parity:
+#
+#   model  = every substring of length 1..4, occurrence-weighted
+#            frequency over the word table; token cost in integer
+#            MILLINATS: round(1000 * ln(Z / freq)) — the DoReMi grid
+#            trick, so all downstream comparison is BIGINT arithmetic;
+#   winner = the segmentation minimizing (total cost, then the
+#            space-joined token string) — the explicit TOTAL ORDER that
+#            makes the answer unique, so tie-breaking never depends on
+#            traversal order;
+#   engine = a backward Viterbi fold per distinct word: one aggregate()
+#            pass building the best (cost, suffix-string) per position,
+#            LINEAR in word length (the 100 TB path: per-word work is
+#            O(len * 4), all on the Heaps-bounded word table);
+#   oracle = enumerates every segmentation with a recursive CTE
+#            (bounded by 2^(len-1) paths — the SPEC, deliberately
+#            brute-force like the exact sides of the ANN eval gates)
+#            and picks the minimum under the identical total order.
+#
+# The total order composes over suffixes (cost is additive; equal-cost
+# prefixes reduce string comparison to suffix comparison), so the DP's
+# per-position suffix minimum IS the global minimum — pinned against a
+# pure-Python enumerator in tests.
+
+_UNI_MAXLEN = 4
+
+
+def _unigram_ctes() -> str:
+    """Oracle CTEs appended after _wp_base_ctes (reuses wpc/wpdw):
+    frequency model -> millinat costs -> all-segmentations recursion
+    -> total-order winner."""
+    return f"""
+    ufreq AS (
+        SELECT substring(word, s.p, l.l) AS token, SUM(n) AS freq
+        FROM wpc,
+             (VALUES (1), (2), (3), (4)) l(l),
+             LATERAL (
+                 SELECT unnest(range(1, length(wpc.word) - l.l + 2)) AS p
+             ) s
+        GROUP BY 1
+    ),
+    uz AS (SELECT SUM(freq) AS z FROM ufreq),
+    ucost AS (
+        SELECT token,
+               CAST(ROUND(1000 * LN(uz.z * 1.0 / freq) + 1e-9) AS BIGINT)
+                   AS c
+        FROM ufreq, uz
+    ),
+    urec AS (
+        SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cost,
+               '' AS str
+        FROM wpc
+        UNION ALL
+        SELECT r.word, r.p + l.l, r.cost + c.c,
+               CASE WHEN r.str = '' THEN
+                        substring(r.word, CAST(r.p AS INT), l.l)
+                    ELSE concat(r.str, ' ',
+                        substring(r.word, CAST(r.p AS INT), l.l)) END
+        FROM urec r
+        CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+        JOIN ucost c
+          ON c.token = substring(r.word, CAST(r.p AS INT), l.l)
+        WHERE r.p + l.l <= length(r.word) + 1
+    ),
+    uwin AS (
+        SELECT word, str FROM urec
+        WHERE p = length(word) + 1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY word ORDER BY cost, str) = 1
+    ),
+    utoks AS (SELECT word, string_split(str, ' ') AS toks FROM uwin)"""
+
+
+def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, toks): the Viterbi segmentation of every distinct word —
+    backward DP over positions, linear in word length."""
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
+    words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
+
+    # Occurrence-weighted substring frequencies, lengths 1..4 (the
+    # unigram model's support — no admission threshold: the lattice
+    # must cover every substring so each word has >= 1 segmentation).
+    subs = None
+    for l in range(1, _UNI_MAXLEN + 1):
+        s = (
+            words.where(F.length("word") >= l)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(word) - {l} + 1),"
+                        f" p -> substring(word, p, {l}))"
+                    )
+                ).alias("token"),
+            )
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    freq = (
+        subs.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("freq"))
+        .transform(persist_once)
+    )
+    z = freq.agg(F.sum("freq").cast("long").alias("z"))
+    ucost = (
+        freq.crossJoin(F.broadcast(z))
+        .select(
+            "token",
+            F.round(
+                F.lit(1000) * F.log(F.col("z") * 1.0 / F.col("freq"))
+                + F.lit(1e-9)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .transform(persist_once)
+    )
+
+    # Per-(word, position) edge costs c1..c4 via joins against the
+    # bounded cost table, collected into a position-ordered array.
+    wp = words.select(
+        "word", F.explode(F.expr("sequence(1, length(word))")).alias("pos")
+    )
+    j = wp
+    for l in range(1, _UNI_MAXLEN + 1):
+        v = ucost.select(
+            F.col("token").alias(f"tok{l}"), F.col("c").alias(f"c{l}")
+        )
+        j = j.join(
+            F.broadcast(v),
+            (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
+            & (F.col("pos") + l - 1 <= F.length("word")),
+            "left",
+        )
+    costs = j.groupBy("word").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "  struct(pos, c1, c2, c3, c4))),"
+            " x -> struct(x.c1 as c1, x.c2 as c2, x.c3 as c3,"
+            "             x.c4 as c4))"
+        ).alias("costs")
+    )
+
+    # Backward Viterbi fold. Accumulator = suffix-best entries, element
+    # 1 = position p+1 (prepend-built); at step i, p = len - i + 1 and
+    # candidate token length l is valid iff l <= size(acc). Candidates
+    # compare by the (cost, space-joined-string) TOTAL ORDER via
+    # least() on structs; invalid lengths use a max-cost sentinel.
+    def cand(l: int) -> str:
+        return f"""
+            IF({l} <= size(acc),
+               named_struct(
+                   'cost', element_at(costs, length(word) - i + 1).c{l}
+                           + element_at(acc, {l}).cost,
+                   'str', CASE WHEN element_at(acc, {l}).str = ''
+                               THEN substring(word,
+                                              length(word) - i + 1, {l})
+                               ELSE concat(
+                                   substring(word,
+                                             length(word) - i + 1, {l}),
+                                   ' ', element_at(acc, {l}).str) END),
+               named_struct('cost', CAST(9223372036854775807 AS BIGINT),
+                            'str', ''))"""
+
+    fold = f"""
+        aggregate(
+            sequence(1, length(word)),
+            array(named_struct('cost', CAST(0 AS BIGINT), 'str', '')),
+            (acc, i) -> concat(
+                array(least({cand(1)}, {cand(2)}, {cand(3)}, {cand(4)})),
+                acc),
+            acc -> split(element_at(acc, 1).str, ' '))
+    """
+    return costs.select("word", F.expr(fold).alias("toks"))
+
+
+@register(
+    "unigram_viterbi_encode",
+    oracle="WITH RECURSIVE "
+    + _wp_base_ctes().strip()
+    + ","
+    + _unigram_ctes().strip()
+    + """
+    SELECT dw.doc_id, dw.word_pos, CAST(t.j AS INT) AS tok_idx,
+           v.toks[t.j + 1] AS token
+    FROM wpdw dw JOIN utoks v USING (word),
+         LATERAL (SELECT unnest(range(len(v.toks))) AS j) t
+    """,
+    doc=f"UNIGRAM-LM VITERBI ENCODE — the third subword family "
+        f"(SentencePiece's unigram model, Kudo 2018): segment every "
+        f"word into the token sequence of MINIMUM total cost under a "
+        f"frequency unigram model (cost = millinats, an integer grid "
+        f"— the DoReMi trick — so all comparison is exact BIGINT "
+        f"arithmetic), tie-broken by the space-joined token string to "
+        f"a UNIQUE answer. Engine: backward Viterbi as one "
+        f"aggregate() fold per distinct word, linear in word length; "
+        f"oracle: enumerate all segmentations (recursive CTE, the "
+        f"deliberately brute-force spec) and take the same total-order "
+        f"minimum — the order composes over suffixes, so the DP "
+        f"provably finds it (pure-Python enumerator pytest). Scale "
+        f"shape: model + lattice + DP all on the Heaps-bounded word "
+        f"table ({_UNI_MAXLEN} broadcast cost joins, one fold); the "
+        f"corpus is scanned once and joined to word->toks — the "
+        f"bpe_encode_corpus shape.",
+)
+def unigram_viterbi_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    wt = _uni_word_toks(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("word_pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return dw.join(wt, "word").select(
+        "doc_id",
+        "word_pos",
+        F.posexplode("toks").alias("tok_idx", "token"),
+    )

@@ -734,3 +734,63 @@ def test_wordpiece_threshold_curve_monotone(spark, sf_dir):
         # adversarial vocabularies; on this corpus the curve is
         # monotone and the assert pins the measured behavior.
         assert t1 <= t2
+
+
+def test_unigram_viterbi_vs_pure_python_enumeration(spark, sf_dir):
+    """The engine's linear backward Viterbi must pick, for every
+    distinct word, the segmentation a brute-force Python enumerator
+    selects under the identical total order (millinat cost, then the
+    space-joined token string) — proving the DP's suffix-minimum
+    composition is the global minimum."""
+    import math
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _UNI_MAXLEN,
+        _uni_word_toks,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    words = {
+        r["w"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    }
+
+    freq: dict[str, int] = {}
+    for w, n in words.items():
+        for l in range(1, _UNI_MAXLEN + 1):
+            for i in range(len(w) - l + 1):
+                t = w[i : i + l]
+                freq[t] = freq.get(t, 0) + n
+    z = sum(freq.values())
+    cost = {
+        t: int(round(1000 * math.log(z / f) + 1e-9))
+        for t, f in freq.items()
+    }
+
+    def segmentations(w: str):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(_UNI_MAXLEN, len(w)) + 1):
+            for rest in segmentations(w[l:]):
+                yield [w[:l]] + rest
+
+    def best(w: str) -> list[str]:
+        return min(
+            segmentations(w),
+            key=lambda s: (sum(cost[t] for t in s), " ".join(s)),
+        )
+
+    engine = {
+        r["word"]: list(r["toks"])
+        for r in _uni_word_toks(spark, sf_dir).collect()
+    }
+    assert set(engine) == set(words)
+    for w in words:
+        assert engine[w] == best(w), w
+        assert "".join(engine[w]) == w

@@ -178,6 +178,7 @@ PROBES = (
     "pack_emit_sequences",
     "wordpiece_maxmatch_encode",
     "wordpiece_threshold_sensitivity",
+    "unigram_viterbi_encode",
     # NOT probed: ann_serve_from_index / ann_index_delta_serve /
     # ann_index_compact, bpe_encode_from_vocab /
     # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
