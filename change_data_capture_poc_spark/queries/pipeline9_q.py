@@ -2207,10 +2207,58 @@ def wordpiece_maxmatch_encode(
     )
 
 
+def _unigram_ctes() -> str:
+    """Oracle CTEs appended after _wp_base_ctes (reuses wpc/wpdw):
+    frequency model -> millinat costs -> all-segmentations recursion
+    -> total-order winner."""
+    return f"""
+    ufreq AS (
+        SELECT substring(word, s.p, l.l) AS token, SUM(n) AS freq
+        FROM wpc,
+             (VALUES (1), (2), (3), (4)) l(l),
+             LATERAL (
+                 SELECT unnest(range(1, length(wpc.word) - l.l + 2)) AS p
+             ) s
+        GROUP BY 1
+    ),
+    uz AS (SELECT SUM(freq) AS z FROM ufreq),
+    ucost AS (
+        SELECT token,
+               CAST(ROUND(1000 * LN(uz.z * 1.0 / freq) + 1e-9) AS BIGINT)
+                   AS c
+        FROM ufreq, uz
+    ),
+    urec AS (
+        SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cost,
+               '' AS str
+        FROM wpc
+        UNION ALL
+        SELECT r.word, r.p + l.l, r.cost + c.c,
+               CASE WHEN r.str = '' THEN
+                        substring(r.word, CAST(r.p AS INT), l.l)
+                    ELSE concat(r.str, ' ',
+                        substring(r.word, CAST(r.p AS INT), l.l)) END
+        FROM urec r
+        CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+        JOIN ucost c
+          ON c.token = substring(r.word, CAST(r.p AS INT), l.l)
+        WHERE r.p + l.l <= length(r.word) + 1
+    ),
+    uwin AS (
+        SELECT word, str FROM urec
+        WHERE p = length(word) + 1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY word ORDER BY cost, str) = 1
+    ),
+    utoks AS (SELECT word, string_split(str, ' ') AS toks FROM uwin)"""
+
+
+
 @register(
     "tokenizer_family_fertility_compare",
     oracle=_bpe_rounds_cte().replace("WITH", "WITH RECURSIVE", 1) + ","
-    + _wp_vocab_ctes().strip().rstrip() + f""",
+    + _wp_vocab_ctes().strip().rstrip() + ","
+    + _unigram_ctes().strip().rstrip() + f""",
     wp_stream AS (
         SELECT dw.doc_id, w.tok_idx
         FROM wpdw dw JOIN wpwalk w USING (word)
@@ -2218,6 +2266,11 @@ def wordpiece_maxmatch_encode(
     bpe_stream AS (
         SELECT dw.doc_id, CAST(t.j AS INT) AS tok_idx
         FROM wpdw dw JOIN v{_BPE_ROUNDS} v USING (word),
+             LATERAL (SELECT unnest(range(len(v.toks))) AS j) t
+    ),
+    uni_stream AS (
+        SELECT dw.doc_id, CAST(t.j AS INT) AS tok_idx
+        FROM wpdw dw JOIN utoks v USING (word),
              LATERAL (SELECT unnest(range(len(v.toks))) AS j) t
     ),
     summ AS (
@@ -2232,6 +2285,12 @@ def wordpiece_maxmatch_encode(
                CAST(COUNT(*) AS BIGINT) AS n_tokens
         FROM bpe_stream s JOIN documents d USING (doc_id)
         GROUP BY d.lang
+        UNION ALL
+        SELECT 'unigram' AS tokenizer, d.lang,
+               CAST(COUNT(*) FILTER (s.tok_idx = 0) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM uni_stream s JOIN documents d USING (doc_id)
+        GROUP BY d.lang
     )
     SELECT tokenizer, lang, n_words, n_tokens,
            ROUND(n_tokens * 1.0 / n_words + 1e-9, 6) AS fertility
@@ -2239,14 +2298,15 @@ def wordpiece_maxmatch_encode(
     """,
     doc="TOKENIZER FAMILY BAKE-OFF — per-language fertility (tokens "
         "per word, THE tokenizer-selection metric: a 10% fertility gap "
-        "is 10% more FLOPs for the same text) of the two subword "
+        "is 10% more FLOPs for the same text) of the three subword "
         "families over the identical pre-tokenized corpus: WordPiece "
-        "MaxMatch vs the trained-BPE encode, counted from each token "
-        "stream (a word's token count = its tok_idx=0 marker, so "
-        "n_words needs no distinct). Both streams share the same word "
-        "split, making the comparison apples-to-apples. Scale shape: "
-        "two encode plans (each one corpus scan + word-table join), "
-        "one doc-keyed lang join each, |langs|-row rollups.",
+        "MaxMatch vs the trained-BPE encode vs the unigram-LM Viterbi "
+        "encode, counted from each token stream (a word's token count "
+        "= its tok_idx=0 marker, so n_words needs no distinct). All "
+        "streams share the same word split, making the comparison "
+        "apples-to-apples. Scale shape: three encode plans (each one "
+        "corpus scan + word-table join), one doc-keyed lang join "
+        "each, |langs|-row rollups.",
 )
 def tokenizer_family_fertility_compare(
     spark: SparkSession, sf_dir: str
@@ -2278,7 +2338,12 @@ def tokenizer_family_fertility_compare(
 
     wp = wordpiece_maxmatch_encode(spark, sf_dir)
     bpe = bpe_encode_from_vocab(spark, sf_dir)
-    return summarize(wp, "wordpiece").unionByName(summarize(bpe, "bpe"))
+    uni = unigram_viterbi_encode(spark, sf_dir)
+    return (
+        summarize(wp, "wordpiece")
+        .unionByName(summarize(bpe, "bpe"))
+        .unionByName(summarize(uni, "unigram"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2404,52 +2469,6 @@ def wordpiece_threshold_sensitivity(
 # pure-Python enumerator in tests.
 
 _UNI_MAXLEN = 4
-
-
-def _unigram_ctes() -> str:
-    """Oracle CTEs appended after _wp_base_ctes (reuses wpc/wpdw):
-    frequency model -> millinat costs -> all-segmentations recursion
-    -> total-order winner."""
-    return f"""
-    ufreq AS (
-        SELECT substring(word, s.p, l.l) AS token, SUM(n) AS freq
-        FROM wpc,
-             (VALUES (1), (2), (3), (4)) l(l),
-             LATERAL (
-                 SELECT unnest(range(1, length(wpc.word) - l.l + 2)) AS p
-             ) s
-        GROUP BY 1
-    ),
-    uz AS (SELECT SUM(freq) AS z FROM ufreq),
-    ucost AS (
-        SELECT token,
-               CAST(ROUND(1000 * LN(uz.z * 1.0 / freq) + 1e-9) AS BIGINT)
-                   AS c
-        FROM ufreq, uz
-    ),
-    urec AS (
-        SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cost,
-               '' AS str
-        FROM wpc
-        UNION ALL
-        SELECT r.word, r.p + l.l, r.cost + c.c,
-               CASE WHEN r.str = '' THEN
-                        substring(r.word, CAST(r.p AS INT), l.l)
-                    ELSE concat(r.str, ' ',
-                        substring(r.word, CAST(r.p AS INT), l.l)) END
-        FROM urec r
-        CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
-        JOIN ucost c
-          ON c.token = substring(r.word, CAST(r.p AS INT), l.l)
-        WHERE r.p + l.l <= length(r.word) + 1
-    ),
-    uwin AS (
-        SELECT word, str FROM urec
-        WHERE p = length(word) + 1
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY word ORDER BY cost, str) = 1
-    ),
-    utoks AS (SELECT word, string_split(str, ' ') AS toks FROM uwin)"""
 
 
 def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
