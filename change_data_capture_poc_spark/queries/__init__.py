@@ -38,6 +38,10 @@ Modules:
 - ``pipeline9_q`` — corpus-scale BPE encode, persisted IVF-PQ index
                     build/serve split, best-fit sequence packing,
                     CDC quarantine report
+- ``pipeline10_q`` — content-defined chunking + chunk dedup report,
+                    retrieval quality (nDCG@10/MRR@100), RRF hybrid
+                    fusion, deterministic epoch shuffle plan,
+                    cross-modal retrieval
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -55,3 +59,4 @@ import change_data_capture_poc_spark.queries.pipeline6_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline7_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline8_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline9_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline10_q  # noqa: F401

@@ -1,0 +1,806 @@
+"""Round-9 continuation: retrieval quality, content-defined chunking,
+training-order planning, and cross-modal retrieval.
+
+Fills the remaining LLM-pipeline gaps after the round-8 verdict items
+closed (reference semantics base: shalini-p16/change-data-capture-poc
+README.md:1-381 — the analytics surface; everything here is the
+pipeline breadth the brief asks for beyond it):
+
+- ``chunk_content_defined`` / ``chunk_cdc_dedup_report`` — word-level
+  content-defined chunking (the rolling-hash "CDC" of storage dedup,
+  applied at token granularity as in large-corpus near-dup systems):
+  chunk boundaries are decided by the CONTENT (a word whose hash hits
+  the cut mask ends a chunk), so duplicated spans produce identical
+  chunks at any offset — unlike fixed-width chunking, an insertion
+  shifts nothing downstream. The report aggregates chunk-instance
+  duplication per source (the bytes-saved accountability readout).
+- ``eval_retrieval_ndcg_mrr`` — the ranking-quality gate for the
+  retrieval stack (BM25 ranker vs AND-term relevance judgments):
+  nDCG@10 + MRR@100 per query, the metrics every RAG/retrieval
+  pipeline reports. Candidate ranking is cut to the metric horizon
+  with grouped_topk (k-bounded), never a corpus-sized window.
+- ``text_rrf_fusion`` — reciprocal-rank fusion (Cormack et al.'s RRF,
+  k=60) of the lexical BM25 top-20 and a semantic cosine top-20: the
+  standard hybrid-retrieval merge. Both lists are k-bounded before any
+  ranking window (TakeOrdered + global_window over <= 20 rows).
+- ``corpus_epoch_shuffle_plan`` — the deterministic dataloader
+  shuffle: per-epoch (shard, position) assignment from seeded hashes,
+  no global sort; every window is per-(epoch, shard). This is how a
+  100 TB training run gets a reproducible random order without ever
+  materializing a permutation on one node.
+- ``multimodal_crossmodal_retrieval`` — CLIP-shaped cross-modal
+  retrieval plumbing: fake image features (byte-histogram encoder from
+  operators/multimodal.py) matched against JL-projected text
+  embeddings by cosine; top-1 text per image via grouped_topk with the
+  image side broadcast. Swap in a real vision encoder and only the
+  mapInPandas body changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.operators.topk import grouped_topk
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+from change_data_capture_poc_spark.queries.datapipe import (
+    _JL,
+    text_bm25_retrieval,
+)
+
+
+def _md5_long(col):
+    """First-8-hex-chars md5 as BIGINT — the repo's portable hash
+    (identical in DuckDB as ('0x' || substring(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_MD5_SQL = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+_CDC_MASK = 8  # expected chunk length in words (cut when hash % 8 == 0)
+# Packs (doc_id, chunk_idx) into one orderable BIGINT for the
+# first-instance rule; chunk_idx < doc word count << 2^20 at any SF.
+_CDC_PACK = 1 << 20
+
+
+def _cdc_chunk_ctes() -> str:
+    cut = _MD5_SQL.format(x="word")
+    return f"""
+    tok AS (
+        SELECT sp.doc_id, sp.source, CAST(s.i AS INT) AS word_pos,
+               sp.s[s.i + 1] AS word
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS s
+              FROM documents) sp,
+             LATERAL (SELECT unnest(range(len(sp.s))) AS i) s
+        WHERE sp.s[s.i + 1] != ''
+    ),
+    cid AS (
+        SELECT doc_id, source, word_pos, word,
+               CAST(COALESCE(SUM(CASE WHEN {cut} % {_CDC_MASK} = 0
+                                      THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY word_pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS INT) AS chunk_idx
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id, MIN(source) AS source, chunk_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY word_pos)) AS chunk_fp
+        FROM cid GROUP BY doc_id, chunk_idx
+    )
+    """
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, chunk_idx, n_words, chunk_fp) — shared by the
+    chunk query and the dedup report (source rides the explode, so the
+    report never joins back to the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("word_pos", "word"),
+    ).where(F.col("word") != "")
+    cut = (_md5_long(F.col("word")) % _CDC_MASK == 0).cast("int")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("word_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = tok.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum(cut).over(prev), F.lit(0)).cast("int"),
+    )
+    return cid.groupBy("doc_id", "chunk_idx").agg(
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("word_pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("chunk_fp"),
+    )
+
+
+@register(
+    "chunk_content_defined",
+    oracle="WITH "
+    + _cdc_chunk_ctes().strip()
+    + """
+    SELECT doc_id, chunk_idx, n_words, chunk_fp FROM chunks
+    """,
+    doc="Content-defined chunking at word granularity (the storage-"
+        "dedup 'CDC' idea applied to text, as in suffix/span dedup "
+        "systems): a word whose portable md5 hits the cut mask "
+        "(h % 8 == 0) ENDS a chunk, so boundaries are functions of "
+        "content alone — a duplicated span yields byte-identical "
+        "chunks at any document offset, which fixed-width chunking "
+        "misses after a single insertion. Plan: one explode (map), "
+        "one per-document window (the only data-sized shuffle, keyed "
+        "on doc_id), one per-chunk aggregation. Expected chunk length "
+        "= mask = 8 words; at 100 TB the chunk table is ~n_words/8 "
+        "rows of (ids, fp) — fingerprints only, text never leaves its "
+        "partition.",
+)
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_words", "chunk_fp"
+    )
+
+
+@register(
+    "chunk_cdc_dedup_report",
+    oracle="WITH "
+    + _cdc_chunk_ctes().strip()
+    + f""",
+    firsts AS (
+        SELECT chunk_fp,
+               MIN(doc_id * {_CDC_PACK} + chunk_idx) AS first_key
+        FROM chunks GROUP BY chunk_fp
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
+                              <> f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(c.n_words) AS BIGINT) AS n_words_total,
+           CAST(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
+                              <> f.first_key
+                         THEN c.n_words ELSE 0 END) AS BIGINT)
+               AS dup_words,
+           ROUND(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
+                               <> f.first_key
+                          THEN c.n_words ELSE 0 END) * 1.0
+                 / SUM(c.n_words) + 1e-9, 6) AS dup_word_ratio
+    FROM chunks c JOIN firsts f USING (chunk_fp)
+    GROUP BY c.source
+    """,
+    doc="Chunk-level dedup accountability per source: an instance is a "
+        "duplicate when its (doc_id, chunk_idx) is not the global "
+        "first for its fingerprint (first = MIN of the packed 64-bit "
+        "instance key — exact integer arithmetic, no window). This is "
+        "the bytes-saved readout of chunk-store dedup: word-weighted "
+        "duplication ratio per source. Plan beyond the chunk build: "
+        "one fingerprint-keyed aggregation + one fingerprint-keyed "
+        "join + one |sources|-row rollup — the fingerprint table is "
+        "the only thing shuffled, never text.",
+)
+def chunk_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _cdc_chunks(spark, sf_dir)
+    key = (F.col("doc_id") * _CDC_PACK + F.col("chunk_idx")).cast("long")
+    firsts = (
+        ch.select("chunk_fp", key.alias("k"))
+        .groupBy("chunk_fp")
+        .agg(F.min("k").alias("first_key"))
+    )
+    dup = (key != F.col("first_key")).cast("int")
+    return (
+        ch.join(firsts, "chunk_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.sum("n_words").cast("long").alias("n_words_total"),
+            F.sum(dup * F.col("n_words")).cast("long").alias("dup_words"),
+            F.round(
+                F.sum(dup * F.col("n_words")) * 1.0 / F.sum("n_words")
+                + F.lit(1e-9),
+                6,
+            ).alias("dup_word_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval quality: nDCG@10 + MRR@100
+# ---------------------------------------------------------------------------
+
+# (qid, ranking term, relevance term): the ranker scores docs on the
+# ranking term only; a doc is relevant iff it ALSO contains the
+# relevance term (graded by capped tf) — proxy AND-judgments, so the
+# metrics are non-degenerate (the ranker does not see the label).
+_RETR_QUERIES = (
+    ("spark->merge", "spark", "merge"),
+    ("merge->window", "merge", "window"),
+    ("window->scan", "window", "scan"),
+    ("scan->spark", "scan", "spark"),
+)
+_RETR_TERMS = tuple(sorted({t for _, a, b in _RETR_QUERIES for t in (a, b)}))
+_NDCG_K = 10
+_MRR_K = 100
+
+
+def _retr_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _RETR_TERMS)
+    qs_sql = ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _RETR_QUERIES)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, dl, unnest(w) AS tok FROM base),
+    tf AS (
+        SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf
+        FROM tok WHERE tok IN ({terms_sql})
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ad AS (SELECT AVG(dl) AS avgdl FROM base),
+    qs(qid, rank_term, rel_term) AS (VALUES {qs_sql}),
+    bm AS (
+        SELECT q.qid, q.rel_term, t.doc_id,
+               ROUND(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / ad.avgdl))
+                     + 1e-9, 6) AS score
+        FROM qs q
+        JOIN tf t ON t.tok = q.rank_term
+        JOIN dfreq d ON d.tok = q.rank_term, n, ad
+    ),
+    cand AS (
+        SELECT b.qid, b.doc_id, b.score,
+               CAST(LEAST(COALESCE(r.tf, 0), 3) AS INT) AS rel
+        FROM bm b
+        LEFT JOIN tf r ON r.doc_id = b.doc_id AND r.tok = b.rel_term
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rnk
+        FROM cand
+    ),
+    ideal AS (
+        SELECT qid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, doc_id) AS irnk
+        FROM cand WHERE rel > 0
+    ),
+    ds AS (
+        SELECT qid, COUNT(*) AS n_cand,
+               SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+               SUM(CASE WHEN rnk <= {_NDCG_K}
+                        THEN (POWER(2, rel) - 1) / log2(rnk + 1)
+                        ELSE 0 END) AS dcg,
+               MIN(CASE WHEN rel > 0 AND rnk <= {_MRR_K}
+                        THEN rnk END) AS fr
+        FROM ranked GROUP BY qid
+    ),
+    i AS (
+        SELECT qid,
+               SUM(CASE WHEN irnk <= {_NDCG_K}
+                        THEN (POWER(2, rel) - 1) / log2(irnk + 1)
+                        ELSE 0 END) AS idcg
+        FROM ideal GROUP BY qid
+    )
+    SELECT ds.qid,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           ROUND(CASE WHEN COALESCE(idcg, 0) > 0 THEN dcg / idcg
+                      ELSE 0 END + 1e-9, 6) AS ndcg10,
+           ROUND(COALESCE(1.0 / fr, 0) + 1e-9, 6) AS mrr100
+    FROM ds LEFT JOIN i USING (qid)
+    """
+
+
+@register(
+    "eval_retrieval_ndcg_mrr",
+    oracle=_retr_oracle(),
+    doc="Retrieval-quality gate: nDCG@10 and MRR@100 for the BM25 "
+        "single-term ranker against AND-term proxy judgments (rel = "
+        "capped tf of a second term the ranker never sees). The "
+        "oracle states the textbook full-window spec; the engine "
+        "computes the SAME numbers scale-safely: ranked candidates "
+        "cut to the MRR horizon (k=100) and ideal gains cut to the "
+        "nDCG horizon (k=10) with grouped_topk (map-side partial "
+        "top-k, k-bounded merge), so ranking windows only ever see "
+        "<= k rows per query; corpus-sized work is one term-filtered "
+        "explode + per-(doc, term) aggregation — the BM25 plan. "
+        "Truncation is exact, not approximate: DCG@10 reads ranks "
+        "<= 10, and MRR@100 is 0 beyond rank 100 by definition.",
+)
+def eval_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    tok = base.select("doc_id", "dl", F.explode("w").alias("tok"))
+    tf = (
+        tok.where(F.col("tok").isin(*_RETR_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    # dfreq's tok is re-aliased to a fresh attribute: tf appears three
+    # times in this plan (ranking tf, relevance tf, and dfreq's
+    # lineage), so every copy needs its own resolvable identity.
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.col("tok").alias("df_tok"), "df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    ad = base.agg(F.avg("dl").alias("avgdl"))
+    qs = spark.createDataFrame(
+        list(_RETR_QUERIES), "qid string, rank_term string, rel_term string"
+    )
+    t, r = tf.alias("t"), tf.alias("r")
+    cand = (
+        F.broadcast(qs)
+        .join(t, F.col("t.tok") == F.col("rank_term"))
+        .join(F.broadcast(dfreq), F.col("df_tok") == F.col("rank_term"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .join(
+            r,
+            (F.col("r.doc_id") == F.col("t.doc_id"))
+            & (F.col("r.tok") == F.col("rel_term")),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("t.doc_id").alias("doc_id"),
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("t.tf") * 2.2)
+                / (
+                    F.col("t.tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("t.dl") / F.col("avgdl"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("score"),
+            F.least(F.coalesce(F.col("r.tf"), F.lit(0)), F.lit(3))
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    full = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum((F.col("rel") > 0).cast("int")).cast("long").alias("n_rel"),
+    )
+    wq = Window.partitionBy("qid")
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    ranked = grouped_topk(
+        cand, ["qid"], [("score", False), ("doc_id", True)], _MRR_K
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            wq.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+    ds = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rnk") <= _NDCG_K, gain / F.log2(F.col("rnk") + 1))
+            .otherwise(0.0)
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("fr"),
+    )
+    ideal = grouped_topk(
+        cand.where(F.col("rel") > 0).select("qid", "doc_id", "rel"),
+        ["qid"],
+        [("rel", False), ("doc_id", True)],
+        _NDCG_K,
+    ).withColumn(
+        "irnk",
+        F.row_number().over(
+            wq.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        ),
+    )
+    ist = ideal.groupBy("qid").agg(
+        F.sum(gain / F.log2(F.col("irnk") + 1)).alias("idcg")
+    )
+    return (
+        full.join(ds, "qid")
+        .join(ist, "qid", "left")
+        .select(
+            "qid",
+            "n_cand",
+            "n_rel",
+            F.round(
+                F.when(
+                    F.coalesce("idcg", F.lit(0.0)) > 0,
+                    F.col("dcg") / F.col("idcg"),
+                ).otherwise(0.0)
+                + F.lit(1e-9),
+                6,
+            ).alias("ndcg10"),
+            F.round(
+                F.coalesce(1.0 / F.col("fr"), F.lit(0.0)) + F.lit(1e-9), 6
+            ).alias("mrr100"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+# Fixed deterministic semantic query vector (shared-literal rule: the
+# same 64 literals appear in both engines' expressions).
+_RRF_QV = [((i * 37 + 11) % 21 - 10) / 10.0 for i in range(64)]
+_RRF_QNORM = repr(math.sqrt(sum(c * c for c in _RRF_QV)))
+
+
+def _rrf_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import (
+        _BM25_TERMS_SQL,
+    )
+
+    qv_sql = ", ".join(repr(c) for c in _RRF_QV)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, dl, unnest(w) AS tok FROM base),
+    tf AS (
+        SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf
+        FROM tok WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ad AS (SELECT AVG(dl) AS avgdl FROM base),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / ad.avgdl)) AS s
+        FROM tf JOIN dfreq USING (tok), n, ad
+    ),
+    lex AS (
+        SELECT doc_id, ROUND(SUM(s) + 1e-9, 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOP}
+    ),
+    lexr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INT) AS lex_rank
+        FROM lex
+    ),
+    sem AS (
+        SELECT vec_id,
+               ROUND(list_reduce(list_transform(
+                         list_zip(embedding::DOUBLE[], [{qv_sql}]),
+                         p -> p[1] * p[2]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(
+                             embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b)) * {_RRF_QNORM})
+                     + 1e-9, 6) AS cosv
+        FROM embeddings
+        ORDER BY cosv DESC, vec_id LIMIT {_RRF_TOP}
+    ),
+    semr AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosv DESC, vec_id)
+                    AS INT) AS sem_rank
+        FROM sem
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0)
+                 + 1e-9, 6) AS rrf_score
+    FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "text_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): fuse "
+        "the lexical BM25 top-20 (text_bm25_retrieval's plan reused "
+        "verbatim) with a semantic top-20 (cosine of every embedding "
+        "against a fixed literal query vector — one map-side fold, "
+        "norm constant inlined in both engines) by summing 1/(60 + "
+        "rank) per system; emit the fused top-10. Scale shape: each "
+        "system's list is k-bounded BEFORE any ranking window — "
+        "TakeOrdered for both top-20s, then row_number over <= 20 "
+        "rows via global_window (the deliberate bounded-frame single "
+        "partition); the fusion join touches <= 40 rows. The corpus "
+        "is scanned once per system, exactly the cost of running the "
+        "two retrievers.",
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = text_bm25_retrieval(spark, sf_dir)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(global_window(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    qv_lits = ", ".join(f"{c}D" for c in _RRF_QV)
+    cosv = F.round(
+        F.expr(
+            f"aggregate(zip_with(e, array({qv_lits}), (x, c) -> x * c), "
+            "0D, (a, b) -> a + b)"
+        )
+        / (
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(e, x -> x * x), 0D, "
+                    "(a, b) -> a + b)"
+                )
+            )
+            * float(_RRF_QNORM)
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    sem = (
+        emb.select("vec_id", cosv.alias("cosv"))
+        .orderBy(F.col("cosv").desc(), "vec_id")
+        .limit(_RRF_TOP)
+    )
+    semr = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(global_window(F.col("cosv").desc(), F.col("vec_id")))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    fused = lexr.join(semr, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle plan
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+
+
+@register(
+    "corpus_epoch_shuffle_plan",
+    oracle=f"""
+    WITH ep AS (SELECT CAST(unnest(range({_SHUF_EPOCHS})) AS INT)
+                    AS epoch),
+    k AS (
+        SELECT d.doc_id, ep.epoch,
+               CAST({_MD5_SQL.format(
+                   x="CAST(ep.epoch AS VARCHAR) || ':' "
+                     "|| CAST(d.doc_id AS VARCHAR)")}
+                    % {_SHUF_SHARDS} AS INT) AS shard,
+               {_MD5_SQL.format(
+                   x="CAST(ep.epoch AS VARCHAR) || '#' "
+                     "|| CAST(d.doc_id AS VARCHAR)")} AS pkey
+        FROM documents d, ep
+    )
+    SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                   ORDER BY pkey, doc_id) AS INT) AS pos,
+           doc_id
+    FROM k
+    """,
+    doc="Deterministic dataloader shuffle plan: for each epoch, every "
+        "document gets a (shard, position) from seeded portable "
+        "hashes — shard = h(epoch:doc) mod S, position = rank of "
+        "h(epoch#doc) within the shard. Reproducible pseudo-random "
+        "order per epoch (epochs decorrelated by the seed in the "
+        "hash), no global permutation ever materialized: the only "
+        "windows are per-(epoch, shard), so a 100 TB corpus shuffles "
+        "once on the shard key and each shard sorts independently — "
+        "the exact shape training loaders (e.g. deterministic "
+        "data-order replay) need for resumable runs.",
+)
+def corpus_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(_SHUF_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    x = d.crossJoin(F.broadcast(ep))
+    sh = (
+        _md5_long(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % _SHUF_SHARDS
+    ).cast("int")
+    pk = _md5_long(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit("#"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    k = x.select("doc_id", "epoch", sh.alias("shard"), pk.alias("pkey"))
+    w = Window.partitionBy("epoch", "shard").orderBy("pkey", "doc_id")
+    return k.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal retrieval (fake image encoder vs JL-projected embeddings)
+# ---------------------------------------------------------------------------
+
+_XM_N_IMAGES = 32
+_XM_DIM = 8  # image feature dim == JL projection dim
+
+
+def _xm_oracle() -> str:
+    proj_sql = ", ".join(
+        "list_reduce(list_transform(list_zip(embedding::DOUBLE[], "
+        f"[{', '.join(str(c) for c in row)}]), "
+        "p -> p[1] * p[2]), (a, b) -> a + b)"
+        for row in _JL
+    )
+    return f"""
+    WITH img AS (
+        SELECT doc_id,
+               list_transform(range({_XM_DIM}), b -> CAST(
+                   len(list_filter(range(len(text)),
+                                   i -> ord(text[i+1]) % {_XM_DIM} = b))
+                   AS DOUBLE)) AS counts
+        FROM documents WHERE doc_id < {_XM_N_IMAGES}
+    ),
+    pr AS (SELECT vec_id, [{proj_sql}] AS proj FROM embeddings),
+    scored AS (
+        SELECT img.doc_id, pr.vec_id,
+               ROUND(list_reduce(list_transform(
+                         list_zip(img.counts, pr.proj),
+                         p -> p[1] * p[2]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(img.counts,
+                             x -> x * x), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(pr.proj,
+                              x -> x * x), (a, b) -> a + b)))
+                     + 1e-9, 6) AS score
+        FROM img, pr
+    )
+    SELECT doc_id, vec_id AS best_vec_id, score,
+           (vec_id = doc_id) AS self_match
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, vec_id) = 1
+    """
+
+
+@register(
+    "multimodal_crossmodal_retrieval",
+    oracle=_xm_oracle(),
+    doc="CLIP-shaped cross-modal retrieval: for each of 32 'images' "
+        "(fake byte-histogram encoder through the REAL mapInPandas "
+        "plumbing of operators/multimodal.extract_features_batch — "
+        "swap in a vision model and only the Python body changes), "
+        "find the best text embedding by cosine in a shared 8-dim "
+        "space (text side = the JL sign projection reused from "
+        "embedding_random_projection). Image counts are reconstructed "
+        "EXACTLY from the float32 shares (round(share x n_bytes) — "
+        "error << 0.5), so both engines score identical integers "
+        "against identical fold-order projections. Scale shape: the "
+        "query (image) side is broadcast; the corpus embedding table "
+        "is scanned once, map-side scored, and cut to top-1 per image "
+        "with grouped_topk — candidates never shuffle, only <= k x "
+        "partitions survivors per image do.",
+)
+def multimodal_crossmodal_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.multimodal import (
+        extract_features_batch,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _XM_N_IMAGES)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    feats = extract_features_batch(d, "payload", dim=_XM_DIM)
+    img = feats.select(
+        "doc_id",
+        F.expr(
+            "transform(features, x -> "
+            "CAST(round(x * octet_length(payload)) AS DOUBLE))"
+        ).alias("counts"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    proj = F.array(
+        *[
+            F.expr(
+                "aggregate(zip_with(e, array({lits}), (x, c) -> x * c), "
+                "0D, (a, b) -> a + b)".format(
+                    lits=", ".join(f"{c}D" for c in row)
+                )
+            )
+            for row in _JL
+        ]
+    )
+    pr = emb.select("vec_id", proj.alias("proj"))
+    sumsq = (
+        "aggregate(transform({v}, x -> x * x), 0D, (a, b) -> a + b)"
+    )
+    score = F.round(
+        F.expr(
+            "aggregate(zip_with(counts, proj, (x, c) -> x * c), 0D, "
+            "(a, b) -> a + b)"
+        )
+        / (
+            F.sqrt(F.expr(sumsq.format(v="counts")))
+            * F.sqrt(F.expr(sumsq.format(v="proj")))
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    pairs = pr.crossJoin(F.broadcast(img)).select(
+        "doc_id", "vec_id", score.alias("score")
+    )
+    top = grouped_topk(
+        pairs, ["doc_id"], [("score", False), ("vec_id", True)], 1
+    )
+    return top.select(
+        "doc_id",
+        F.col("vec_id").alias("best_vec_id"),
+        "score",
+        (F.col("vec_id") == F.col("doc_id")).alias("self_match"),
+    )

@@ -1,0 +1,170 @@
+"""Round-9 continuation operators: content-defined chunking, retrieval
+quality metrics, RRF fusion, epoch shuffle plan, cross-modal retrieval.
+
+Pins the invariants the DuckDB oracles can't express: chunk
+reconstruction (chunks concatenate back to the source token stream),
+content-defined boundary stability under prefix insertion, the shuffle
+plan being a per-epoch permutation with dense per-shard positions, RRF
+membership/monotonicity, and metric range/self-consistency bounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.queries.pipeline10_q import (
+    _CDC_MASK,
+    _RETR_QUERIES,
+    chunk_content_defined,
+    corpus_epoch_shuffle_plan,
+    eval_retrieval_ndcg_mrr,
+    multimodal_crossmodal_retrieval,
+    text_rrf_fusion,
+)
+from change_data_capture_poc_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cut(word: str) -> bool:
+    h = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+    return h % _CDC_MASK == 0
+
+
+def test_chunks_reconstruct_source_tokens(spark):
+    """Concatenating a document's chunks in chunk_idx order must equal
+    its original token stream — chunking loses nothing."""
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("doc_id") < 20)
+        .collect()
+    }
+    ch = (
+        chunk_content_defined(spark, SF)
+        .where(F.col("doc_id") < 20)
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # word counts must tile the document exactly
+        assert sum(r["n_words"] for r in rows) == len(docs[doc_id])
+        # reconstruct each chunk from the source tokens and check fp
+        pos = 0
+        for r in rows:
+            words = docs[doc_id][pos: pos + r["n_words"]]
+            pos += r["n_words"]
+            fp = hashlib.md5(" ".join(words).encode()).hexdigest()
+            assert fp == r["chunk_fp"], (doc_id, r["chunk_idx"])
+        # every chunk's last word (except possibly the final chunk)
+        # must be a cut word, and no interior word may be one
+        pos = 0
+        for i, r in enumerate(rows):
+            words = docs[doc_id][pos: pos + r["n_words"]]
+            pos += r["n_words"]
+            for w in words[:-1]:
+                assert not _cut(w)
+            if i < len(rows) - 1:
+                assert _cut(words[-1])
+
+
+def test_content_defined_boundaries_shift_invariant():
+    """The defining CDC property: inserting a prefix changes only the
+    chunk containing the insertion point — all chunks after the next
+    cut word are byte-identical (fixed-width chunking would shift
+    every downstream boundary)."""
+
+    def chunk(words: list[str]) -> list[str]:
+        out, cur = [], []
+        for w in words:
+            cur.append(w)
+            if _cut(w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    shifted = ["inserted0", "inserted1"] + base
+    a, b = chunk(base), chunk(shifted)
+    # after the first cut point both chunkings must realign
+    tail_a = a[1:]
+    assert tail_a, "fixture needs at least one cut word"
+    assert b[-len(tail_a):] == tail_a
+
+
+def test_epoch_shuffle_is_permutation(spark):
+    rows = corpus_epoch_shuffle_plan(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    orders = {}
+    for ep, rs in by_epoch.items():
+        # every doc exactly once per epoch
+        assert sorted(r["doc_id"] for r in rs) == list(range(n_docs))
+        # positions dense 1..k within each shard
+        shards: dict[int, list] = {}
+        for r in rs:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for ps in shards.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        orders[ep] = [
+            r["doc_id"]
+            for r in sorted(rs, key=lambda r: (r["shard"], r["pos"]))
+        ]
+    # epochs must be decorrelated (different traversal order)
+    assert orders[0] != orders[1]
+
+
+def test_rrf_fuses_both_systems(spark):
+    out = text_rrf_fusion(spark, SF).collect()
+    assert 0 < len(out) <= 10
+    # descending fused score, and the score formula holds row by row
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1.0 / (60 + r["sem_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-5
+    # a doc on BOTH lists at equal rank beats a doc on one list only
+    both = [r for r in out if r["lex_rank"] and r["sem_rank"]]
+    single = [r for r in out if (r["lex_rank"] is None)
+              != (r["sem_rank"] is None)]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) > min(
+            r["rrf_score"] for r in single
+        )
+
+
+def test_retrieval_metrics_in_range(spark):
+    out = {r["qid"]: r for r in eval_retrieval_ndcg_mrr(spark, SF).collect()}
+    assert set(out) == {q for q, _, _ in _RETR_QUERIES}
+    for r in out.values():
+        assert 0.0 <= r["ndcg10"] <= 1.0 + 1e-6
+        assert 0.0 <= r["mrr100"] <= 1.0 + 1e-6
+        assert r["n_rel"] <= r["n_cand"]
+        # with any relevant candidate, both metrics must be positive
+        if r["n_rel"] > 0:
+            assert r["ndcg10"] > 0
+            assert r["mrr100"] > 0
+
+
+def test_crossmodal_top1_is_argmax(spark):
+    out = multimodal_crossmodal_retrieval(spark, SF).collect()
+    assert len(out) == 32
+    assert all(-1.0 - 1e-6 <= r["score"] <= 1.0 + 1e-6 for r in out)
+    assert all(
+        r["self_match"] == (r["best_vec_id"] == r["doc_id"]) for r in out
+    )
