@@ -804,3 +804,273 @@ def multimodal_crossmodal_retrieval(
         "score",
         (F.col("vec_id") == F.col("doc_id")).alias("self_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: multi-pass blocking -> scoring -> golden records
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 2
+
+
+def _er_contacts_ctes() -> str:
+    """Dirty-contacts fixture + normalization + blocked/scored pairs,
+    shared by both ER oracles. The dirty table is synthesized inline
+    from ``customer`` with DETERMINISTIC perturbations (the
+    dedup_exact_normalized pattern): every 5th entity gains a
+    prefix-typo variant (4th char dropped), every 7th a suffix-typo
+    variant (last char replaced) — so every 35th forms a 3-record
+    cluster whose variants only connect transitively."""
+    return f"""
+    contacts AS (
+        SELECT c_custkey * 10 AS rec_id, c_custkey, c_name AS name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey * 10 + 1, c_custkey,
+               substring(c_name, 1, 3) || substring(c_name, 5),
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey * 10 + 2, c_custkey,
+               substring(c_name, 1, length(c_name) - 1) || 'x',
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    nrm AS (
+        SELECT *, regexp_replace(lower(name), '[^a-z0-9]', '', 'g')
+                   AS nname
+        FROM contacts
+    ),
+    cand AS (
+        SELECT a.rec_id AS rec_a, b.rec_id AS rec_b, 'suffix' AS pass
+        FROM nrm a JOIN nrm b
+          ON right(a.nname, 5) = right(b.nname, 5)
+         AND a.rec_id < b.rec_id
+        UNION ALL
+        SELECT a.rec_id, b.rec_id, 'attrs' AS pass
+        FROM nrm a JOIN nrm b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND CAST(floor(a.c_acctbal) AS BIGINT)
+             = CAST(floor(b.c_acctbal) AS BIGINT)
+         AND a.rec_id < b.rec_id
+    ),
+    prs AS (
+        SELECT rec_a, rec_b,
+               CAST(COUNT(DISTINCT pass) AS INT) AS n_passes
+        FROM cand GROUP BY rec_a, rec_b
+    ),
+    scored AS (
+        SELECT p.rec_a, p.rec_b, p.n_passes,
+               CAST(levenshtein(na.nname, nb.nname) AS INT) AS name_dist
+        FROM prs p
+        JOIN nrm na ON na.rec_id = p.rec_a
+        JOIN nrm nb ON nb.rec_id = p.rec_b
+        WHERE na.c_nationkey = nb.c_nationkey
+          AND levenshtein(na.nname, nb.nname) <= {_ER_MAX_DIST}
+    )
+    """
+
+
+def _er_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized dirty-contacts frame (rec_id, c_custkey, name,
+    c_nationkey, c_acctbal, c_mktsegment, nname)."""
+    c = load_table(spark, sf_dir, "customer")
+    orig = c.select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    v1 = c.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 3),
+            F.expr("substring(c_name, 5)"),
+        ).alias("name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    v2 = c.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+        "c_custkey",
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"),
+            F.lit("x"),
+        ).alias("name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return (
+        orig.unionByName(v1)
+        .unionByName(v2)
+        .withColumn(
+            "nname",
+            F.regexp_replace(F.lower("name"), "[^a-z0-9]", ""),
+        )
+    )
+
+
+def _er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rec_a, rec_b, n_passes, name_dist): accepted match pairs."""
+    nrm = _er_norm(spark, sf_dir)
+    a = nrm.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("nname").alias("nname_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.floor("c_acctbal").cast("long").alias("bal_a"),
+        F.expr("right(nname, 5)").alias("sfx_a"),
+    )
+    b = nrm.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("nname").alias("nname_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.floor("c_acctbal").cast("long").alias("bal_b"),
+        F.expr("right(nname, 5)").alias("sfx_b"),
+    )
+    lt = F.col("rec_a") < F.col("rec_b")
+    pass_a = (
+        a.join(b, (F.col("sfx_a") == F.col("sfx_b")) & lt)
+        .select("rec_a", "rec_b", F.lit("suffix").alias("pass"))
+    )
+    pass_b = (
+        a.join(
+            b,
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+            & (F.col("bal_a") == F.col("bal_b"))
+            & lt,
+        )
+        .select("rec_a", "rec_b", F.lit("attrs").alias("pass"))
+    )
+    prs = (
+        pass_a.unionByName(pass_b)
+        .groupBy("rec_a", "rec_b")
+        .agg(F.countDistinct("pass").cast("int").alias("n_passes"))
+    )
+    na = nrm.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("nname").alias("nname_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nb = nrm.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("nname").alias("nname_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    dist = F.levenshtein("nname_a", "nname_b")
+    return (
+        prs.join(na, "rec_a")
+        .join(nb, "rec_b")
+        .where((F.col("nat_a") == F.col("nat_b")) & (dist <= _ER_MAX_DIST))
+        .select(
+            "rec_a",
+            "rec_b",
+            "n_passes",
+            dist.cast("int").alias("name_dist"),
+        )
+    )
+
+
+@register(
+    "er_candidate_pairs_blocked",
+    oracle="WITH "
+    + _er_contacts_ctes().strip()
+    + """
+    SELECT rec_a, rec_b, n_passes, name_dist FROM scored
+    """,
+    doc="Entity resolution, match stage: multi-pass BLOCKING (pass 1: "
+        "normalized-name 5-char suffix; pass 2: exact attribute key "
+        "nation+segment+floor(balance)) generates candidate pairs, "
+        "then edit-distance scoring (levenshtein <= 2 on the "
+        "normalized name, same nation) accepts matches. Multi-pass "
+        "blocking is the standard recall device: a prefix typo "
+        "survives pass 1, a suffix typo survives pass 2 — no "
+        "single-key blocking catches both. Scale shape: each pass is "
+        "one equi-join on a content-derived block key (never an "
+        "all-pairs comparison; the quadratic is bounded by block "
+        "size), the expensive levenshtein runs only on surviving "
+        "candidates, and the dirty-records fixture is synthesized "
+        "inline with deterministic perturbations so both engines see "
+        "the identical input.",
+)
+def er_candidate_pairs_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _er_scored_pairs(spark, sf_dir)
+
+
+@register(
+    "er_golden_records",
+    oracle="WITH RECURSIVE "
+    + _er_contacts_ctes().strip()
+    + """,
+    edges AS (SELECT rec_a AS a, rec_b AS b FROM scored
+              UNION SELECT rec_b, rec_a FROM scored),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS rec_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT c.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           arg_min(n.name, n.rec_id) AS canonical_name,
+           CAST(COUNT(DISTINCT n.c_custkey) AS BIGINT) AS n_entities,
+           MAX(n.c_acctbal) AS max_acctbal,
+           (COUNT(DISTINCT n.c_custkey) = 1) AS pure
+    FROM comp c JOIN nrm n ON n.rec_id = c.rec_id
+    GROUP BY c.cluster_id
+    """,
+    doc="Entity resolution, merge stage: accepted pairs become "
+        "duplicate CLUSTERS via iterative min-label propagation "
+        "(operators/components.py — one shuffle per round, diameter "
+        "rounds, lineage truncated), then one golden record per "
+        "cluster by survivorship rules: canonical name from the "
+        "lowest rec_id (earliest-source-wins), max balance across "
+        "variants, and a purity flag (did the cluster merge records "
+        "of more than one true entity? — the ER quality gate; all "
+        "clusters are pure on the deterministic fixture). The oracle "
+        "replays the closure as a recursive CTE — safe at oracle "
+        "scale; the engine never materializes the closure.",
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+    )
+
+    scored = _er_scored_pairs(spark, sf_dir)
+    comp = connected_components(scored, src="rec_a", dst="rec_b")
+    nrm = _er_norm(spark, sf_dir)
+    return (
+        comp.join(nrm, comp.node == nrm.rec_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.min(F.struct("rec_id", "name"))["name"].alias(
+                "canonical_name"
+            ),
+            F.countDistinct("c_custkey").cast("long").alias("n_entities"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            (F.countDistinct("c_custkey") == 1).alias("pure"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_records",
+            "canonical_name",
+            "n_entities",
+            "max_acctbal",
+            "pure",
+        )
+    )

@@ -168,3 +168,32 @@ def test_crossmodal_top1_is_argmax(spark):
     assert all(
         r["self_match"] == (r["best_vec_id"] == r["doc_id"]) for r in out
     )
+
+
+def test_er_finds_all_planted_duplicates(spark):
+    """Every planted variant must pair with its original, 35-multiples
+    must form 3-record clusters, and no cluster may mix entities."""
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        er_candidate_pairs_blocked,
+        er_golden_records,
+    )
+
+    n_cust = load_table(spark, SF, "customer").count()
+    pairs = {
+        (r["rec_a"], r["rec_b"])
+        for r in er_candidate_pairs_blocked(spark, SF).collect()
+    }
+    for k in range(0, n_cust, 5):
+        assert (k * 10, k * 10 + 1) in pairs, f"missed prefix typo {k}"
+    for k in range(0, n_cust, 7):
+        assert (k * 10, k * 10 + 2) in pairs, f"missed suffix typo {k}"
+
+    golden = er_golden_records(spark, SF).collect()
+    assert all(r["pure"] for r in golden)
+    assert all(r["n_entities"] == 1 for r in golden)
+    by_cluster = {r["cluster_id"]: r for r in golden}
+    for k in range(0, n_cust, 35):
+        r = by_cluster[k * 10]
+        assert r["n_records"] == 3, f"entity {k} cluster incomplete"
+        # survivorship: canonical name comes from the original record
+        assert r["canonical_name"].startswith("Customer#")
