@@ -153,3 +153,104 @@ def pagerank(
     e_deg.unpersist()
     e.unpersist()
     return ranks
+
+
+def two_phase_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(node, component) via the alternating LARGE-STAR / SMALL-STAR
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the deep-graph complement to ``connected_components``:
+    min-label propagation needs DIAMETER rounds (fine for shallow
+    near-dup clusters, hopeless for a 5000-node chain), while the
+    star operations contract every component to a star in O(log^2 n)
+    rounds regardless of diameter.
+
+    One round =
+      large-star: every node u attaches its LARGER neighbors to
+          m(u) = min(Gamma(u) + {u})      -> edges (v, m(u)), v > u
+      small-star: every node u attaches its SMALLER neighbors and
+          itself to m = min of the smaller neighborhood
+          -> edges (u, m) + (v, m) for v in Gamma_<(u), v != m
+    Both preserve connectivity; the fixpoint is a star forest whose
+    centers are the component minima. Each operation is one
+    groupBy-min + one join (two shuffles per round), labels never
+    leave the cluster, ``localCheckpoint`` truncates lineage per
+    round. Convergence detect: the (count, xxhash64-sum) checksum of
+    the edge set is round-invariant exactly at the fixpoint
+    (XOR fold: overflow-free under ANSI mode, order-independent).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = checksum(e)
+    for _ in range(max_rounds):
+        # large-star over the symmetric adjacency
+        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = adj.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        ls = (
+            adj.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over the large->small directed edges
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(sm, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("x"), F.col("m").alias("y")
+                        ),
+                        F.struct(
+                            F.col("b").alias("x"), F.col("m").alias("y")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(ss)
+        e = ss
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"two_phase_components did not converge in {max_rounds} rounds"
+        )
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(
+            e.select(
+                F.col("b").alias("node"), F.col("b").alias("component")
+            )
+        )
+        .distinct()
+    )

@@ -1074,3 +1074,52 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pure",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deep-graph connected components (large-star/small-star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_components_chain_bigstar",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY source) AS component
+    FROM documents
+    """,
+    doc="Connected components on a DEEP graph via the alternating "
+        "large-star/small-star algorithm (Kiveris et al., "
+        "operators/components.two_phase_components): the fixture "
+        "chains each source's documents in doc_id order, so component "
+        "diameter equals the per-source corpus size (5000 at sf0.1) — "
+        "min-label propagation would need diameter rounds (its cap is "
+        "25; it exists for SHALLOW near-dup clusters), while the star "
+        "contraction converges in O(log^2 n) rounds regardless of "
+        "diameter. Per round: two groupBy-min + join pairs (bounded "
+        "shuffles over the shrinking edge set), lineage truncated per "
+        "round, fixpoint detected by an overflow-free XOR checksum. "
+        "The oracle states the ground truth directly (a chain's "
+        "component is its source's minimum doc_id) — independent of "
+        "any graph traversal, so it cannot share a bug with the "
+        "engine's iteration.",
+)
+def graph_components_chain_bigstar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.operators.components import (
+        two_phase_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.lag("doc_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    return two_phase_components(e).select(
+        F.col("node").alias("doc_id"), "component"
+    )

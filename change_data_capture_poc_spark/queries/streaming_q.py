@@ -1517,3 +1517,100 @@ def streaming_dedup_ttl_drain(
         .select("user_id")
     )
     return _drain(ev, "streaming_dedup_ttl_tbl", "append")
+
+
+def _mg_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline4_q import _MG_K
+
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, n
+    GROUP BY tok, n.n
+    HAVING COUNT(*) > n.n / {_MG_K}
+    """
+
+
+@register(
+    "streaming_heavy_hitters_drain",
+    oracle=_mg_oracle(),
+    doc="STREAMING heavy hitters — text_heavy_hitters_misra_gries's "
+        "stream twin: document tokens arrive as a stream; each "
+        "micro-batch partition folds through a bounded Misra-Gries "
+        "summary IN THE MAP STAGE (stateless Arrow mapInPandas — the "
+        "counters live only inside one task's batch iterator), and "
+        "the streaming state is just the DISTINCT candidate set "
+        "(complete-mode groupBy, bounded by the candidate vocabulary "
+        "<= k x slices, in practice tiny). The superset guarantee "
+        "survives the stream split by the same pigeonhole as the "
+        "batch split: a token over-threshold globally is "
+        "over-threshold in at least one slice of ANY partition of "
+        "the multiset — micro-batches included. The exact-rescan "
+        "readout (threshold on exact counts, restricted to drained "
+        "candidates via broadcast semi-join) finishes batch-side, so "
+        "output is EXACT and identical to the batch twin's oracle.",
+)
+def streaming_heavy_hitters_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from change_data_capture_poc_spark.queries.pipeline4_q import _MG_K
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    # No empty-token filter: the batch twin (and its oracle) count
+    # every split token, so the candidate superset must too.
+    toks = stream.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        if counters:
+            yield pd.DataFrame({"tok": list(counters)})
+
+    cand_stream = (
+        toks.mapInPandas(mg, "tok string")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    cand = _drain(
+        cand_stream, "streaming_heavy_hitters_tbl", "complete"
+    ).select("tok")
+
+    d = load_table(spark, sf_dir, "documents")
+    btoks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    n = btoks.agg(F.count("*").alias("n"))
+    exact = (
+        btoks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n))
+        .where(F.col("cnt") > F.col("n") / _MG_K)
+        .select("tok", "cnt")
+    )

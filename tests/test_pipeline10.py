@@ -197,3 +197,40 @@ def test_er_finds_all_planted_duplicates(spark):
         assert r["n_records"] == 3, f"entity {k} cluster incomplete"
         # survivorship: canonical name comes from the original record
         assert r["canonical_name"].startswith("Customer#")
+
+
+def test_two_phase_components_matches_label_propagation(spark):
+    """On a shallow random graph both algorithms must agree exactly;
+    on a deep chain (diameter 120 > label propagation's 25-round cap)
+    two-phase must still converge to the true components."""
+    import random
+
+    from change_data_capture_poc_spark.operators.components import (
+        connected_components,
+        two_phase_components,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    tp = {
+        r["node"]: r["component"]
+        for r in two_phase_components(df).collect()
+    }
+    assert lp == tp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in two_phase_components(chain).collect()
+    }
+    assert out == {i: 0 for i in range(121)}
