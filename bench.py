@@ -160,6 +160,16 @@ HEADLINE = (
     "tokenizer_family_fertility_compare",  # WordPiece-vs-BPE bake-off
     "wordpiece_threshold_sensitivity",  # vocab-size/fertility knob curve
     "unigram_viterbi_encode",       # third tokenizer family (Viterbi DP)
+    "chunk_content_defined",        # rolling-cut content-defined chunking
+    "chunk_cdc_dedup_report",       # chunk-store dedup accountability
+    "eval_retrieval_ndcg_mrr",      # ranking-quality gate (nDCG/MRR)
+    "text_rrf_fusion",              # hybrid lexical+semantic RRF merge
+    "corpus_epoch_shuffle_plan",    # deterministic dataloader order
+    "multimodal_crossmodal_retrieval",  # CLIP-shaped top-1 image->text
+    "er_candidate_pairs_blocked",   # multi-pass blocked ER matching
+    "er_golden_records",            # ER clusters -> survivorship records
+    "graph_components_chain_bigstar",   # large/small-star deep components
+    "streaming_heavy_hitters_drain",    # MG candidates as stream state
 )
 
 
