@@ -202,7 +202,14 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the only thing shuffled, never text.",
 )
 def chunk_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ch = _cdc_chunks(spark, sf_dir)
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
+    # The chunk build (explode + per-doc window + per-chunk agg) feeds
+    # BOTH branches (instances and the firsts index) — pin it once per
+    # the round-9 cache contract instead of building it twice.
+    ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
     key = (F.col("doc_id") * _CDC_PACK + F.col("chunk_idx")).cast("long")
     firsts = (
         ch.select("chunk_fp", key.alias("k"))
@@ -1122,4 +1129,150 @@ def graph_components_chain_bigstar(
     )
     return two_phase_components(e).select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# differentially-private quantile release (noisy histogram + CDF)
+# ---------------------------------------------------------------------------
+
+_DPQ_EPS = 0.5
+_DPQ_BINS = 32
+_DPQ_WIDTH = 16.0  # public grid [0, 512): data-independent, as DP requires
+_DPQ_QS = (0.5, 0.95)
+# ln-argument floor shared with privacy_dp_noisy_counts: caps |noise|
+# and avoids the Spark-NULL-vs-DuckDB-inf ln(0) divergence.
+_DPQ_LN_FLOOR = "2.3283064365386963e-10"
+
+
+def _dpq_oracle() -> str:
+    qs_sql = ", ".join(f"CAST({q} AS DOUBLE)" for q in _DPQ_QS)
+    return f"""
+    WITH grid AS (SELECT CAST(unnest(range({_DPQ_BINS})) AS INT) AS bin),
+    c AS (
+        SELECT CAST(LEAST(GREATEST(floor(value / {_DPQ_WIDTH}), 0),
+                          {_DPQ_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    h AS (
+        SELECT g.bin, COALESCE(c.cnt, 0) AS cnt,
+               (('0x' || substring(md5('dpq:' || CAST(g.bin AS VARCHAR)),
+                                   1, 8))::BIGINT
+                % 4294967296) / 4294967296.0 AS uni
+        FROM grid g LEFT JOIN c USING (bin)
+    ),
+    nz AS (
+        SELECT bin,
+               GREATEST(cnt
+                   - (1.0 / {_DPQ_EPS})
+                     * CASE WHEN uni - 0.5 < 0 THEN -1
+                            WHEN uni - 0.5 > 0 THEN 1 ELSE 0 END
+                     * ln(GREATEST(1 - 2 * ABS(uni - 0.5),
+                                   {_DPQ_LN_FLOOR})), 0) AS ncnt
+        FROM h
+    ),
+    cdf AS (
+        SELECT bin, ncnt,
+               SUM(ncnt) OVER (ORDER BY bin) AS cum,
+               SUM(ncnt) OVER () AS total
+        FROM nz
+    ),
+    qs AS (SELECT unnest([{qs_sql}]) AS q)
+    SELECT qs.q,
+           CAST((MIN(CASE WHEN ROUND(cdf.cum, 6)
+                               >= ROUND(qs.q * cdf.total, 6)
+                          THEN cdf.bin END) + 1) * {_DPQ_WIDTH}
+                AS DOUBLE) AS released_value,
+           ROUND(ANY_VALUE(cdf.total) + 1e-9, 6) AS noisy_total,
+           CAST({_DPQ_BINS} AS INT) AS n_bins,
+           CAST({_DPQ_EPS} AS DOUBLE) AS epsilon
+    FROM qs, cdf
+    GROUP BY qs.q
+    """
+
+
+@register(
+    "privacy_dp_quantile",
+    oracle=_dpq_oracle(),
+    doc=f"DIFFERENTIALLY-PRIVATE quantile release (noisy-histogram "
+        f"mechanism): counts on a PUBLIC fixed grid ({_DPQ_BINS} bins "
+        f"of width {_DPQ_WIDTH} — data-independent bounds, as DP "
+        f"requires), Laplace noise per bin (disjoint histogram, "
+        f"sensitivity 1, epsilon={_DPQ_EPS}; md5-seeded inverse-CDF "
+        f"draw shared with privacy_dp_noisy_counts so both engines "
+        f"release the identical value), zero-clamped, then the "
+        f"quantile read off the noisy CDF — post-processing, so it "
+        f"costs no extra budget. Cumulative sums are rounded at 1e-6 "
+        f"on BOTH sides of the threshold compare so cross-engine "
+        f"float fold order cannot flip the selected bin. Scale shape: "
+        f"one grouped-count shuffle over the corpus; everything after "
+        f"is {_DPQ_BINS}-row arithmetic (the CDF window is a bounded "
+        f"frame via global_window).",
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.least(
+            F.greatest(F.floor(F.col("value") / _DPQ_WIDTH), F.lit(0)),
+            F.lit(_DPQ_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = spark.range(_DPQ_BINS).select(F.col("id").cast("int").alias("bin"))
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpq:"), F.col("bin").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    centered = uni - 0.5
+    noise = (
+        F.lit(-1.0 / _DPQ_EPS)
+        * F.signum(centered)
+        * F.log(
+            F.greatest(
+                1 - 2 * F.abs(centered), F.lit(float(_DPQ_LN_FLOOR))
+            )
+        )
+    )
+    h = grid.join(F.broadcast(c), "bin", "left").select(
+        "bin",
+        F.greatest(
+            F.coalesce("cnt", F.lit(0)) + noise, F.lit(0.0)
+        ).alias("ncnt"),
+    )
+    wcum = global_window("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = global_window("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = h.select(
+        "bin",
+        F.sum("ncnt").over(wcum).alias("cum"),
+        F.sum("ncnt").over(wall).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DPQ_QS], "q double")
+    hit = F.when(
+        F.round(F.col("cum"), 6) >= F.round(F.col("q") * F.col("total"), 6),
+        F.col("bin"),
+    )
+    return (
+        F.broadcast(qs)
+        .crossJoin(cdf)
+        .groupBy("q")
+        .agg(
+            ((F.min(hit) + 1) * _DPQ_WIDTH).alias("released_value"),
+            F.round(F.first("total") + F.lit(1e-9), 6).alias("noisy_total"),
+            F.lit(_DPQ_BINS).cast("int").alias("n_bins"),
+            F.lit(float(_DPQ_EPS)).alias("epsilon"),
+        )
     )

@@ -234,3 +234,27 @@ def test_two_phase_components_matches_label_propagation(spark):
         for r in two_phase_components(chain).collect()
     }
     assert out == {i: 0 for i in range(121)}
+
+
+def test_dp_quantile_release_properties(spark):
+    """Releases are grid-aligned, ordered in q (CDF post-processing is
+    monotone), and within the public bounds; the noisy total stays
+    within max-noise distance of the true count."""
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _DPQ_BINS,
+        _DPQ_EPS,
+        _DPQ_WIDTH,
+        privacy_dp_quantile,
+    )
+
+    out = {r["q"]: r for r in privacy_dp_quantile(spark, SF).collect()}
+    assert set(out) == {0.5, 0.95}
+    for r in out.values():
+        assert r["released_value"] % _DPQ_WIDTH == 0
+        assert 0 < r["released_value"] <= _DPQ_BINS * _DPQ_WIDTH
+    assert out[0.5]["released_value"] <= out[0.95]["released_value"]
+    n_events = load_table(spark, SF, "events").count()
+    import math
+
+    max_noise = _DPQ_BINS * (1.0 / _DPQ_EPS) * -math.log(2.0 ** -32)
+    assert abs(out[0.5]["noisy_total"] - n_events) <= max_noise
