@@ -170,6 +170,7 @@ HEADLINE = (
     "er_golden_records",            # ER clusters -> survivorship records
     "graph_components_chain_bigstar",   # large/small-star deep components
     "streaming_heavy_hitters_drain",    # MG candidates as stream state
+    "privacy_dp_quantile",          # DP noisy-histogram quantile release
 )
 
 
