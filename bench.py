@@ -171,6 +171,7 @@ HEADLINE = (
     "graph_components_chain_bigstar",   # large/small-star deep components
     "streaming_heavy_hitters_drain",    # MG candidates as stream state
     "privacy_dp_quantile",          # DP noisy-histogram quantile release
+    "er_eval_planted_recall",       # ER recall vs planted ground truth
 )
 
 
