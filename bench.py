@@ -172,6 +172,7 @@ HEADLINE = (
     "streaming_heavy_hitters_drain",    # MG candidates as stream state
     "privacy_dp_quantile",          # DP noisy-histogram quantile release
     "er_eval_planted_recall",       # ER recall vs planted ground truth
+    "chunk_incremental_dedup",      # delta-vs-chunk-index arrival dedup
 )
 
 

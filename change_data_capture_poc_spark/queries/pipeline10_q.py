@@ -1352,3 +1352,67 @@ def er_eval_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "chunk_incremental_dedup",
+    oracle="WITH "
+    + _cdc_chunk_ctes().strip()
+    + """,
+    idx AS (
+        SELECT DISTINCT chunk_fp FROM chunks WHERE doc_id % 10 <> 7
+    ),
+    delta AS (SELECT * FROM chunks WHERE doc_id % 10 = 7)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN i.chunk_fp IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_known_chunks,
+           CAST(SUM(CASE WHEN i.chunk_fp IS NOT NULL
+                         THEN d.n_words ELSE 0 END) AS BIGINT)
+               AS known_words,
+           ROUND(SUM(CASE WHEN i.chunk_fp IS NOT NULL
+                          THEN d.n_words ELSE 0 END) * 1.0
+                 / SUM(d.n_words) + 1e-9, 6) AS known_ratio
+    FROM delta d LEFT JOIN idx i USING (chunk_fp)
+    GROUP BY d.doc_id
+    """,
+    doc="Incremental chunk-store dedup — the arrival-time shape of "
+        "chunk_cdc_dedup_report (and the chunk sibling of "
+        "dedup_incremental_delta_index): newly-arriving documents "
+        "(delta = doc_id % 10 == 7) are chunked and probed against "
+        "the fingerprint INDEX of the existing corpus; per new "
+        "document, how much of it is already stored chunk-for-chunk. "
+        "Only the delta is chunked fresh and only fingerprints are "
+        "joined — the existing corpus contributes its (distinct-fp) "
+        "index, never text, and candidates are delta x index on the "
+        "fp key, never delta x corpus. This is how a 100 TB chunk "
+        "store ingests a daily drop: the known_ratio readout is the "
+        "storage-saved/provenance signal per incoming document.",
+)
+def chunk_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
+    ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
+    idx = (
+        ch.where(F.col("doc_id") % 10 != 7).select("chunk_fp").distinct()
+        .withColumn("known", F.lit(1))
+    )
+    delta = ch.where(F.col("doc_id") % 10 == 7)
+    known = F.coalesce("known", F.lit(0))
+    return (
+        delta.join(idx, "chunk_fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(known).cast("long").alias("n_known_chunks"),
+            F.sum(known * F.col("n_words")).cast("long")
+            .alias("known_words"),
+            F.round(
+                F.sum(known * F.col("n_words")) * 1.0 / F.sum("n_words")
+                + F.lit(1e-9),
+                6,
+            ).alias("known_ratio"),
+        )
+    )
