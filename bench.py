@@ -173,6 +173,7 @@ HEADLINE = (
     "privacy_dp_quantile",          # DP noisy-histogram quantile release
     "er_eval_planted_recall",       # ER recall vs planted ground truth
     "chunk_incremental_dedup",      # delta-vs-chunk-index arrival dedup
+    "streaming_chunk_cdc_drain",    # map-only chunking under readStream
 )
 
 

@@ -38,10 +38,12 @@ Modules:
 - ``pipeline9_q`` — corpus-scale BPE encode, persisted IVF-PQ index
                     build/serve split, best-fit sequence packing,
                     CDC quarantine report
-- ``pipeline10_q`` — content-defined chunking + chunk dedup report,
-                    retrieval quality (nDCG@10/MRR@100), RRF hybrid
-                    fusion, deterministic epoch shuffle plan,
-                    cross-modal retrieval
+- ``pipeline10_q`` — content-defined chunking (map-only fold) +
+                    chunk dedup reports (batch/incremental), retrieval
+                    quality (nDCG@10/MRR@100), RRF hybrid fusion,
+                    deterministic epoch shuffle plan, cross-modal
+                    retrieval, entity resolution (match/merge/eval),
+                    DP quantile release, deep-graph components
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401

@@ -101,40 +101,62 @@ def _cdc_chunk_ctes() -> str:
     """
 
 
-def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, chunk_idx, n_words, chunk_fp) — shared by the
-    chunk query and the dedup report (source rides the explode, so the
-    report never joins back to the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+def _cdc_chunk_fold_expr() -> str:
+    """SQL fold producing the chunk-text array for one document —
+    MAP-ONLY (no explode, no window, no per-doc shuffle): each
+    document's words already live in its own row, so the running
+    cut-count the oracle states as a window is just a left fold. This
+    is also what makes the STREAMING twin trivial: the identical
+    stateless expression runs under readStream."""
+    cut = (
+        f"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) "
+        f"% {_CDC_MASK} = 0"
+    )
+    empty = "CAST(array() AS ARRAY<STRING>)"
+    return f"""
+        aggregate(
+            filter(split(text, ' '), x -> x != ''),
+            named_struct('chunks', {empty}, 'cur', {empty}),
+            (acc, w) -> IF({cut},
+                named_struct(
+                    'chunks',
+                    array_append(acc.chunks,
+                                 array_join(array_append(acc.cur, w), ' ')),
+                    'cur', {empty}),
+                named_struct('chunks', acc.chunks,
+                             'cur', array_append(acc.cur, w))),
+            acc -> IF(size(acc.cur) > 0,
+                      array_append(acc.chunks, array_join(acc.cur, ' ')),
+                      acc.chunks))
+    """
+
+
+def _cdc_chunks_from(d: DataFrame) -> DataFrame:
+    """Chunk table from a (doc_id, source, text) frame — batch or
+    streaming; the plan is map-only either way."""
+    return d.select(
         "doc_id",
         "source",
-        F.posexplode(F.split("text", " ")).alias("word_pos", "word"),
-    ).where(F.col("word") != "")
-    cut = (_md5_long(F.col("word")) % _CDC_MASK == 0).cast("int")
-    prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("word_pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cid = tok.withColumn(
+        F.posexplode(F.expr(_cdc_chunk_fold_expr())).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    ).select(
+        "doc_id",
+        "source",
         "chunk_idx",
-        F.coalesce(F.sum(cut).over(prev), F.lit(0)).cast("int"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_words"),
+        F.md5("chunk_text").alias("chunk_fp"),
     )
-    return cid.groupBy("doc_id", "chunk_idx").agg(
-        F.min("source").alias("source"),
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("word_pos", "word"))
-                    ),
-                    lambda s: s["word"],
-                ),
-                " ",
-            )
-        ).alias("chunk_fp"),
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, chunk_idx, n_words, chunk_fp) — shared by the
+    chunk queries and the dedup reports (source rides along, so the
+    reports never join back to the corpus)."""
+    return _cdc_chunks_from(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
     )
 
 

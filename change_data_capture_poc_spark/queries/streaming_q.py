@@ -1614,3 +1614,47 @@ def streaming_heavy_hitters_drain(
         .where(F.col("cnt") > F.col("n") / _MG_K)
         .select("tok", "cnt")
     )
+
+
+def _chunk_cdc_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _cdc_chunk_ctes,
+    )
+
+    return (
+        "WITH "
+        + _cdc_chunk_ctes().strip()
+        + """
+    SELECT doc_id, chunk_idx, n_words, chunk_fp FROM chunks
+    """
+    )
+
+
+@register(
+    "streaming_chunk_cdc_drain",
+    oracle=_chunk_cdc_oracle(),
+    doc="STREAMING content-defined chunking — chunk_content_defined's "
+        "stream twin: documents arrive as a stream and the identical "
+        "map-only fold (pipeline10_q._cdc_chunk_fold_expr: the running "
+        "cut-count as a left fold over the document's own words — no "
+        "window, no shuffle, no state) chunks each one on arrival; "
+        "append-mode drain, so the streaming engine adds NOTHING but "
+        "transport. This is the ingest-time shape of the chunk store: "
+        "a document is chunked once, the moment it lands, and only "
+        "(ids, fingerprint) rows flow downstream to the dedup index.",
+)
+def streaming_chunk_cdc_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _cdc_chunks_from,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    out = _cdc_chunks_from(
+        stream.select("doc_id", "source", "text")
+    ).select("doc_id", "chunk_idx", "n_words", "chunk_fp")
+    return _drain(out, "streaming_chunk_cdc_tbl", "append")
