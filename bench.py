@@ -174,6 +174,8 @@ HEADLINE = (
     "er_eval_planted_recall",       # ER recall vs planted ground truth
     "chunk_incremental_dedup",      # delta-vs-chunk-index arrival dedup
     "streaming_chunk_cdc_drain",    # map-only chunking under readStream
+    "chunk_index_build",            # persist the chunk-store fp index
+    "chunk_incremental_serve",      # delta served off the persisted index
 )
 
 

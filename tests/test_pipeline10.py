@@ -291,3 +291,32 @@ def test_chunking_total_on_degenerate_documents(spark):
     assert set(by_doc) == {1, 2, 3, 4}
     assert [r["n_words"] for r in by_doc[1]] == [5]
     assert [r["n_words"] for r in by_doc[4]] == [3]
+
+
+def test_chunk_serve_reads_index_not_corpus(spark):
+    """The incremental serve must scan documents exactly once (the
+    delta branch) plus the persisted fingerprint index — never
+    re-chunk the existing corpus — and must agree row-for-row with
+    the in-plan variant (persistence is transparent)."""
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        chunk_incremental_dedup,
+        chunk_incremental_serve,
+        ensure_chunk_index,
+    )
+    from change_data_capture_poc_spark.functions.caching import (
+        release_pins,
+    )
+
+    ensure_chunk_index(spark, SF)
+    df = chunk_incremental_serve(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "fp_index.parquet" in plan
+
+    serve = {r["doc_id"]: tuple(r) for r in df.collect()}
+    inplan = {
+        r["doc_id"]: tuple(r)
+        for r in chunk_incremental_dedup(spark, SF).collect()
+    }
+    release_pins(spark)
+    assert serve == inplan
