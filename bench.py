@@ -236,12 +236,15 @@ def main() -> None:
         )
 
     for name in HEADLINE:
-        _measure(name, 3)
-        # Best-of-5 for the expensive queries: a >=2s timing is a third
-        # of the way to a phantom 2x flag on one ambient-load burst;
-        # two extra reps cost little relative to the query itself.
+        # Best-of-2 base: with ~150 headline queries a third rep on
+        # every sub-2s query costs minutes of wall for timings the min
+        # already stabilizes; the extra reps go where variance actually
+        # threatens a phantom regression flag — the expensive queries
+        # get best-of-5 (a >=2s timing is a third of the way to a 2x
+        # flag on one ambient-load burst).
+        _measure(name, 2)
         if timings[name] >= 2.0:
-            _measure(name, 2)
+            _measure(name, 3)
 
     # Regression guard: diff against the newest recorded round
     # (BENCH_r*.json). Informational — per-query ratios > 2x go to
