@@ -236,15 +236,16 @@ def main() -> None:
         )
 
     for name in HEADLINE:
-        # Best-of-2 base: with ~150 headline queries a third rep on
-        # every sub-2s query costs minutes of wall for timings the min
-        # already stabilizes; the extra reps go where variance actually
-        # threatens a phantom regression flag — the expensive queries
-        # get best-of-5 (a >=2s timing is a third of the way to a 2x
-        # flag on one ambient-load burst).
-        _measure(name, 2)
+        # Best-of-3 base (measured: best-of-2 inflates the min ~20% —
+        # the first rep carries plan compilation, so two reps often
+        # record {cold, warm} while three record a warm-biased min;
+        # cross-round comparability needs the same protocol as every
+        # recorded BENCH_r*). Expensive queries get best-of-5: a >=2s
+        # timing is a third of the way to a phantom 2x flag on one
+        # ambient-load burst.
+        _measure(name, 3)
         if timings[name] >= 2.0:
-            _measure(name, 3)
+            _measure(name, 2)
 
     # Regression guard: diff against the newest recorded round
     # (BENCH_r*.json). Informational — per-query ratios > 2x go to
