@@ -71,9 +71,6 @@ _MD5_SPARK_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
 # ---------------------------------------------------------------------------
 
 _CDC_MASK = 8  # expected chunk length in words (cut when hash % 8 == 0)
-# Packs (doc_id, chunk_idx) into one orderable BIGINT for the
-# first-instance rule; chunk_idx < doc word count << 2^20 at any SF.
-_CDC_PACK = 1 << 20
 
 
 def _cdc_chunk_ctes() -> str:
@@ -203,24 +200,21 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_cdc_dedup_report",
     oracle="WITH "
     + _cdc_chunk_ctes().strip()
-    + f""",
+    + """,
     firsts AS (
         SELECT chunk_fp,
-               MIN(doc_id * {_CDC_PACK} + chunk_idx) AS first_key
+               MIN({'d': doc_id, 'i': chunk_idx}) AS fk
         FROM chunks GROUP BY chunk_fp
     )
     SELECT c.source,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
-                              <> f.first_key
+           CAST(SUM(CASE WHEN c.doc_id <> f.fk.d OR c.chunk_idx <> f.fk.i
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
            CAST(SUM(c.n_words) AS BIGINT) AS n_words_total,
-           CAST(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
-                              <> f.first_key
+           CAST(SUM(CASE WHEN c.doc_id <> f.fk.d OR c.chunk_idx <> f.fk.i
                          THEN c.n_words ELSE 0 END) AS BIGINT)
                AS dup_words,
-           ROUND(SUM(CASE WHEN c.doc_id * {_CDC_PACK} + c.chunk_idx
-                               <> f.first_key
+           ROUND(SUM(CASE WHEN c.doc_id <> f.fk.d OR c.chunk_idx <> f.fk.i
                           THEN c.n_words ELSE 0 END) * 1.0
                  / SUM(c.n_words) + 1e-9, 6) AS dup_word_ratio
     FROM chunks c JOIN firsts f USING (chunk_fp)
@@ -228,8 +222,9 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Chunk-level dedup accountability per source: an instance is a "
         "duplicate when its (doc_id, chunk_idx) is not the global "
-        "first for its fingerprint (first = MIN of the packed 64-bit "
-        "instance key — exact integer arithmetic, no window). This is "
+        "first for its fingerprint (first = lexicographic struct-MIN "
+        "over (doc_id, chunk_idx) — no packed-int key, so no aliasing "
+        "at any chunk_idx range; exact arithmetic, no window). This is "
         "the bytes-saved readout of chunk-store dedup: word-weighted "
         "duplication ratio per source. Plan beyond the chunk build: "
         "one fingerprint-keyed aggregation + one fingerprint-keyed "
@@ -245,13 +240,19 @@ def chunk_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # firsts index) — pin it once per the round-9 cache contract
     # instead of computing it twice.
     ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
-    key = (F.col("doc_id") * _CDC_PACK + F.col("chunk_idx")).cast("long")
     firsts = (
-        ch.select("chunk_fp", key.alias("k"))
-        .groupBy("chunk_fp")
-        .agg(F.min("k").alias("first_key"))
+        ch.groupBy("chunk_fp")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("fk"))
+        .select(
+            "chunk_fp",
+            F.col("fk.doc_id").alias("f_doc"),
+            F.col("fk.chunk_idx").alias("f_idx"),
+        )
     )
-    dup = (key != F.col("first_key")).cast("int")
+    dup = (
+        (F.col("doc_id") != F.col("f_doc"))
+        | (F.col("chunk_idx") != F.col("f_idx"))
+    ).cast("int")
     return (
         ch.join(firsts, "chunk_fp")
         .groupBy("source")
@@ -754,13 +755,18 @@ def _xm_oracle() -> str:
     pr AS (SELECT vec_id, [{proj_sql}] AS proj FROM embeddings),
     scored AS (
         SELECT img.doc_id, pr.vec_id,
+               -- GREATEST floor on the norm product: a zero-length
+               -- payload (all-zero counts) must score 0.0, not NaN
+               -- (Spark NaN sorts above all reals; DuckDB 0/0 differs)
                ROUND(list_reduce(list_transform(
                          list_zip(img.counts, pr.proj),
                          p -> p[1] * p[2]), (a, b) -> a + b)
-                     / (sqrt(list_reduce(list_transform(img.counts,
+                     / GREATEST(
+                         sqrt(list_reduce(list_transform(img.counts,
                              x -> x * x), (a, b) -> a + b))
-                        * sqrt(list_reduce(list_transform(pr.proj,
-                              x -> x * x), (a, b) -> a + b)))
+                         * sqrt(list_reduce(list_transform(pr.proj,
+                               x -> x * x), (a, b) -> a + b)),
+                         1e-12)
                      + 1e-9, 6) AS score
         FROM img, pr
     )
@@ -829,14 +835,19 @@ def multimodal_crossmodal_retrieval(
     sumsq = (
         "aggregate(transform({v}, x -> x * x), 0D, (a, b) -> a + b)"
     )
+    # greatest() floor mirrors the oracle: an empty payload yields an
+    # all-zero counts vector; 0/0 is NaN in Spark (sorts ABOVE every
+    # real score in the descending top-1) vs a different DuckDB result
+    # — floor the norm product so both engines score exactly 0.0.
     score = F.round(
         F.expr(
             "aggregate(zip_with(counts, proj, (x, c) -> x * c), 0D, "
             "(a, b) -> a + b)"
         )
-        / (
+        / F.greatest(
             F.sqrt(F.expr(sumsq.format(v="counts")))
-            * F.sqrt(F.expr(sumsq.format(v="proj")))
+            * F.sqrt(F.expr(sumsq.format(v="proj"))),
+            F.lit(1e-12),
         )
         + F.lit(1e-9),
         6,
@@ -1169,8 +1180,13 @@ def graph_components_chain_bigstar(
         )
         .where(F.col("dst").isNotNull())
     )
-    return two_phase_components(e).select(
-        F.col("node").alias("doc_id"), "component"
+    comp = two_phase_components(e)
+    # two_phase_components only emits nodes with >=1 non-self-loop edge;
+    # a 1-document source has no chain edge, so its doc must re-enter as
+    # its own singleton component (the oracle's MIN OVER source covers
+    # every document unconditionally).
+    return d.join(comp, d.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
 
 

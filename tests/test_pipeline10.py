@@ -236,6 +236,34 @@ def test_two_phase_components_matches_label_propagation(spark):
     assert out == {i: 0 for i in range(121)}
 
 
+def test_bigstar_query_keeps_isolated_documents(spark, tmp_path):
+    """A source with exactly ONE document has no chain edge, so its
+    doc never enters two_phase_components — the query must still emit
+    it as its own singleton component (round-9 advice: the oracle's
+    MIN OVER (PARTITION BY source) covers every document)."""
+    import pandas as pd
+
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        graph_components_chain_bigstar,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["a", "a", "a", "lonely"],
+            "text": ["x", "y", "z", "w"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in graph_components_chain_bigstar(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
 def test_dp_quantile_release_properties(spark):
     """Releases are grid-aligned, ordered in q (CDF post-processing is
     monotone), and within the public bounds; the noisy total stays
