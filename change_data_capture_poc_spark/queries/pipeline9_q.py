@@ -2207,28 +2207,20 @@ def wordpiece_maxmatch_encode(
     )
 
 
-def _unigram_ctes() -> str:
-    """Oracle CTEs appended after _wp_base_ctes (reuses wpc/wpdw):
-    frequency model -> millinat costs -> all-segmentations recursion
-    -> total-order winner."""
+_UNI_EM_ROUNDS = 2  # SentencePiece-style hard-EM e/m cycles
+_UNI_EM_TOPK = 4096  # multi-char pieces kept per m-step (count desc, token)
+
+
+def _uni_enum_ctes(cost_cte: str, sfx: str) -> str:
+    """One vocab-restricted Viterbi e-step as oracle CTEs: enumerate
+    every segmentation of every distinct word whose pieces ALL exist
+    in ``cost_cte`` (the inner join against the cost table IS the
+    vocab restriction — pruned pieces never enter the lattice) and
+    pick the (cost, str) total-order winner. Deliberately brute-force
+    (<= 2^(len-1) paths, len <= corpus max word length): the SPEC the
+    engine's linear backward-Viterbi fold must reproduce."""
     return f"""
-    ufreq AS (
-        SELECT substring(word, s.p, l.l) AS token, SUM(n) AS freq
-        FROM wpc,
-             (VALUES (1), (2), (3), (4)) l(l),
-             LATERAL (
-                 SELECT unnest(range(1, length(wpc.word) - l.l + 2)) AS p
-             ) s
-        GROUP BY 1
-    ),
-    uz AS (SELECT SUM(freq) AS z FROM ufreq),
-    ucost AS (
-        SELECT token,
-               CAST(ROUND(1000 * LN(uz.z * 1.0 / freq) + 1e-9) AS BIGINT)
-                   AS c
-        FROM ufreq, uz
-    ),
-    urec AS (
+    urec{sfx} AS (
         SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cost,
                '' AS str
         FROM wpc
@@ -2238,19 +2230,98 @@ def _unigram_ctes() -> str:
                         substring(r.word, CAST(r.p AS INT), l.l)
                     ELSE concat(r.str, ' ',
                         substring(r.word, CAST(r.p AS INT), l.l)) END
-        FROM urec r
+        FROM urec{sfx} r
         CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
-        JOIN ucost c
+        JOIN {cost_cte} c
           ON c.token = substring(r.word, CAST(r.p AS INT), l.l)
         WHERE r.p + l.l <= length(r.word) + 1
     ),
-    uwin AS (
-        SELECT word, str FROM urec
+    uwin{sfx} AS MATERIALIZED (
+        SELECT word, str FROM urec{sfx}
         WHERE p = length(word) + 1
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY word ORDER BY cost, str) = 1
     ),
-    utoks AS (SELECT word, string_split(str, ' ') AS toks FROM uwin)"""
+    utoks{sfx} AS MATERIALIZED (SELECT word, string_split(str, ' ') AS toks
+                   FROM uwin{sfx})"""
+
+
+def _uni_mstep_ctes(r: int) -> str:
+    """m-step r as oracle CTEs: occurrence-weighted Viterbi piece
+    counts from ``utoks_e{r}``, then the pruned re-normalized vocab —
+    single chars ALWAYS kept (Laplace-floored at count 1, so every
+    word stays segmentable), multi-char pieces kept only if USED by
+    some Viterbi path this round, capped at the top ``_UNI_EM_TOPK``
+    under the (count DESC, token ASC) total order — and the fresh
+    millinat cost grid over the new total."""
+    return f"""
+    ucnt_r{r} AS MATERIALIZED (
+        SELECT t.tok AS token, CAST(SUM(w.n) AS BIGINT) AS cnt
+        FROM utoks_e{r} u JOIN wpc w USING (word),
+             LATERAL (SELECT unnest(u.toks) AS tok) t
+        GROUP BY 1
+    ),
+    umulti_r{r} AS MATERIALIZED (
+        SELECT token, cnt FROM ucnt_r{r}
+        WHERE length(token) >= 2
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                <= {_UNI_EM_TOPK}
+    ),
+    uvocab_r{r} AS MATERIALIZED (
+        SELECT ch.token,
+               CAST(GREATEST(COALESCE(c.cnt, 0), 1) AS BIGINT) AS cnt
+        FROM wpchars ch LEFT JOIN ucnt_r{r} c USING (token)
+        UNION ALL
+        SELECT token, cnt FROM umulti_r{r}
+    ),
+    uz_r{r} AS MATERIALIZED (SELECT SUM(cnt) AS z FROM uvocab_r{r}),
+    ucost_r{r} AS MATERIALIZED (
+        SELECT token,
+               CAST(ROUND(1000 * LN(uz_r{r}.z * 1.0 / cnt) + 1e-9)
+                    AS BIGINT) AS c
+        FROM uvocab_r{r}, uz_r{r}
+    )"""
+
+
+def _uni_train_ctes() -> str:
+    """Seed model + _UNI_EM_ROUNDS unrolled hard-EM cycles (the BPE
+    trainer's fixed-round-unroll pattern): ufreq_r0/ucost_r0 is the
+    all-substrings frequency seed; round r = Viterbi e-step under
+    ucost_r{r-1} (utoks_e{r}) then m-step r (ucost_r{r})."""
+    parts = [f"""
+    ufreq_r0 AS MATERIALIZED (
+        SELECT substring(word, s.p, l.l) AS token,
+               CAST(SUM(n) AS BIGINT) AS cnt
+        FROM wpc,
+             (VALUES (1), (2), (3), (4)) l(l),
+             LATERAL (
+                 SELECT unnest(range(1, length(wpc.word) - l.l + 2)) AS p
+             ) s
+        GROUP BY 1
+    ),
+    uz_r0 AS MATERIALIZED (SELECT SUM(cnt) AS z FROM ufreq_r0),
+    ucost_r0 AS MATERIALIZED (
+        SELECT token,
+               CAST(ROUND(1000 * LN(uz_r0.z * 1.0 / cnt) + 1e-9)
+                    AS BIGINT) AS c
+        FROM ufreq_r0, uz_r0
+    )"""]
+    for r in range(1, _UNI_EM_ROUNDS + 1):
+        parts.append(_uni_enum_ctes(f"ucost_r{r - 1}", f"_e{r}"))
+        parts.append(_uni_mstep_ctes(r))
+    return ",".join(parts)
+
+
+def _unigram_ctes() -> str:
+    """Oracle CTEs appended after _wp_base_ctes (reuses wpc/wpchars/
+    wpdw): the TRAINED unigram model (seed + unrolled EM rounds) ->
+    all-segmentations recursion under the final trained costs ->
+    total-order winner ``utoks``."""
+    return (
+        _uni_train_ctes()
+        + ","
+        + _uni_enum_ctes(f"ucost_r{_UNI_EM_ROUNDS}", "")
+    )
 
 
 
@@ -2438,7 +2509,7 @@ def wordpiece_threshold_sensitivity(
 
 
 # ---------------------------------------------------------------------------
-# unigram_viterbi_encode — the third tokenizer family (unigram LM / Viterbi)
+# unigram LM — the third tokenizer family: EM trainer + Viterbi encode
 # ---------------------------------------------------------------------------
 #
 # SentencePiece's unigram model (Kudo 2018) segments each word into the
@@ -2446,9 +2517,10 @@ def wordpiece_threshold_sensitivity(
 # probabilistic alternative to BPE's learned merges and WordPiece's
 # greedy MaxMatch. Relational form with exact cross-engine parity:
 #
-#   model  = every substring of length 1..4, occurrence-weighted
-#            frequency over the word table; token cost in integer
-#            MILLINATS: round(1000 * ln(Z / freq)) — the DoReMi grid
+#   model  = TRAINED by _UNI_EM_ROUNDS hard-EM cycles
+#            (unigram_train_em) from the all-substrings (length 1..4)
+#            occurrence-weighted seed; token cost in integer
+#            MILLINATS: round(1000 * ln(Z / cnt)) — the DoReMi grid
 #            trick, so all downstream comparison is BIGINT arithmetic;
 #   winner = the segmentation minimizing (total cost, then the
 #            space-joined token string) — the explicit TOTAL ORDER that
@@ -2471,18 +2543,11 @@ def wordpiece_threshold_sensitivity(
 _UNI_MAXLEN = 4
 
 
-def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, toks): the Viterbi segmentation of every distinct word —
-    backward DP over positions, linear in word length."""
-    from change_data_capture_poc_spark.functions.caching import (
-        persist_once,
-    )
-
-    words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
-
-    # Occurrence-weighted substring frequencies, lengths 1..4 (the
-    # unigram model's support — no admission threshold: the lattice
-    # must cover every substring so each word has >= 1 segmentation).
+def _uni_seed_vocab(words: DataFrame) -> DataFrame:
+    """(token, cnt): occurrence-weighted substring frequencies,
+    lengths 1..4 — the unigram model's SEED support (no admission
+    threshold: the seed lattice must cover every substring so each
+    word has >= 1 segmentation)."""
     subs = None
     for l in range(1, _UNI_MAXLEN + 1):
         s = (
@@ -2498,28 +2563,35 @@ def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         subs = s if subs is None else subs.unionByName(s)
-    freq = (
-        subs.groupBy("token")
-        .agg(F.sum("n").cast("long").alias("freq"))
-        .transform(persist_once)
-    )
-    z = freq.agg(F.sum("freq").cast("long").alias("z"))
-    ucost = (
-        freq.crossJoin(F.broadcast(z))
-        .select(
-            "token",
-            F.round(
-                F.lit(1000) * F.log(F.col("z") * 1.0 / F.col("freq"))
-                + F.lit(1e-9)
-            )
-            .cast("long")
-            .alias("c"),
-        )
-        .transform(persist_once)
+    return subs.groupBy("token").agg(
+        F.sum("n").cast("long").alias("cnt")
     )
 
-    # Per-(word, position) edge costs c1..c4 via joins against the
-    # bounded cost table, collected into a position-ordered array.
+
+def _uni_cost_table(vocab: DataFrame) -> DataFrame:
+    """(token, c): millinat integer cost grid over a (token, cnt)
+    vocab — round(1000 * ln(Z / cnt)), Z = sum of counts, so all
+    downstream comparison is exact BIGINT arithmetic (the DoReMi grid
+    trick; +1e-9 nudge shared with the oracle's ROUND)."""
+    z = vocab.agg(F.sum("cnt").cast("long").alias("z"))
+    return vocab.crossJoin(F.broadcast(z)).select(
+        "token",
+        F.round(
+            F.lit(1000) * F.log(F.col("z") * 1.0 / F.col("cnt"))
+            + F.lit(1e-9)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+
+
+def _uni_viterbi_toks(words: DataFrame, ucost: DataFrame) -> DataFrame:
+    """(word, toks): the Viterbi segmentation of every distinct word
+    under an ARBITRARY (token, c) cost table — backward DP over
+    positions, linear in word length. A piece absent from the cost
+    table (pruned by an EM m-step) is an invalid lattice edge: its
+    cost join comes back NULL and the candidate falls to the max-cost
+    sentinel, exactly like a too-long piece."""
     wp = words.select(
         "word", F.explode(F.expr("sequence(1, length(word))")).alias("pos")
     )
@@ -2550,7 +2622,9 @@ def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # least() on structs; invalid lengths use a max-cost sentinel.
     def cand(l: int) -> str:
         return f"""
-            IF({l} <= size(acc),
+            IF({l} <= size(acc)
+               AND element_at(costs, length(word) - i + 1).c{l}
+                   IS NOT NULL,
                named_struct(
                    'cost', element_at(costs, length(word) - i + 1).c{l}
                            + element_at(acc, {l}).cost,
@@ -2576,6 +2650,103 @@ def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return costs.select("word", F.expr(fold).alias("toks"))
 
 
+def _uni_em_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(vocab, cost) after ``_UNI_EM_ROUNDS`` SentencePiece-style
+    hard-EM cycles (Kudo 2018, Viterbi-approximated e-step):
+
+      seed    = every substring of length 1..4, occurrence-weighted;
+      e-step  = Viterbi-segment every distinct word under the current
+                millinat costs (the existing _uni_viterbi_toks
+                machinery — pruned pieces are invalid lattice edges);
+      m-step  = piece count := sum over words of n * uses; keep single
+                chars ALWAYS (Laplace floor 1, so segmentability is
+                invariant), keep multi-char pieces only if used,
+                capped at the top _UNI_EM_TOPK under the
+                (count DESC, token ASC) total order (TakeOrdered —
+                never a single-partition sort); re-normalize costs
+                over the new total.
+
+    Scale shape: every frame is the Heaps-bounded word table or the
+    Zipf-bounded vocab; the corpus is never touched after _wp_tables'
+    single scan. Each round = one fold over distinct words + one
+    explode-agg + one limit — no shuffle touches corpus-sized data.
+    ``localCheckpoint`` per round truncates lineage (the
+    components/pagerank pattern): each Viterbi fold references the
+    cost table 4 times, so an un-truncated chain grows the plan — and
+    the fold's codegen — 4x per round."""
+    words, chars, _freq, _tot = _wp_tables(spark, sf_dir)
+    vocab = _uni_seed_vocab(words)
+    cost = _uni_cost_table(vocab).localCheckpoint()
+    for _ in range(_UNI_EM_ROUNDS):
+        toks = _uni_viterbi_toks(words, cost)
+        cnts = (
+            toks.join(words, "word")
+            .select("n", F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .localCheckpoint()
+        )
+        ch = chars.join(cnts, "token", "left").select(
+            "token",
+            F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1))
+            .cast("long")
+            .alias("cnt"),
+        )
+        multi = (
+            cnts.where(F.length("token") >= 2)
+            .orderBy(F.col("cnt").desc(), "token")
+            .limit(_UNI_EM_TOPK)
+        )
+        vocab = ch.unionByName(multi).localCheckpoint()
+        cost = _uni_cost_table(vocab).localCheckpoint()
+    return vocab, cost
+
+
+@register(
+    "unigram_train_em",
+    oracle="WITH RECURSIVE "
+    + _wp_base_ctes().strip()
+    + ","
+    + _uni_train_ctes().strip()
+    + f"""
+    SELECT v.token, CAST(length(v.token) AS INT) AS piece_len,
+           v.cnt, c.c AS cost
+    FROM uvocab_r{_UNI_EM_ROUNDS} v
+    JOIN ucost_r{_UNI_EM_ROUNDS} c USING (token)
+    """,
+    doc=f"UNIGRAM-LM EM TRAINER (SentencePiece, Kudo 2018 — "
+        f"Viterbi-approximated hard EM): {_UNI_EM_ROUNDS} unrolled "
+        f"e/m cycles from the all-substrings seed. e-step = the "
+        f"linear backward-Viterbi fold under the current integer "
+        f"millinat grid; m-step = occurrence-weighted piece counts, "
+        f"chars Laplace-floored (segmentability invariant), unused "
+        f"multi-char pieces PRUNED and survivors capped at the top "
+        f"{_UNI_EM_TOPK} under (count DESC, token ASC), costs "
+        f"re-normalized over the new total. Output = the trained "
+        f"vocab (token, piece_len, cnt, cost) — the artifact "
+        f"unigram_viterbi_encode and the family bake-off consume, "
+        f"closing the trainer gap (BPE trains at "
+        f"bpe_train_iterative_merges, WordPiece sweeps admission "
+        f"thresholds; unigram now trains too). Oracle = fixed-round "
+        f"unrolled CTEs, each e-step a deliberately brute-force "
+        f"all-segmentations recursion (the BPE-trainer pattern). "
+        f"Scale shape: word table is Heaps-bounded, vocab "
+        f"Zipf-bounded; per round one word-table fold + one "
+        f"explode-agg + one TakeOrdered cap — the corpus is scanned "
+        f"exactly once, at seed time.",
+)
+def unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, cost = _uni_em_state(spark, sf_dir)
+    return vocab.join(cost, "token").select(
+        "token",
+        F.length("token").cast("int").alias("piece_len"),
+        "cnt",
+        F.col("c").alias("cost"),
+    )
+
+
 @register(
     "unigram_viterbi_encode",
     oracle="WITH RECURSIVE "
@@ -2589,26 +2760,31 @@ def _uni_word_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
          LATERAL (SELECT unnest(range(len(v.toks))) AS j) t
     """,
     doc=f"UNIGRAM-LM VITERBI ENCODE — the third subword family "
-        f"(SentencePiece's unigram model, Kudo 2018): segment every "
-        f"word into the token sequence of MINIMUM total cost under a "
-        f"frequency unigram model (cost = millinats, an integer grid "
-        f"— the DoReMi trick — so all comparison is exact BIGINT "
-        f"arithmetic), tie-broken by the space-joined token string to "
-        f"a UNIQUE answer. Engine: backward Viterbi as one "
-        f"aggregate() fold per distinct word, linear in word length; "
-        f"oracle: enumerate all segmentations (recursive CTE, the "
-        f"deliberately brute-force spec) and take the same total-order "
-        f"minimum — the order composes over suffixes, so the DP "
-        f"provably finds it (pure-Python enumerator pytest). Scale "
-        f"shape: model + lattice + DP all on the Heaps-bounded word "
-        f"table ({_UNI_MAXLEN} broadcast cost joins, one fold); the "
-        f"corpus is scanned once and joined to word->toks — the "
-        f"bpe_encode_corpus shape.",
+        f"(SentencePiece's unigram model, Kudo 1804.10959): segment "
+        f"every word into the token sequence of MINIMUM total cost "
+        f"under the TRAINED unigram model (unigram_train_em's "
+        f"{_UNI_EM_ROUNDS}-round hard-EM vocab; cost = millinats, an "
+        f"integer grid — the DoReMi trick — so all comparison is "
+        f"exact BIGINT arithmetic), tie-broken by the space-joined "
+        f"token string to a UNIQUE answer. Engine: backward Viterbi "
+        f"as one aggregate() fold per distinct word, linear in word "
+        f"length, pruned pieces = invalid lattice edges; oracle: "
+        f"replay the EM rounds (unrolled CTEs), then enumerate all "
+        f"segmentations under the final costs (recursive CTE, the "
+        f"deliberately brute-force spec) and take the same "
+        f"total-order minimum — the order composes over suffixes, so "
+        f"the DP provably finds it (pure-Python enumerator pytest). "
+        f"Scale shape: model + lattice + DP all on the Heaps-bounded "
+        f"word table ({_UNI_MAXLEN} broadcast cost joins, one fold "
+        f"per EM round + one to encode); the corpus is scanned once "
+        f"and joined to word->toks — the bpe_encode_corpus shape.",
 )
 def unigram_viterbi_encode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    wt = _uni_word_toks(spark, sf_dir)
+    words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
+    _vocab, cost = _uni_em_state(spark, sf_dir)
+    wt = _uni_viterbi_toks(words, cost)
     d = load_table(spark, sf_dir, "documents")
     dw = (
         d.select(

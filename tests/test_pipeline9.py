@@ -736,17 +736,72 @@ def test_wordpiece_threshold_curve_monotone(spark, sf_dir):
         assert t1 <= t2
 
 
-def test_unigram_viterbi_vs_pure_python_enumeration(spark, sf_dir):
-    """The engine's linear backward Viterbi must pick, for every
-    distinct word, the segmentation a brute-force Python enumerator
-    selects under the identical total order (millinat cost, then the
-    space-joined token string) — proving the DP's suffix-minimum
-    composition is the global minimum."""
+def _py_unigram_em(words: dict[str, int], maxlen: int, rounds: int,
+                   topk: int):
+    """Pure-Python reference for the hard-EM trainer: seed from all
+    substrings, then `rounds` cycles of brute-force-enumerated Viterbi
+    (the total order: millinat cost, then space-joined string) ->
+    count -> prune/floor/cap -> renormalize. Returns (vocab: token ->
+    (cnt, cost), best: word -> toks under the final costs)."""
     import math
 
+    def millinat(vocab: dict[str, int]) -> dict[str, int]:
+        z = sum(vocab.values())
+        return {
+            t: int(round(1000 * math.log(z / c) + 1e-9))
+            for t, c in vocab.items()
+        }
+
+    def segmentations(w: str, cost: dict[str, int]):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(maxlen, len(w)) + 1):
+            if w[:l] in cost:
+                for rest in segmentations(w[l:], cost):
+                    yield [w[:l]] + rest
+
+    def best(w: str, cost: dict[str, int]) -> list[str]:
+        return min(
+            segmentations(w, cost),
+            key=lambda s: (sum(cost[t] for t in s), " ".join(s)),
+        )
+
+    vocab: dict[str, int] = {}
+    for w, n in words.items():
+        for l in range(1, maxlen + 1):
+            for i in range(len(w) - l + 1):
+                vocab[w[i : i + l]] = vocab.get(w[i : i + l], 0) + n
+    chars = {t for t in vocab if len(t) == 1}
+    cost = millinat(vocab)
+    for _ in range(rounds):
+        cnt: dict[str, int] = {}
+        for w, n in words.items():
+            for t in best(w, cost):
+                cnt[t] = cnt.get(t, 0) + n
+        multi = sorted(
+            ((t, c) for t, c in cnt.items() if len(t) >= 2),
+            key=lambda x: (-x[1], x[0]),
+        )[:topk]
+        vocab = {t: max(cnt.get(t, 0), 1) for t in chars}
+        vocab.update(dict(multi))
+        cost = millinat(vocab)
+    return vocab, cost, {w: best(w, cost) for w in words}
+
+
+def test_unigram_em_train_vs_pure_python_reference(spark, sf_dir):
+    """The engine's hard-EM trainer (linear backward-Viterbi e-step,
+    prune/floor/cap m-step) must reproduce, round for round, a pure
+    Python reference that enumerates every vocab-restricted
+    segmentation brute-force under the identical total order — both
+    the trained vocab/costs and the final segmentations."""
     from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _UNI_EM_ROUNDS,
+        _UNI_EM_TOPK,
         _UNI_MAXLEN,
-        _uni_word_toks,
+        _uni_em_state,
+        _uni_viterbi_toks,
+        _wp_tables,
     )
     from change_data_capture_poc_spark.sources.tables import load_table
 
@@ -760,37 +815,22 @@ def test_unigram_viterbi_vs_pure_python_enumeration(spark, sf_dir):
         .collect()
     }
 
-    freq: dict[str, int] = {}
-    for w, n in words.items():
-        for l in range(1, _UNI_MAXLEN + 1):
-            for i in range(len(w) - l + 1):
-                t = w[i : i + l]
-                freq[t] = freq.get(t, 0) + n
-    z = sum(freq.values())
-    cost = {
-        t: int(round(1000 * math.log(z / f) + 1e-9))
-        for t, f in freq.items()
-    }
+    ref_vocab, ref_cost, ref_best = _py_unigram_em(
+        words, _UNI_MAXLEN, _UNI_EM_ROUNDS, _UNI_EM_TOPK
+    )
 
-    def segmentations(w: str):
-        if not w:
-            yield []
-            return
-        for l in range(1, min(_UNI_MAXLEN, len(w)) + 1):
-            for rest in segmentations(w[l:]):
-                yield [w[:l]] + rest
+    vocab, cost = _uni_em_state(spark, sf_dir)
+    got_vocab = {r["token"]: r["cnt"] for r in vocab.collect()}
+    got_cost = {r["token"]: r["c"] for r in cost.collect()}
+    assert got_vocab == ref_vocab
+    assert got_cost == ref_cost
 
-    def best(w: str) -> list[str]:
-        return min(
-            segmentations(w),
-            key=lambda s: (sum(cost[t] for t in s), " ".join(s)),
-        )
-
+    wt, _, _, _ = _wp_tables(spark, sf_dir)
     engine = {
         r["word"]: list(r["toks"])
-        for r in _uni_word_toks(spark, sf_dir).collect()
+        for r in _uni_viterbi_toks(wt, cost).collect()
     }
     assert set(engine) == set(words)
     for w in words:
-        assert engine[w] == best(w), w
+        assert engine[w] == ref_best[w], w
         assert "".join(engine[w]) == w
