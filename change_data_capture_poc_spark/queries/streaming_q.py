@@ -590,6 +590,84 @@ def streaming_interval_join_outer_drain(
     )
 
 
+@register(
+    "streaming_interval_join_full_outer_drain",
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           s.event_id AS s_event_id,
+           COALESCE(p.user_id, s.user_id) AS user_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT)
+               AS delta_s
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    FULL JOIN (SELECT * FROM events
+               WHERE event_type = 'signup' AND user_id IS NOT NULL) s
+      ON p.user_id = s.user_id
+     AND s.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+    doc="Stream-stream FULL OUTER interval join drain — closes the "
+        "outer-join surface: purchases with no same-user signup in "
+        "the prior 2 h AND signups with no same-user purchase in the "
+        "following 2 h each surface as NULL-padded rows (the "
+        "'payment with no order in window' case the left-outer form "
+        "can't see). Both sides' NULL emissions are watermark-gated, "
+        "so the bounded replay leans on the same far-future sentinel "
+        "pair as the left-outer drain (one per side, ids -1 — the "
+        "matched sentinel pair is dropped batch-side AFTER the drain; "
+        "a stream-side filter would be pushed below the watermark "
+        "node and stall end-of-stream emission). Drained row set "
+        "equals the batch FULL theta-join the oracle states. Same "
+        "bounded state as the inner form: one shuffle per side on "
+        "user_id, eviction once the watermark passes ts+upper.",
+)
+def streaming_interval_join_full_outer_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from change_data_capture_poc_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    ev = _stream_events_with_sentinel(spark, sf_dir)
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id").isNotNull())
+    ).select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(
+        (F.col("event_type") == "signup")
+        & (F.col("user_id").isNotNull())
+    ).select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("s_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = interval_join_streams(
+        p, s,
+        left_key="user_id", right_key="s_user_id",
+        left_ts="p_ts", right_ts="s_ts",
+        lower_seconds=7200, upper_seconds=0,
+        how="full_outer",
+    ).select(
+        "p_event_id",
+        "s_event_id",
+        F.coalesce("user_id", "s_user_id").alias("user_id"),
+        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 1000000)
+        .cast("long")
+        .alias("delta_s"),
+    )
+    # Sentinel rows join each other (same key, zero delta), so exactly
+    # one (-1, -1) pair emits; null-safe-drop it batch-side (a plain
+    # != would also drop every NULL-padded row).
+    drained = _drain(j, "streaming_interval_join_full_outer_tbl", "append")
+    return drained.where(
+        ~F.col("p_event_id").eqNullSafe(F.lit(-1))
+        & ~F.col("s_event_id").eqNullSafe(F.lit(-1))
+    )
+
+
 def _embeddings_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "embeddings", "/emb")
 

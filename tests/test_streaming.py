@@ -350,6 +350,58 @@ def test_stream_stream_outer_interval_join_null_padding(spark):
     assert {(r.p_event_id, r.s_event_id) for r in rows} == want
 
 
+def test_stream_stream_full_outer_interval_join_both_sides_padded(spark):
+    """Full-outer drain: BOTH unmatched classes surface NULL-padded —
+    purchases with no in-window signup (NULL s side) and signups with
+    no purchase in the following 2 h (NULL p side) — the sentinel
+    pair never leaks, and the drained set equals the batch full
+    theta-join."""
+    from change_data_capture_poc_spark.registry import all_queries
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        all_queries()["streaming_interval_join_full_outer_drain"]
+        .fn(spark, sf)
+        .collect()
+    )
+    assert all(r.p_event_id != -1 and r.s_event_id != -1
+               for r in rows
+               if r.p_event_id is not None and r.s_event_id is not None)
+    p_padded = [r for r in rows if r.p_event_id is None]
+    s_padded = [r for r in rows if r.s_event_id is None]
+    matched = [r for r in rows
+               if r.p_event_id is not None and r.s_event_id is not None]
+    assert p_padded and s_padded and matched
+    for r in p_padded + s_padded:
+        assert r.delta_s is None
+        assert r.user_id is not None
+    for r in matched:
+        assert 0 <= r.delta_s <= 7200
+
+    ev = load_table(spark, sf, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("pid"),
+             F.col("ts").alias("pts"))
+    s = ev.where(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("su"),
+        F.col("event_id").alias("sid"),
+        F.col("ts").alias("sts"),
+    )
+    batch = p.join(
+        s,
+        (F.col("user_id") == F.col("su"))
+        & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("sts") <= F.col("pts")),
+        "full",
+    )
+    want = {(r.pid, r.sid) for r in batch.collect()}
+    assert {(r.p_event_id, r.s_event_id) for r in rows} == want
+
+
 def test_synthetic_envelope_stream_liveness(spark, tmp_path):
     """The rate-source CDC twin must emit decodable envelopes with
     strictly increasing lsn and the reference op mix categories."""
