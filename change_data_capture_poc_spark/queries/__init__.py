@@ -44,6 +44,9 @@ Modules:
                     deterministic epoch shuffle plan, cross-modal
                     retrieval, entity resolution (match/merge/eval),
                     DP quantile release, deep-graph components
+- ``pipeline11_q`` — CDC type-widening schema evolution (Spark 4
+                    Parquet type-widening reader over two physical
+                    writer generations), corpus data card rollup
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -62,3 +65,4 @@ import change_data_capture_poc_spark.queries.pipeline7_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline8_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline9_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline10_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline11_q  # noqa: F401

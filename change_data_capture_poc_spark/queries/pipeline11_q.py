@@ -1,0 +1,411 @@
+"""Round-10 additions: CDC type-widening schema evolution and the
+corpus data card rollup.
+
+Reference semantics base: shalini-p16/change-data-capture-poc — the
+REAL/NUMERIC/DOUBLE price discrepancy across its own layers
+(postgres/01_init_schema.sql NUMERIC vs the DuckDB REAL cast in
+duckdb/analytics/init_duckdb.sh) is exactly the upstream-type-widening
+case ``cdc_schema_evolution_widening`` exercises end-to-end.
+
+- ``cdc_schema_evolution_widening`` — the OTHER common upstream ALTER
+  (cdc_schema_evolution_union covers an ADDED column): a type widening
+  (INT -> BIGINT, REAL -> DOUBLE). Two writer generations land parquet
+  files with genuinely different PHYSICAL types (Spark writes INT32 +
+  FLOAT for the narrow generation, INT64 + DOUBLE for the wide one)
+  and a single evolved read schema upcasts the narrow files in the
+  scan itself — Spark 4's Parquet type-widening reader (SPARK-40876),
+  no per-file rewrite, no UNION of two reads. The per-key backfill
+  readout is what a migration decision reads.
+- ``corpus_datacard_report`` — the one-stop data card a training run
+  publishes (Datasheets for Datasets, Gebru et al. 1803.09010; the
+  Pile/ROOTS-style corpus cards): per-source mix, token counts, exact
+  + near dedup rates, quality-filter survival, language distribution,
+  split sizes — composed from the registered building-block
+  semantics, ~|sources| output rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# cdc_schema_evolution_widening — upstream ALTER TYPE tolerance
+# ---------------------------------------------------------------------------
+
+# The evolved (post-widening) read schema; the narrow generation's
+# files carry INT32 id/v and FLOAT price and are upcast in the scan.
+_WIDEN_SCHEMA = "lsn bigint, id bigint, v bigint, price double"
+
+
+def _widen_gen_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the two writer generations (once per sf_dir) and return
+    the landing directory. Narrow generation = even LSNs, physical
+    INT32/FLOAT; wide generation = odd LSNs, INT64/DOUBLE. Content is
+    a deterministic function of the events table, so the marker file
+    makes re-runs free. Price is derived from integers then quantized
+    through float32 for the narrow generation — the exact value a
+    REAL-era writer would have persisted, reproducible in DuckDB as
+    CAST(... AS REAL)."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_widen_{key}"
+    marker = os.path.join(d, "_GENS_WRITTEN")
+    if os.path.exists(marker):
+        return d
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("lsn"),
+            F.col("user_id").alias("id"),
+            (F.col("event_id") % 1000).alias("v"),
+            ((F.col("event_id") % 10000) / F.lit(100.0)).alias("price"),
+        )
+    )
+    narrow = ev.where(F.col("lsn") % 2 == 0).select(
+        "lsn",
+        F.col("id").cast("int").alias("id"),
+        F.col("v").cast("int").alias("v"),
+        F.col("price").cast("float").alias("price"),
+    )
+    wide = ev.where(F.col("lsn") % 2 == 1).select(
+        "lsn",
+        F.col("id").cast("long").alias("id"),
+        F.col("v").cast("long").alias("v"),
+        F.col("price").cast("double").alias("price"),
+    )
+    narrow.write.mode("overwrite").parquet(os.path.join(d, "gen_narrow"))
+    wide.write.mode("overwrite").parquet(os.path.join(d, "gen_wide"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
+
+@register(
+    "cdc_schema_evolution_widening",
+    oracle="""
+    WITH env AS (
+        SELECT event_id AS lsn, user_id AS id,
+               event_id % 1000 AS v,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(CAST((event_id % 10000) / 100.0 AS REAL)
+                              AS DOUBLE)
+                    ELSE (event_id % 10000) / 100.0 END AS price
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (lsn % 2 = 0) AS BIGINT) AS n_narrow,
+           CAST(COUNT(*) FILTER (lsn % 2 = 1) AS BIGINT) AS n_wide,
+           MIN(CASE WHEN lsn % 2 = 1 THEN lsn END) AS first_wide_lsn,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           ROUND(MAX_BY(price, lsn) + 1e-9, 6) AS last_price
+    FROM env GROUP BY id
+    """,
+    doc="CDC SCHEMA EVOLUTION, type-widening case — the upstream "
+        "ALTER every long-lived pipeline eventually hits (the "
+        "reference itself carries a NUMERIC-vs-REAL-vs-DOUBLE price "
+        "discrepancy across its layers: postgres/01_init_schema.sql "
+        "vs duckdb/analytics/init_duckdb.sh): two writer generations "
+        "land parquet with genuinely different PHYSICAL types "
+        "(INT32+FLOAT narrow era, INT64+DOUBLE wide era), and ONE "
+        "evolved schema reads both — Spark 4's Parquet type-widening "
+        "reader (SPARK-40876) upcasts the narrow files inside the "
+        "scan: no rewrite, no dual read + UNION, pushdown and "
+        "vectorization intact. The narrow era's float32 quantization "
+        "is preserved exactly (the oracle replays it via CAST AS "
+        "REAL), so the readout is bit-faithful to what that writer "
+        "persisted — the honest input to a backfill decision "
+        "(per-key era counts, first post-widening LSN, exact integer "
+        "sum across eras, latest price). Scale shape: generation "
+        "writes are one-time map-only jobs; the steady-state query "
+        "is a single widened scan + one keyed agg shuffle.",
+)
+def cdc_schema_evolution_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _widen_gen_dir(spark, sf_dir)
+    allgen = spark.read.schema(_WIDEN_SCHEMA).parquet(
+        os.path.join(d, "gen_narrow"), os.path.join(d, "gen_wide")
+    )
+    return allgen.groupBy(F.col("id").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("lsn") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_narrow"),
+        F.sum(F.when(F.col("lsn") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_wide"),
+        F.min(F.when(F.col("lsn") % 2 == 1, F.col("lsn"))).alias(
+            "first_wide_lsn"
+        ),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.round(F.expr("max_by(price, lsn)") + F.lit(1e-9), 6).alias(
+            "last_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_datacard_report — the data card a training run publishes
+# ---------------------------------------------------------------------------
+
+
+def _datacard_oracle() -> str:
+    from change_data_capture_poc_spark.queries.datapipe import _QF_RULE_SQL
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _cdc_chunk_ctes,
+    )
+
+    return f"""
+    WITH {_cdc_chunk_ctes().strip()},
+    {_QF_RULE_SQL},
+    dcbase AS (
+        SELECT doc_id, source, lang, n_chars,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_words,
+               md5(text) AS fp,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nfp,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS h
+        FROM documents
+    ),
+    dckp AS (SELECT fp, MIN(doc_id) AS keeper FROM dcbase GROUP BY fp),
+    dcnkp AS (SELECT nfp, MIN(doc_id) AS nkeeper
+              FROM dcbase GROUP BY nfp),
+    dclc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM documents GROUP BY 1, 2),
+    dctop AS (SELECT source, MIN({{'negc': -cnt, 'l': lang}}) AS m
+              FROM dclc GROUP BY source),
+    dcchf AS (SELECT chunk_fp, MIN({{'d': doc_id, 'i': chunk_idx}}) AS fk
+              FROM chunks GROUP BY chunk_fp),
+    dcchs AS (
+        SELECT c.source,
+               SUM(c.n_words) AS words_total,
+               SUM(CASE WHEN c.doc_id <> f.fk.d OR c.chunk_idx <> f.fk.i
+                        THEN c.n_words ELSE 0 END) AS dup_words
+        FROM chunks c JOIN dcchf f USING (chunk_fp)
+        GROUP BY c.source
+    ),
+    dcper AS (
+        SELECT b.source,
+               COUNT(*) AS n_docs,
+               SUM(b.n_words) AS n_tokens,
+               SUM(b.n_chars) AS n_chars,
+               COUNT(DISTINCT b.lang) AS n_langs,
+               SUM(CASE WHEN b.doc_id <> k.keeper
+                        THEN 1 ELSE 0 END) AS n_exact_dup,
+               SUM(CASE WHEN b.doc_id <> nk.nkeeper
+                        THEN 1 ELSE 0 END) AS n_norm_dup,
+               SUM(CASE WHEN q.drop_reason IS NULL
+                        THEN 1 ELSE 0 END) AS n_quality_pass,
+               SUM(CASE WHEN b.h < 80 THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN b.h >= 80 AND b.h < 90
+                        THEN 1 ELSE 0 END) AS n_val,
+               SUM(CASE WHEN b.h >= 90 THEN 1 ELSE 0 END) AS n_test
+        FROM dcbase b
+        JOIN dckp k USING (fp)
+        JOIN dcnkp nk USING (nfp)
+        JOIN qrule q USING (doc_id)
+        GROUP BY b.source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.n_chars AS BIGINT) AS n_chars,
+           CAST(p.n_langs AS BIGINT) AS n_langs,
+           t.m.l AS top_lang,
+           CAST(-t.m.negc AS BIGINT) AS top_lang_docs,
+           ROUND(p.n_exact_dup * 1.0 / p.n_docs + 1e-9, 6)
+               AS exact_dup_rate,
+           ROUND(p.n_norm_dup * 1.0 / p.n_docs + 1e-9, 6)
+               AS norm_dup_rate,
+           ROUND(c.dup_words * 1.0 / c.words_total + 1e-9, 6)
+               AS chunk_dup_word_ratio,
+           ROUND(p.n_quality_pass * 1.0 / p.n_docs + 1e-9, 6)
+               AS quality_pass_rate,
+           CAST(p.n_train AS BIGINT) AS n_train,
+           CAST(p.n_val AS BIGINT) AS n_val,
+           CAST(p.n_test AS BIGINT) AS n_test
+    FROM dcper p
+    JOIN dctop t USING (source)
+    JOIN dcchs c USING (source)
+    """
+
+
+@register(
+    "corpus_datacard_report",
+    oracle=_datacard_oracle(),
+    doc="CORPUS DATA CARD — the one-table summary a training run "
+        "publishes (Datasheets for Datasets, Gebru et al. 1803.09010; "
+        "the Pile/ROOTS corpus-card practice), one row per source: "
+        "volume (docs, whitespace tokens, chars), language profile "
+        "(distinct langs, dominant lang by doc count with lang-asc "
+        "tie-break via struct-min), THREE dedup tiers — exact "
+        "(md5 keeper), normalized (casefold/strip-punct/collapse-ws "
+        "md5 — the near tier), and substring-level (content-defined "
+        "chunk dup word ratio, shared fragments with "
+        "chunk_cdc_dedup_report) — Gopher quality-filter survival "
+        "(the registered text_quality_filter plan), and hash-split "
+        "sizes (the registered split_train_val_test assignment). The "
+        "loader-facing sibling of corpus_shard_manifest: everything a "
+        "consumer needs to judge the mix before training. Scale "
+        "shape: three fingerprint-keyed aggs + one chunk-fp agg + "
+        "one |sources|-row rollup; every joined frame is doc_id- or "
+        "fp-keyed, output is |sources| rows.",
+)
+def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+    from change_data_capture_poc_spark.queries.datapipe import (
+        text_quality_filter,
+    )
+    from change_data_capture_poc_spark.queries.pipeline3_q import (
+        split_train_val_test,
+    )
+    from change_data_capture_poc_spark.queries.pipeline10_q import (
+        _cdc_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z0-9 ]", ""
+                    ),
+                    " +",
+                    " ",
+                )
+            ).cast("binary")
+        ).alias("nfp"),
+    ).transform(persist_once)
+
+    kp = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    nkp = base.groupBy("nfp").agg(F.min("doc_id").alias("nkeeper"))
+    qf = text_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    sp = split_train_val_test(spark, sf_dir).select("doc_id", "split")
+
+    per = (
+        base.join(kp, "fp")
+        .join(nkp, "nfp")
+        .join(qf, "doc_id")
+        .join(sp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum((F.col("doc_id") != F.col("keeper")).cast("int")).alias(
+                "n_exact_dup"
+            ),
+            F.sum(
+                (F.col("doc_id") != F.col("nkeeper")).cast("int")
+            ).alias("n_norm_dup"),
+            F.sum(F.col("keep").cast("int")).alias("n_quality_pass"),
+            F.sum((F.col("split") == "train").cast("int"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum((F.col("split") == "val").cast("int"))
+            .cast("long")
+            .alias("n_val"),
+            F.sum((F.col("split") == "test").cast("int"))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+
+    top = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"), F.col("lang").alias("l")
+                )
+            ).alias("m")
+        )
+        .select(
+            "source",
+            F.col("m.l").alias("top_lang"),
+            (-F.col("m.negc")).cast("long").alias("top_lang_docs"),
+        )
+    )
+
+    ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
+    chf = (
+        ch.groupBy("chunk_fp")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("fk"))
+        .select(
+            "chunk_fp",
+            F.col("fk.doc_id").alias("f_doc"),
+            F.col("fk.chunk_idx").alias("f_idx"),
+        )
+    )
+    chdup = (
+        (F.col("doc_id") != F.col("f_doc"))
+        | (F.col("chunk_idx") != F.col("f_idx"))
+    ).cast("int")
+    chs = (
+        ch.join(chf, "chunk_fp")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("words_total"),
+            F.sum(chdup * F.col("n_words")).alias("dup_words"),
+        )
+    )
+
+    return (
+        per.join(top, "source")
+        .join(chs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            F.round(
+                F.col("n_exact_dup") * 1.0 / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_norm_dup") * 1.0 / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("norm_dup_rate"),
+            F.round(
+                F.col("dup_words") * 1.0 / F.col("words_total")
+                + F.lit(1e-9),
+                6,
+            ).alias("chunk_dup_word_ratio"),
+            F.round(
+                F.col("n_quality_pass") * 1.0 / F.col("n_docs")
+                + F.lit(1e-9),
+                6,
+            ).alias("quality_pass_rate"),
+            "n_train",
+            "n_val",
+            "n_test",
+        )
+    )
