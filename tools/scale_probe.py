@@ -250,19 +250,41 @@ def main() -> None:
             out = out.unionByName(shifted)
         return out
 
-    def run(name: str) -> float:
+    def shuffle_totals() -> int:
+        """Cumulative shuffle write bytes from the driver-side
+        AppStatusStore (populated regardless of spark.ui.enabled) —
+        the memory dimension of the probe: a query can stay
+        time-linear while its shuffle bytes blow up super-linearly
+        (the spill precursor at 100 TB). Write bytes are the signal
+        (read mirrors them in local mode); deltas around a run are
+        deterministic, unlike wall time."""
+        try:
+            bus = spark.sparkContext._jsc.sc().listenerBus()
+            bus.waitUntilEmpty()
+        except Exception:
+            time.sleep(0.5)
+        store = spark.sparkContext._jsc.sc().statusStore()
+        it = store.executorList(False).iterator()
+        w = 0
+        while it.hasNext():
+            w += it.next().totalShuffleWrite()
+        return w
+
+    def run(name: str) -> tuple[float, int]:
+        b0 = shuffle_totals()
         t0 = time.time()
         qs[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         elapsed = time.time() - t0
+        bytes_w = shuffle_totals() - b0
         # release AFTER the clock stops: it is bookkeeping between
         # reps, not query work — timing it inflates absolute numbers
         # (and small-query ratios) relative to the bench protocol.
         # release_pins drops exactly the engine's persist_once pins
         # (round-9 cache contract).
         release_pins(spark)
-        return elapsed
+        return elapsed, bytes_w
 
     consumers = _consumers()
 
@@ -270,16 +292,32 @@ def main() -> None:
         for m in consumers:
             m.load_table = fn
 
+    def mb(b: int) -> float:
+        return round(b / 1048576, 3)
+
     rows = []
     for name in probes:
         set_loader(real_load)
-        base = min(run(name) for _ in range(3))
+        reps = [run(name) for _ in range(3)]
+        base = min(t for t, _ in reps)
+        base_b = max(b for _, b in reps)  # peak across reps
         set_loader(scaled_load)
-        scaled = min(run(name) for _ in range(3))
+        reps = [run(name) for _ in range(3)]
+        scaled = min(t for t, _ in reps)
+        scaled_b = max(b for _, b in reps)
         set_loader(real_load)
         ratio = scaled / base if base > 0 else float("nan")
-        rows.append((name, round(base, 2), round(scaled, 2), round(ratio, 1)))
+        # 0-byte base = map-only plan (no shuffle at either scale is
+        # the BEST scale shape, not a missing measurement)
+        bratio = round(scaled_b / base_b, 1) if base_b > 0 else "-"
+        rows.append(
+            (name, round(base, 2), round(scaled, 2), round(ratio, 1),
+             mb(base_b), mb(scaled_b), bratio)
+        )
         print(rows[-1])
+        if base_b > 0 and scaled_b / base_b > n:
+            print(f"WARN super-linear shuffle bytes: {name} "
+                  f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x")
 
     if subset:
         # Merge into a SINGLE incremental section (new rows win over
@@ -308,6 +346,9 @@ def main() -> None:
             for line in m.group(1).strip().splitlines():
                 parts = [p.strip() for p in line.strip("|").split("|")]
                 if len(parts) == 4:
+                    # pre-bytes-column row: pad the byte cells
+                    merged[parts[0]] = tuple(parts) + ("-", "-", "-")
+                elif len(parts) == 7:
                     merged[parts[0]] = tuple(parts)
                 elif line.strip():
                     print(
@@ -322,7 +363,9 @@ def main() -> None:
             f.write(doc.rstrip("\n") + "\n")
             f.write(
                 f"\n## Incremental probe at {n}x (same protocol)\n\n"
-                f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+                f"| query | 1x sec | {n}x sec | ratio "
+                f"| 1x shuf MB | {n}x shuf MB | bytes ratio |\n"
+                "|---|---|---|---|---|---|---|\n"
             )
             for name in sorted(merged):
                 f.write("| " + " | ".join(merged[name]) + " |\n")
@@ -349,8 +392,17 @@ def main() -> None:
             "A shuffle-linear operator should show "
             f"ratio ≲ {n}; markedly super-linear growth would flag a "
             "quadratic term (join fan-out, candidate blowup) that breaks "
-            "at 100 TB.\n\n"
-            f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+            "at 100 TB. The shuffle-byte columns (peak cumulative "
+            "shuffle WRITE bytes across reps, from the driver "
+            "AppStatusStore) are the memory dimension: a query can "
+            "stay time-linear while its shuffle bytes blow up — bytes "
+            f"ratio > {n} flags super-linear state growth even when "
+            "wall time hides it behind fixed overheads. Byte deltas "
+            "are deterministic (unlike wall time); '-' marks rows "
+            "not yet re-probed since the column landed.\n\n"
+            f"| query | 1x sec | {n}x sec | ratio "
+            f"| 1x shuf MB | {n}x shuf MB | bytes ratio |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
