@@ -176,6 +176,10 @@ HEADLINE = (
     "streaming_chunk_cdc_drain",    # map-only chunking under readStream
     "chunk_index_build",            # persist the chunk-store fp index
     "chunk_incremental_serve",      # delta served off the persisted index
+    "unigram_train_em",             # unigram-LM hard-EM trainer (round 10)
+    "cdc_schema_evolution_widening",    # Parquet type-widening read
+    "corpus_datacard_report",       # per-source publishing data card
+    "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
 )
 
 

@@ -53,12 +53,23 @@ def _widen_gen_dir(spark: SparkSession, sf_dir: str) -> str:
     REAL-era writer would have persisted, reproducible in DuckDB as
     CAST(... AS REAL)."""
     import hashlib
+    import json
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _source_fingerprint,
+    )
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = f"/tmp/spark_graft_widen_{key}"
-    marker = os.path.join(d, "_GENS_WRITTEN")
+    marker = os.path.join(d, "_GENS_WRITTEN.json")
+    fp = _source_fingerprint(sf_dir, "events")
     if os.path.exists(marker):
-        return d
+        try:
+            with open(marker) as fh:
+                if json.load(fh).get("fp") == fp:
+                    return d
+        except (OSError, ValueError):
+            pass  # unreadable marker -> rewrite
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
@@ -84,7 +95,7 @@ def _widen_gen_dir(spark: SparkSession, sf_dir: str) -> str:
     narrow.write.mode("overwrite").parquet(os.path.join(d, "gen_narrow"))
     wide.write.mode("overwrite").parquet(os.path.join(d, "gen_wide"))
     with open(marker, "w") as f:
-        f.write("ok\n")
+        json.dump({"sf_dir": sf_dir, "fp": fp}, f)
     return d
 
 

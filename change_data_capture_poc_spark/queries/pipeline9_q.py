@@ -2704,6 +2704,45 @@ def _uni_em_state(
     return vocab, cost
 
 
+def _uni_vocab_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/spark_graft_uni_vocab_{key}"
+
+
+def ensure_unigram_vocab(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Run the hard-EM trainer iff absent/stale; persist the trained
+    (token, cnt, c) model to ``vocab.parquet`` — the unigram member
+    of the tokenizer train/serve split (same source-fingerprint guard
+    as the BPE and ANN artifacts): encode jobs read the model from
+    disk instead of embedding two EM rounds in every plan."""
+    import json
+    import os
+
+    d = _uni_vocab_dir(sf_dir)
+    marker = os.path.join(d, "_VOCAB_META.json")
+    fp = _source_fingerprint(sf_dir, "documents")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+                if meta.get("sf_dir") == sf_dir and meta.get("fp") == fp:
+                    return d
+        except (OSError, ValueError):
+            pass  # unreadable marker -> rebuild
+
+    vocab, cost = _uni_em_state(spark, sf_dir)
+    vocab.join(cost, "token").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "vocab.parquet"))
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
+    return d
+
+
 @register(
     "unigram_train_em",
     oracle="WITH RECURSIVE "
@@ -2724,10 +2763,13 @@ def _uni_em_state(
         f"chars Laplace-floored (segmentability invariant), unused "
         f"multi-char pieces PRUNED and survivors capped at the top "
         f"{_UNI_EM_TOPK} under (count DESC, token ASC), costs "
-        f"re-normalized over the new total. Output = the trained "
-        f"vocab (token, piece_len, cnt, cost) — the artifact "
-        f"unigram_viterbi_encode and the family bake-off consume, "
-        f"closing the trainer gap (BPE trains at "
+        f"re-normalized over the new total. PERSISTS the trained "
+        f"vocab (the tokenizer train/serve split: "
+        f"ensure_unigram_vocab, same fingerprint guard as the BPE "
+        f"and ANN artifacts) and returns it read back FROM DISK so "
+        f"the oracle certifies the persisted bytes — "
+        f"unigram_viterbi_encode and the family bake-off serve off "
+        f"this artifact, closing the trainer gap (BPE trains at "
         f"bpe_train_iterative_merges, WordPiece sweeps admission "
         f"thresholds; unigram now trains too). Oracle = fixed-round "
         f"unrolled CTEs, each e-step a deliberately brute-force "
@@ -2738,8 +2780,11 @@ def _uni_em_state(
         f"exactly once, at seed time.",
 )
 def unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab, cost = _uni_em_state(spark, sf_dir)
-    return vocab.join(cost, "token").select(
+    import os
+
+    d = ensure_unigram_vocab(spark, sf_dir, force=True)
+    v = spark.read.parquet(os.path.join(d, "vocab.parquet"))
+    return v.select(
         "token",
         F.length("token").cast("int").alias("piece_len"),
         "cnt",
@@ -2774,16 +2819,25 @@ def unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"deliberately brute-force spec) and take the same "
         f"total-order minimum — the order composes over suffixes, so "
         f"the DP provably finds it (pure-Python enumerator pytest). "
-        f"Scale shape: model + lattice + DP all on the Heaps-bounded "
-        f"word table ({_UNI_MAXLEN} broadcast cost joins, one fold "
-        f"per EM round + one to encode); the corpus is scanned once "
-        f"and joined to word->toks — the bpe_encode_corpus shape.",
+        f"Serving shape: the trained model is read from the "
+        f"persisted artifact (ensure_unigram_vocab — built iff "
+        f"absent/stale, the bpe_encode_from_vocab pattern), so the "
+        f"encode plan embeds ZERO trainer stages: one fold over the "
+        f"Heaps-bounded word table ({_UNI_MAXLEN} broadcast cost "
+        f"joins), one corpus scan joined to word->toks — the "
+        f"bpe_encode_corpus shape. Oracle replays the full EM chain: "
+        f"the parquet round-trip must be semantics-preserving.",
 )
 def unigram_viterbi_encode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import os
+
     words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
-    _vocab, cost = _uni_em_state(spark, sf_dir)
+    d = ensure_unigram_vocab(spark, sf_dir)
+    cost = spark.read.parquet(os.path.join(d, "vocab.parquet")).select(
+        "token", "c"
+    )
     wt = _uni_viterbi_toks(words, cost)
     d = load_table(spark, sf_dir, "documents")
     dw = (

@@ -483,6 +483,29 @@ def test_bpe_encode_from_vocab_matches_and_skips_trainer(spark, sf_dir):
     assert inplan.exceptAll(art).count() == 0
 
 
+def test_unigram_encode_serves_from_artifact(spark, sf_dir):
+    """Unigram train/serve split: the encoder's plan scans documents
+    exactly ONCE (the corpus pass — the word table feeding the fold
+    is derived from that same scan via persist_once) plus the
+    persisted vocab parquet; the two EM training rounds are provably
+    absent (each would add its own cost-table lineage). The oracle
+    replays the full EM chain, so correctness of the artifact is
+    already gated; here we pin the plan shape."""
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _uni_vocab_dir,
+        ensure_unigram_vocab,
+    )
+
+    ensure_unigram_vocab(spark, sf_dir, force=True)
+    df = all_queries()["unigram_viterbi_encode"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus scan + word-table scan (+1 pre-cache duplicate before
+    # persist_once materializes); the EM rounds would each add their
+    # own word-table lineage on top
+    assert plan.count("documents.parquet") <= 3, plan
+    assert _uni_vocab_dir(sf_dir).split("/")[-1] in plan
+
+
 def test_ivm_maintenance_reads_snapshot_plus_pruned_delta(
     spark, sf_dir
 ):
