@@ -178,14 +178,21 @@ PROBES = (
     "pack_emit_sequences",
     "wordpiece_maxmatch_encode",
     "wordpiece_threshold_sensitivity",
-    "unigram_viterbi_encode",
-    # NOT probed: ann_serve_from_index / ann_index_delta_serve /
+    "unigram_train_em",
+    "corpus_datacard_report",
+    # NOT probed: streaming_* drains (file-stream sources watch a
+    # symlink dir, not load_table — the self-union patch can't reach
+    # them; their batch twins are probed), ann_serve_from_index /
+    # ann_index_delta_serve /
     # ann_index_compact, bpe_encode_from_vocab /
     # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
     # tokenizer_family_fertility_compare (persisted-vocab BPE side) /
-    # cdc_incremental_agg_maintenance, and the
-    # cdc_quarantine_* pair read per-SF PERSISTED artifacts (index
-    # tables, synthesized log) keyed on sf_dir — the probe's
+    # unigram_viterbi_encode (round 10: serves off the persisted
+    # trained vocab — its trainer twin unigram_train_em IS probed) /
+    # cdc_schema_evolution_widening (reads its own one-time
+    # generation artifacts) / cdc_incremental_agg_maintenance, and
+    # the cdc_quarantine_* pair read per-SF PERSISTED artifacts
+    # (index tables, synthesized log) keyed on sf_dir — the probe's
     # load_table self-union patch cannot scale those inputs, so a
     # probe row would report a misleading ~1x. Their scale shape is
     # pinned by the plan audit (pushed-range scans, map-side classify,
