@@ -1477,10 +1477,11 @@ def chunk_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_index_dir(sf_dir: str) -> str:
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_chunk_index_{key}"
+    return artifact_dir("chunk_index", sf_dir)
 
 
 def ensure_chunk_index(

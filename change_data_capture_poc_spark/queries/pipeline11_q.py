@@ -52,15 +52,17 @@ def _widen_gen_dir(spark: SparkSession, sf_dir: str) -> str:
     through float32 for the narrow generation — the exact value a
     REAL-era writer would have persisted, reproducible in DuckDB as
     CAST(... AS REAL)."""
-    import hashlib
     import json
 
     from change_data_capture_poc_spark.queries.pipeline9_q import (
         _source_fingerprint,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_widen_{key}"
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
+
+    d = artifact_dir("widen", sf_dir)
     marker = os.path.join(d, "_GENS_WRITTEN.json")
     fp = _source_fingerprint(sf_dir, "events")
     if os.path.exists(marker):

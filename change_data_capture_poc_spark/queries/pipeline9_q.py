@@ -390,10 +390,11 @@ def _ann_index_dir(sf_dir: str) -> str:
     """Per-SF index home (same /tmp device as streaming_q._stream_dir
     — in production this is the object-store prefix the offline build
     job owns and the online servers mount read-only)."""
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_ann_index_{key}"
+    return artifact_dir("ann_index", sf_dir)
 
 
 def ensure_ann_index(
@@ -800,10 +801,11 @@ _QUAR_PREFIX = "xlog-v1|"
 
 
 def _quarantine_log_dir(sf_dir: str) -> str:
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_quarlog_{key}"
+    return artifact_dir("quarlog", sf_dir)
 
 
 def ensure_quarantine_log(
@@ -1323,10 +1325,11 @@ def cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_vocab_dir(sf_dir: str) -> str:
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_bpe_vocab_{key}"
+    return artifact_dir("bpe_vocab", sf_dir)
 
 
 def ensure_bpe_vocab(
@@ -1611,10 +1614,11 @@ def pack_best_fit_bpe_tokens(
 
 
 def _agg_snapshot_dir(sf_dir: str) -> str:
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_aggsnap_{key}"
+    return artifact_dir("aggsnap", sf_dir)
 
 
 def ensure_agg_snapshot(
@@ -2705,10 +2709,11 @@ def _uni_em_state(
 
 
 def _uni_vocab_dir(sf_dir: str) -> str:
-    import hashlib
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"/tmp/spark_graft_uni_vocab_{key}"
+    return artifact_dir("uni_vocab", sf_dir)
 
 
 def ensure_unigram_vocab(
@@ -2851,4 +2856,254 @@ def unigram_viterbi_encode(
         "doc_id",
         "word_pos",
         F.posexplode("toks").alias("tok_idx", "token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram_em_expected_counts — the REAL (soft) EM e-step, forward-backward
+# ---------------------------------------------------------------------------
+#
+# The trainer above is Viterbi-approximated (hard EM: each word's best
+# segmentation contributes integer counts). SentencePiece's actual
+# e-step (Kudo 1804.10959 §3.2) is SOFT: every segmentation contributes
+# its posterior probability, and a piece's expected count is the sum of
+# occurrence posteriors  alpha[s-1] * p(piece) * beta[s+l-1] / alpha[L]
+# over all lattice occurrences — the forward-backward algorithm on the
+# segmentation lattice. Relational form: alpha and beta are per-word
+# linear folds in PROBABILITY space (products of p >= 1/Z over <= L
+# factors cannot underflow a double at any realistic word length), the
+# occurrence table is the same substring explode the seed uses, and the
+# posterior is one map-side expression. Both engines evaluate the
+# identical fold order (l = 1..4 terms added left to right), so the
+# doubles agree bit-for-bit before the final occurrence SUM.
+
+
+def _uni_soft_ctes() -> str:
+    """Oracle CTEs for one soft e-step over the TRAINED model: uprob
+    (probabilities from the final EM vocab), ualpha/ubeta (window-4
+    forward/backward recursions, one row per (word, boundary)), uocc
+    (all piece occurrences), uexp (expected counts)."""
+    r = _UNI_EM_ROUNDS
+    return f"""
+    uprob AS MATERIALIZED (
+        SELECT token, cnt * 1.0 / (SELECT SUM(cnt) FROM uvocab_r{r}) AS p
+        FROM uvocab_r{r}
+    ),
+    ualpha AS MATERIALIZED (
+        SELECT word, 0 AS j, CAST(1.0 AS DOUBLE) AS a0,
+               CAST(NULL AS DOUBLE) AS a1, CAST(NULL AS DOUBLE) AS a2,
+               CAST(NULL AS DOUBLE) AS a3
+        FROM wpc
+        UNION ALL
+        SELECT r.word, r.j + 1,
+               COALESCE(p1.p * r.a0, 0)
+               + COALESCE(p2.p * r.a1, 0)
+               + COALESCE(p3.p * r.a2, 0)
+               + COALESCE(p4.p * r.a3, 0) AS a0,
+               r.a0, r.a1, r.a2
+        FROM ualpha r
+        LEFT JOIN uprob p1 ON p1.token = substring(r.word, r.j + 1, 1)
+        LEFT JOIN uprob p2 ON r.j >= 1
+                          AND p2.token = substring(r.word, r.j, 2)
+        LEFT JOIN uprob p3 ON r.j >= 2
+                          AND p3.token = substring(r.word, r.j - 1, 3)
+        LEFT JOIN uprob p4 ON r.j >= 3
+                          AND p4.token = substring(r.word, r.j - 2, 4)
+        WHERE r.j < length(r.word)
+    ),
+    ubeta AS MATERIALIZED (
+        SELECT word, length(word) AS j, CAST(1.0 AS DOUBLE) AS b0,
+               CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS DOUBLE) AS b2,
+               CAST(NULL AS DOUBLE) AS b3
+        FROM wpc
+        UNION ALL
+        SELECT r.word, r.j - 1,
+               COALESCE(p1.p * r.b0, 0)
+               + COALESCE(p2.p * r.b1, 0)
+               + COALESCE(p3.p * r.b2, 0)
+               + COALESCE(p4.p * r.b3, 0) AS b0,
+               r.b0, r.b1, r.b2
+        FROM ubeta r
+        LEFT JOIN uprob p1 ON p1.token = substring(r.word, r.j, 1)
+        LEFT JOIN uprob p2 ON r.j + 1 <= length(r.word)
+                          AND p2.token = substring(r.word, r.j, 2)
+        LEFT JOIN uprob p3 ON r.j + 2 <= length(r.word)
+                          AND p3.token = substring(r.word, r.j, 3)
+        LEFT JOIN uprob p4 ON r.j + 3 <= length(r.word)
+                          AND p4.token = substring(r.word, r.j, 4)
+        WHERE r.j > 0
+    ),
+    uocc AS MATERIALIZED (
+        SELECT w.word, w.n, CAST(s.s AS INT) AS s, l.l,
+               substring(w.word, CAST(s.s AS INT), l.l) AS token
+        FROM wpc w,
+             (VALUES (1), (2), (3), (4)) l(l),
+             LATERAL (
+                 SELECT unnest(range(1, length(w.word) - l.l + 2)) AS s
+             ) s
+    ),
+    uexp AS MATERIALIZED (
+        SELECT o.token,
+               SUM(o.n * a.a0 * p.p * b.b0 / af.a0) AS e
+        FROM uocc o
+        JOIN uprob p USING (token)
+        JOIN ualpha a ON a.word = o.word AND a.j = o.s - 1
+        JOIN ubeta b ON b.word = o.word AND b.j = o.s + o.l - 1
+        JOIN ualpha af ON af.word = o.word AND af.j = length(o.word)
+        GROUP BY o.token
+    )"""
+
+
+@register(
+    "unigram_em_expected_counts",
+    oracle="WITH RECURSIVE "
+    + _wp_base_ctes().strip()
+    + ","
+    + _uni_train_ctes().strip()
+    + ","
+    + _uni_soft_ctes().strip()
+    + """
+    SELECT token, CAST(length(token) AS INT) AS piece_len,
+           ROUND(e + 1e-9, 6) AS expected_cnt
+    FROM uexp
+    """,
+    doc="SOFT EM E-STEP — SentencePiece's actual expectation step "
+        "(Kudo 1804.10959 §3.2), run once over the TRAINED unigram "
+        "model: a piece's expected count is the sum over all lattice "
+        "occurrences of the occurrence posterior alpha[s-1] * p * "
+        "beta[s+l-1] / alpha[L] (forward-backward), so EVERY "
+        "segmentation contributes probability mass — the exact "
+        "quantity the hard-EM trainer approximates with Viterbi "
+        "counts (their agreement on dominant pieces is pinned in "
+        "pytest against a pure-Python forward-backward). Engine: "
+        "alpha and beta are per-word aggregate() folds in probability "
+        "space (window-4, linear in word length; products of >= 1/Z "
+        "factors cannot underflow a double), occurrences are the "
+        "seed's substring explode, posteriors are map-side. Both "
+        "engines add the l=1..4 terms in the same order, so the "
+        "doubles match bit-for-bit before the final rounded SUM. "
+        "Scale shape: everything is on the Heaps-bounded word table; "
+        "the corpus was scanned once when the model trained.",
+)
+def unigram_em_expected_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
+    d = ensure_unigram_vocab(spark, sf_dir)
+    vocab = spark.read.parquet(os.path.join(d, "vocab.parquet"))
+    z = vocab.agg(F.sum("cnt").cast("double").alias("z"))
+    prob = vocab.crossJoin(F.broadcast(z)).select(
+        "token", (F.col("cnt") * F.lit(1.0) / F.col("z")).alias("p")
+    )
+
+    # Per-(word, start-pos) piece probabilities p1..p4, collected into
+    # a position-ordered array — the probability twin of the Viterbi
+    # cost lattice.
+    wp = words.select(
+        "word", F.explode(F.expr("sequence(1, length(word))")).alias("pos")
+    )
+    j = wp
+    for l in range(1, _UNI_MAXLEN + 1):
+        v = prob.select(
+            F.col("token").alias(f"tok{l}"), F.col("p").alias(f"p{l}")
+        )
+        j = j.join(
+            F.broadcast(v),
+            (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
+            & (F.col("pos") + l - 1 <= F.length("word")),
+            "left",
+        )
+    lat = j.groupBy("word").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "  struct(pos, p1, p2, p3, p4))),"
+            " x -> struct(x.p1 as p1, x.p2 as p2, x.p3 as p3,"
+            "             x.p4 as p4))"
+        ).alias("lat")
+    )
+
+    # alpha[j] = sum over l of p(piece ending at j, length l) *
+    # alpha[j-l]; append-built so element_at(acc, k+1) = alpha[k].
+    alpha_fold = """
+        aggregate(
+            sequence(1, length(word)),
+            array(CAST(1.0 AS DOUBLE)),
+            (acc, j) -> array_append(acc,
+                coalesce(element_at(lat, j).p1 * element_at(acc, j), 0D)
+                + IF(j >= 2, coalesce(element_at(lat, j - 1).p2
+                                      * element_at(acc, j - 1), 0D), 0D)
+                + IF(j >= 3, coalesce(element_at(lat, j - 2).p3
+                                      * element_at(acc, j - 2), 0D), 0D)
+                + IF(j >= 4, coalesce(element_at(lat, j - 3).p4
+                                      * element_at(acc, j - 3), 0D), 0D)))
+    """
+    # beta[j] = sum over l of p(piece starting at j+1, length l) *
+    # beta[j+l]; prepend-built (step i computes j = L - i) so the final
+    # array is [beta[0], ..., beta[L]].
+    beta_fold = """
+        aggregate(
+            sequence(1, length(word)),
+            array(CAST(1.0 AS DOUBLE)),
+            (acc, i) -> concat(array(
+                coalesce(element_at(lat, length(word) - i + 1).p1
+                         * element_at(acc, 1), 0D)
+                + IF(i >= 2, coalesce(element_at(lat,
+                        length(word) - i + 1).p2
+                        * element_at(acc, 2), 0D), 0D)
+                + IF(i >= 3, coalesce(element_at(lat,
+                        length(word) - i + 1).p3
+                        * element_at(acc, 3), 0D), 0D)
+                + IF(i >= 4, coalesce(element_at(lat,
+                        length(word) - i + 1).p4
+                        * element_at(acc, 4), 0D), 0D)), acc))
+    """
+    folds = lat.select(
+        "word",
+        F.expr(alpha_fold).alias("alpha"),
+        F.expr(beta_fold).alias("beta"),
+    )
+
+    occ = None
+    for l in range(1, _UNI_MAXLEN + 1):
+        s = (
+            words.where(F.length("word") >= l)
+            .select(
+                "word",
+                "n",
+                F.explode(
+                    F.expr(f"sequence(1, length(word) - {l} + 1)")
+                ).alias("s"),
+            )
+            .select(
+                "word",
+                "n",
+                "s",
+                F.lit(l).alias("l"),
+                F.expr(f"substring(word, s, {l})").alias("token"),
+            )
+        )
+        occ = s if occ is None else occ.unionByName(s)
+
+    contrib = (
+        occ.join(prob, "token")
+        .join(folds, "word")
+        .select(
+            "token",
+            (
+                F.col("n")
+                * F.expr("element_at(alpha, s)")
+                * F.col("p")
+                * F.expr("element_at(beta, s + l)")
+                / F.expr("element_at(alpha, size(alpha))")
+            ).alias("x"),
+        )
+    )
+    return contrib.groupBy("token").agg(
+        F.round(F.sum("x") + F.lit(1e-9), 6).alias("expected_cnt")
+    ).select(
+        "token",
+        F.length("token").cast("int").alias("piece_len"),
+        "expected_cnt",
     )

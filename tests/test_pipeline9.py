@@ -483,6 +483,102 @@ def test_bpe_encode_from_vocab_matches_and_skips_trainer(spark, sf_dir):
     assert inplan.exceptAll(art).count() == 0
 
 
+def test_unigram_soft_em_expected_counts_vs_pure_python(spark, sf_dir):
+    """The soft e-step must reproduce a pure-Python forward-backward
+    over the same trained model: per-piece expected counts equal to
+    1e-6 absolute, totals equal, and the expected token count per
+    word never below 1 (every word emits at least one piece)."""
+    import os
+
+    from change_data_capture_poc_spark.queries.pipeline9_q import (
+        _UNI_MAXLEN,
+        _uni_vocab_dir,
+        ensure_unigram_vocab,
+        unigram_em_expected_counts,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    d = ensure_unigram_vocab(spark, sf_dir, force=True)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(d, "vocab.parquet")).to_pydict()
+    z = float(sum(t["cnt"]))
+    p = {tok: c / z for tok, c in zip(t["token"], t["cnt"])}
+
+    words = {
+        r["w"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    }
+
+    def fb(w):
+        L = len(w)
+        a = [0.0] * (L + 1)
+        a[0] = 1.0
+        for j in range(1, L + 1):
+            a[j] = sum(
+                p[w[j - l: j]] * a[j - l]
+                for l in range(1, min(_UNI_MAXLEN, j) + 1)
+                if w[j - l: j] in p
+            )
+        b = [0.0] * (L + 1)
+        b[L] = 1.0
+        for j in range(L - 1, -1, -1):
+            b[j] = sum(
+                p[w[j: j + l]] * b[j + l]
+                for l in range(1, min(_UNI_MAXLEN, L - j) + 1)
+                if w[j: j + l] in p
+            )
+        return a, b
+
+    ref: dict[str, float] = {}
+    for w, n in words.items():
+        a, b = fb(w)
+        L = len(w)
+        for s in range(L):
+            for l in range(1, min(_UNI_MAXLEN, L - s) + 1):
+                tok = w[s: s + l]
+                if tok in p:
+                    ref[tok] = (
+                        ref.get(tok, 0.0)
+                        + n * a[s] * p[tok] * b[s + l] / a[L]
+                    )
+
+    got = {
+        r["token"]: r["expected_cnt"]
+        for r in unigram_em_expected_counts(spark, sf_dir).collect()
+    }
+    assert set(got) == {t for t, e in ref.items() if e > 0}
+    for tok, e in ref.items():
+        assert abs(got[tok] - e) < 1e-4, tok
+    # soft total tokens >= n words: every word emits >= 1 piece
+    assert sum(got.values()) >= sum(words.values()) - 1e-3
+
+
+def test_artifact_dirs_honor_probe_namespace(monkeypatch):
+    """SPARK_GRAFT_TMP_NS must re-key every artifact directory: a
+    harness that monkeypatches the table loader (the scale probe's 8x
+    self-union) builds into its own namespace instead of poisoning
+    the artifacts real runs serve from (the round-10 incident:
+    probing the unigram trainer force-persisted a rotated-corpus
+    model under the real corpus's still-valid file fingerprint)."""
+    from change_data_capture_poc_spark.functions.artifacts import (
+        artifact_dir,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_TMP_NS", raising=False)
+    real = artifact_dir("uni_vocab", "/root/testdata/sf0.1")
+    monkeypatch.setenv("SPARK_GRAFT_TMP_NS", "scaleprobe")
+    probed = artifact_dir("uni_vocab", "/root/testdata/sf0.1")
+    assert real != probed
+    assert real.startswith("/tmp/spark_graft_uni_vocab_")
+    assert probed.startswith("/tmp/spark_graft_uni_vocab_")
+
+
 def test_unigram_encode_serves_from_artifact(spark, sf_dir):
     """Unigram train/serve split: the encoder's plan scans documents
     exactly ONCE (the corpus pass — the word table feeding the fold

@@ -178,9 +178,15 @@ PROBES = (
     "pack_emit_sequences",
     "wordpiece_maxmatch_encode",
     "wordpiece_threshold_sensitivity",
-    "unigram_train_em",
     "corpus_datacard_report",
-    # NOT probed: streaming_* drains (file-stream sources watch a
+    # NOT probed: BUILDER queries that force-persist shared artifacts
+    # (unigram_train_em, tokenizer_vocab_build, ann_index_build,
+    # chunk_index_build) — probing one under the patched loader trains
+    # a model on the synthetic 8x corpus; the SPARK_GRAFT_TMP_NS
+    # namespace (set below) confines any such write to probe-local
+    # dirs, but the timing row would still describe the fixture, not
+    # the operator. Also NOT probed: streaming_* drains (file-stream
+    # sources watch a
     # symlink dir, not load_table — the self-union patch can't reach
     # them; their batch twins are probed), ann_serve_from_index /
     # ann_index_delta_serve /
@@ -201,6 +207,16 @@ PROBES = (
 
 
 def main() -> None:
+    # Confine every persisted /tmp artifact this process builds to a
+    # probe-local namespace: the loader patch below self-unions fact
+    # tables 8x with rotated text, and an artifact force-built from
+    # that synthetic corpus under the REAL corpus's still-valid file
+    # fingerprint poisons every later serve-path run
+    # (functions/artifacts.py documents the incident).
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_TMP_NS"] = "scaleprobe"
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     # Optional query names after N: probe only those and APPEND a
