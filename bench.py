@@ -177,6 +177,7 @@ HEADLINE = (
     "chunk_index_build",            # persist the chunk-store fp index
     "chunk_incremental_serve",      # delta served off the persisted index
     "unigram_train_em",             # unigram-LM hard-EM trainer (round 10)
+    "unigram_em_expected_counts",   # soft e-step (forward-backward)
     "cdc_schema_evolution_widening",    # Parquet type-widening read
     "corpus_datacard_report",       # per-source publishing data card
     "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
