@@ -179,6 +179,7 @@ HEADLINE = (
     "unigram_train_em",             # unigram-LM hard-EM trainer (round 10)
     "unigram_em_expected_counts",   # soft e-step (forward-backward)
     "cdc_schema_evolution_widening",    # Parquet type-widening read
+    "cdc_widening_precision_audit",     # float32-era loss accounting
     "corpus_datacard_report",       # per-source publishing data card
     "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
 )

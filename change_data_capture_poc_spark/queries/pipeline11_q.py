@@ -22,6 +22,10 @@ case ``cdc_schema_evolution_widening`` exercises end-to-end.
   + near dedup rates, quality-filter survival, language distribution,
   split sizes — composed from the registered building-block
   semantics, ~|sources| output rows.
+- ``cdc_widening_precision_audit`` — the decision half of the widening
+  story: per key, how many narrow-era float32 rows differ from the
+  exact wide-era value and by how much — n_lossy = 0 means the era can
+  be re-typed in place instead of rewritten.
 """
 
 from __future__ import annotations
@@ -421,4 +425,69 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_val",
             "n_test",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_widening_precision_audit — what did the narrow era actually lose?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_widening_precision_audit",
+    oracle="""
+    WITH env AS (
+        SELECT user_id AS id, event_id AS lsn,
+               (event_id % 10000) / 100.0 AS exact_price,
+               CAST(CAST((event_id % 10000) / 100.0 AS REAL) AS DOUBLE)
+                   AS stored_price
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id % 2 = 0
+    )
+    SELECT id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_narrow,
+           CAST(COUNT(*) FILTER (stored_price <> exact_price) AS BIGINT)
+               AS n_lossy,
+           ROUND(MAX(ABS(stored_price - exact_price)) * 1e9 + 1e-9, 6)
+               AS max_abs_err_ppb,
+           ROUND(SUM(ABS(stored_price - exact_price)) * 1e9 + 1e-9, 6)
+               AS sum_abs_err_ppb
+    FROM env GROUP BY id
+    """,
+    doc="WIDENING PRECISION AUDIT — the second half of the migration "
+        "decision cdc_schema_evolution_widening feeds: per key, how "
+        "many narrow-era (REAL/float32) rows differ from the exact "
+        "value the wide era would have stored, and by how much (max "
+        "and summed absolute error, in parts-per-billion so the "
+        "readout is integer-scaled and rounding-stable). The engine "
+        "reads the ACTUAL persisted narrow-generation files through "
+        "the widened schema and recomputes the exact price from the "
+        "LSN (price is a deterministic function of the key — the "
+        "audit needs no second copy of the data); the oracle replays "
+        "the float32 quantization with CAST AS REAL. This is the "
+        "query that decides whether a backfill must REWRITE history "
+        "or can just re-type it: n_lossy = 0 means the era can be "
+        "upcast in place. Scale shape: one widened scan of the "
+        "narrow era + a map-side recompute + one keyed agg.",
+)
+def cdc_widening_precision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _widen_gen_dir(spark, sf_dir)
+    narrow = spark.read.schema(_WIDEN_SCHEMA).parquet(
+        os.path.join(d, "gen_narrow")
+    )
+    exact = (F.col("lsn") % 10000) / F.lit(100.0)
+    err = F.abs(F.col("price") - exact)
+    return narrow.groupBy(F.col("id").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_narrow"),
+        F.sum((F.col("price") != exact).cast("int"))
+        .cast("long")
+        .alias("n_lossy"),
+        F.round(F.max(err) * F.lit(1e9) + F.lit(1e-9), 6).alias(
+            "max_abs_err_ppb"
+        ),
+        F.round(F.sum(err) * F.lit(1e9) + F.lit(1e-9), 6).alias(
+            "sum_abs_err_ppb"
+        ),
     )
