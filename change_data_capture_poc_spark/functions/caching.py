@@ -77,6 +77,23 @@ def pinned_count(spark) -> int:
     return len(_PINS.get(_session_key(spark), []))
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Drop the RDD blocks behind a ``localCheckpoint()``-ed frame.
+
+    ``release_pins`` only covers ``persist_once`` pins; iterative
+    trainers (EM rounds, alternating-star) re-checkpoint per round and
+    the SUPERSEDED rounds' blocks otherwise sit in executor memory
+    until JVM GC gets around to them — repeated bench reps accumulate.
+    Only call this on frames nothing will read again: a local
+    checkpoint cannot be recomputed once its blocks are gone."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort on a dead session
+        pass
+
+
 def engine_cache_is_clean(spark) -> bool:
     """True iff the session's CacheManager holds nothing — the
     harness assertion that no query pins memory behind the registry's

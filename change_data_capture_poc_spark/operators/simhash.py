@@ -74,6 +74,31 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def first_matching_band(
+    ha: Column, hb: Column, band_bits: int, n_bands: int
+) -> Column:
+    """Index of the LOWEST band on which two fingerprints agree.
+
+    Pure expression on the two fingerprint columns (both sides of a
+    band self-join already carry them), assuming at least one band
+    matches — true by construction for band-join output. Keeping only
+    rows where the joined band equals this index emits each colliding
+    pair exactly ONCE, replacing the post-join DISTINCT whose shuffle
+    carried the candidate fan-out (the 8x scale probe measured that
+    shuffle growing super-linearly with in-bucket density; this way
+    the pair stream never shuffles at all)."""
+    x = ha.bitwiseXOR(hb)
+    mask = F.lit((1 << band_bits) - 1)
+
+    def band_is_equal(j: int) -> Column:
+        return F.shiftright(x, band_bits * j).bitwiseAND(mask) == F.lit(0)
+
+    expr = F.when(band_is_equal(0), F.lit(0))
+    for j in range(1, n_bands - 1):
+        expr = expr.when(band_is_equal(j), F.lit(j))
+    return expr.otherwise(F.lit(n_bands - 1))
+
+
 def simhash32_portable_pandas(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

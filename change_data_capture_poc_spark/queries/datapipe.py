@@ -2168,12 +2168,15 @@ def text_tfidf_top_terms(spark, sf_dir):
     # both branches (ReusedExchange in the plan).
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
-    # No forced broadcast on dfreq: the vocabulary is Zipf-skewed but
-    # NOT constant-bounded (it grows with the corpus), so the hint is
-    # AQE's call — it broadcasts when the runtime size fits and falls
-    # back to a shuffle hash join on tok otherwise.
+    # Forced broadcast on dfreq (round-11): the vocabulary is
+    # Heaps-law-bounded — sub-linear in corpus size — and the tf side
+    # is already the pre-aggregated (doc, tok) pair stream, so without
+    # the hint an AQE fallback shuffles that whole stream on tok (the
+    # 8x probe measured the flip as a 10.8x shuffle-byte jump). A
+    # deployment whose type count outgrows driver memory drops the
+    # hint and the join degrades to a shuffle of the compressed pairs.
     scored = (
-        tf.join(dfreq, "tok")
+        tf.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2484,17 +2487,29 @@ def sample_fixed_per_stratum(spark, sf_dir):
 )
 def sql_recursive_reachability(spark, sf_dir):
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    pairs.createOrReplaceTempView("mh_pairs")
+    # Materialize the symmetric edge set ONCE before recursion: the
+    # recursive step references edges at every level, and an
+    # unpersisted view re-executes the whole minhash-LSH pipeline
+    # (shingle -> minhash -> band join) per level — the round-10
+    # bench measured that as a 2.95x regression. persist_once keeps
+    # the cache under the engine's release_pins contract.
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .union(
+            pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+        )
+        .distinct()
+        .transform(persist_once)
+    )
+    edges.createOrReplaceTempView("mh_edges")
     return spark.sql(
         """
         WITH RECURSIVE
-        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM mh_pairs
-                  UNION SELECT doc_id_b, doc_id_a FROM mh_pairs),
         reach(a, b, lvl) AS (
-            SELECT a, b, 1 FROM edges
+            SELECT a, b, 1 FROM mh_edges
             UNION ALL
             SELECT DISTINCT r.a, e.b, r.lvl + 1
-            FROM reach r JOIN edges e ON r.b = e.a
+            FROM reach r JOIN mh_edges e ON r.b = e.a
             WHERE r.lvl < 5
         )
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
@@ -3450,33 +3465,39 @@ def text_chunk_overlap(spark, sf_dir):
     doc="Unigram language-model scoring — the perplexity-style quality "
         "filter every pretraining pipeline runs (docs whose mean token "
         "log-probability under the corpus unigram model is too low are "
-        "gibberish/boilerplate candidates). Two corpus shuffles (vocab "
-        "count, per-doc mean); the vocab re-joins the token stream by "
-        "key — at 100 TB the vocab table is Zipf-tiny next to the "
-        "corpus and the join broadcasts.",
+        "gibberish/boilerplate candidates). The occurrence stream is "
+        "pre-aggregated to (doc_id, tok, cnt) BEFORE anything joins "
+        "it, so only distinct tokens-per-doc ever shuffle (round-11 "
+        "fix for the 62.5x shuffle-byte blowup the 8x probe caught "
+        "when the raw stream shuffled on an AQE broadcast fallback); "
+        "the vocab derives from the same exchange (ReusedExchange) "
+        "and joins back under a forced broadcast — Heaps-law-bounded "
+        "(types grow ~sqrt of corpus). A deployment whose type count "
+        "outgrows driver memory drops the hint and the join degrades "
+        "to a shuffle of the already-compressed pair stream.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    # Persist the vocab: it feeds both the broadcast join and the
-    # total-count scalar, and without the persist each consumer
-    # re-tokenizes and re-counts the whole corpus (a third full pass
-    # the 8x probe caught as the worst ratio on the board).
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(persist_once)
+    tokc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Vocab FROM the pre-agg (rows are distinct (doc, tok) pairs, so
+    # sum(cnt) is the corpus count) — one tokenization pass, the tokc
+    # exchange is reused for both branches.
+    vocab = tokc.groupBy("tok").agg(F.sum("cnt").alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
-    # Vocab join strategy is AQE's call (Zipf vocabulary ≪ corpus, but
-    # not constant-bounded, so no forced broadcast hint); the global
-    # total stays OUT of the per-token path entirely:
+    # The global total stays OUT of the per-token path entirely:
     # avg(ln(c/n)) = avg(ln c) - ln(n), so the scalar joins the
     # per-doc aggregate, not the token stream.
     per_doc = (
-        tok.join(vocab, "tok")
+        tokc.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.log("c")).alias("avg_ln_c"),
+            F.sum("cnt").alias("n_tokens"),
+            (
+                F.sum(F.col("cnt") * F.log("c")) / F.sum("cnt")
+            ).alias("avg_ln_c"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(

@@ -134,6 +134,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.operators.simhash import (
+        first_matching_band,
         simhash_documents_pandas,
     )
 
@@ -164,17 +165,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Lowest-matching-band rule replaces the old post-join
+        # DISTINCT: a pair colliding on several bands is emitted only
+        # from the first one, so the candidate stream never shuffles
+        # again — the join output flows map-side into the result.
+        .where(
+            F.col("a.band")
+            == first_matching_band(F.col("a.h"), F.col("b.h"), 16, 4)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
         )
-        # hamming filter BEFORE distinct: hamming is deterministic per
-        # pair, so the result is identical, but the distinct's shuffle
-        # now moves only the surviving near-dups instead of the full
-        # band-collision fan-out.
         .where(F.col("hamming") <= 8)
-        .distinct()
     )
     return pairs
 
@@ -221,6 +225,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.operators.simhash import (
+        first_matching_band,
         simhash32_portable_pandas,
     )
 
@@ -251,15 +256,22 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.key") == F.col("y.key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        # Lowest-matching-band rule (operators/simhash.py): each pair
+        # is emitted from exactly one band, so no DISTINCT shuffle —
+        # the round-10 probe's 17.6x shuffle-byte row was that
+        # distinct carrying the 8-bit bands' quadratic in-bucket
+        # fan-out; now the pair stream never shuffles (same result
+        # set as the oracle's DISTINCT).
+        .where(
+            F.col("x.band")
+            == first_matching_band(F.col("x.h"), F.col("y.h"), 8, 4)
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
             hamming64(F.col("x.h"), F.col("y.h")).cast("int").alias("hamming"),
         )
-        # filter before distinct — shuffles survivors, not the band
-        # fan-out (same ordering the oracle's WHERE-then-DISTINCT has).
         .where(F.col("hamming") <= 4)
-        .distinct()
     )
 
 

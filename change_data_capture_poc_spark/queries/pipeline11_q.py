@@ -86,6 +86,18 @@ def _widen_gen_dir(spark: SparkSession, sf_dir: str) -> str:
             ((F.col("event_id") % 10000) / F.lit(100.0)).alias("price"),
         )
     )
+    # The narrow generation deliberately writes INT32 ids (the
+    # pre-widening schema); the oracle keeps BIGINT. Guard the cast:
+    # an id beyond INT32 would wrap (non-ANSI) or throw (ANSI) and
+    # diverge from the oracle SILENTLY — fail loudly instead. One
+    # tiny one-time agg, only on generation (marker-guarded).
+    max_id = ev.agg(F.max("id")).first()[0]
+    if max_id is not None and max_id > 2**31 - 1:
+        raise ValueError(
+            f"widening fixture: user_id {max_id} exceeds INT32 — the "
+            "narrow generation cannot represent it; re-derive narrow "
+            "ids (e.g. id % 2^31) before widening this scale factor"
+        )
     narrow = ev.where(F.col("lsn") % 2 == 0).select(
         "lsn",
         F.col("id").cast("int").alias("id"),

@@ -540,6 +540,26 @@ def _containment_oracle() -> str:
     """
 
 
+def _participant_grams(g: DataFrame, pairs: DataFrame):
+    """Gram table pruned to candidate-pair PARTICIPANTS, split into
+    the two join aliases. Docs in no LSH pair — the overwhelming
+    corpus majority at real scale — never ship their 4-gram arrays
+    through an exchange; only the id column travels for the
+    semi-join. Join strategy stays AQE's call (the participant set
+    grows with the corpus, so no forced broadcast)."""
+    cand_ids = pairs.select(F.col("doc_id_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+    )
+    g_cand = g.join(cand_ids, "doc_id", "leftsemi")
+    ga = g_cand.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = g_cand.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    return ga, gb
+
+
 @register(
     "dedup_minhash_containment",
     oracle=_containment_oracle(),
@@ -550,8 +570,8 @@ def _containment_oracle() -> str:
         "containment ~1) — this is the signal sub-document dedup "
         "keys on. Scale shape: exact set intersection runs ONLY on "
         "LSH survivors (band equi-join output), never all pairs; the "
-        "gram arrays join in by doc_id, so the heavy column moves "
-        "once per side.",
+        "gram table is semi-join-pruned to pair participants before "
+        "the heavy gram column moves at all (_participant_grams).",
 )
 def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.queries.datapipe import (
@@ -562,12 +582,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    ga = g.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
-    )
-    gb = g.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
-    )
+    ga, gb = _participant_grams(g, pairs)
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         pairs.join(ga, "doc_id_a")
@@ -995,12 +1010,7 @@ def dedup_containment_survivors(
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    ga = g.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
-    )
-    gb = g.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
-    )
+    ga, gb = _participant_grams(g, pairs)
     scored = (
         pairs.join(ga, "doc_id_a")
         .join(gb, "doc_id_b")

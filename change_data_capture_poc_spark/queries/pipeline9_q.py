@@ -2062,6 +2062,10 @@ def _wp_tables(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .transform(persist_once)
     )
+    # chars and freq are re-derived per admission threshold by the
+    # sensitivity sweep (each threshold's vocab is its own cached
+    # frame, so cross-branch exchange reuse cannot deduplicate them)
+    # — persist both: alphabet-sized and Heaps-bounded respectively.
     chars = (
         words.select(
             F.explode(
@@ -2070,7 +2074,9 @@ def _wp_tables(
                     " p -> substring(word, p, 1))"
                 )
             ).alias("token")
-        ).distinct()
+        )
+        .distinct()
+        .transform(persist_once)
     )
     subs = None
     for l in range(2, _WP_MAXLEN + 1):
@@ -2088,8 +2094,10 @@ def _wp_tables(
         )
         subs = s if subs is None else subs.unionByName(s)
     tot = words.agg(F.sum("n").cast("long").alias("t"))
-    freq = subs.groupBy("token").agg(
-        F.sum("n").cast("long").alias("freq")
+    freq = (
+        subs.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("freq"))
+        .transform(persist_once)
     )
     return words, chars, freq, tot
 
@@ -2379,24 +2387,57 @@ def _unigram_ctes() -> str:
         "encode, counted from each token stream (a word's token count "
         "= its tok_idx=0 marker, so n_words needs no distinct). All "
         "streams share the same word split, making the comparison "
-        "apples-to-apples. Scale shape: three encode plans (each one "
-        "corpus scan + word-table join), one doc-keyed lang join "
-        "each, |langs|-row rollups.",
+        "apples-to-apples. Scale shape (round-11): ONE corpus scan "
+        "into a (lang, word, n) occurrence table, then each family is "
+        "word-table arithmetic — n_tokens = sum(n * |toks(word)|) "
+        "equals counting its encoded stream, so the engine never "
+        "materializes the three token streams the oracle counts.",
 )
 def tokenizer_family_fertility_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    import os
 
-    def summarize(enc: DataFrame, name: str) -> DataFrame:
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan (round-11: was three full encode streams + three
+    # doc-keyed joins): per-(lang, word) occurrence counts — the
+    # Heaps-bounded word table crossed with the lang domain. Every
+    # family's fertility is then pure word-table arithmetic
+    # (n_words = sum(n), n_tokens = sum(n * |toks(word)|)), identical
+    # to counting the encoded token streams the oracle counts, because
+    # both are sums over word occurrences grouped by lang.
+    wl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(persist_once)
+    )
+    words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
+    wp_toks = _wp_word_toks(spark, sf_dir)
+    bd = ensure_bpe_vocab(spark, sf_dir)
+    bpe_toks = spark.read.parquet(os.path.join(bd, "vocab.parquet")).select(
+        "word", "toks"
+    )
+    ud = ensure_unigram_vocab(spark, sf_dir)
+    cost = spark.read.parquet(os.path.join(ud, "vocab.parquet")).select(
+        "token", "c"
+    )
+    uni_toks = _uni_viterbi_toks(words, cost)
+
+    def summarize(wt: DataFrame, name: str) -> DataFrame:
         return (
-            enc.join(docs, "doc_id")
+            wl.join(wt, "word")
             .groupBy("lang")
             .agg(
-                F.sum(F.when(F.col("tok_idx") == 0, 1).otherwise(0))
+                F.sum("n").cast("long").alias("n_words"),
+                F.sum(F.col("n") * F.size("toks"))
                 .cast("long")
-                .alias("n_words"),
-                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                .alias("n_tokens"),
             )
             .select(
                 F.lit(name).alias("tokenizer"),
@@ -2411,13 +2452,10 @@ def tokenizer_family_fertility_compare(
             )
         )
 
-    wp = wordpiece_maxmatch_encode(spark, sf_dir)
-    bpe = bpe_encode_from_vocab(spark, sf_dir)
-    uni = unigram_viterbi_encode(spark, sf_dir)
     return (
-        summarize(wp, "wordpiece")
-        .unionByName(summarize(bpe, "bpe"))
-        .unionByName(summarize(uni, "unigram"))
+        summarize(wp_toks, "wordpiece")
+        .unionByName(summarize(bpe_toks, "bpe"))
+        .unionByName(summarize(uni_toks, "unigram"))
     )
 
 
@@ -2680,6 +2718,10 @@ def _uni_em_state(
     components/pagerank pattern): each Viterbi fold references the
     cost table 4 times, so an un-truncated chain grows the plan — and
     the fold's codegen — 4x per round."""
+    from change_data_capture_poc_spark.functions.caching import (
+        free_local_checkpoint,
+    )
+
     words, chars, _freq, _tot = _wp_tables(spark, sf_dir)
     vocab = _uni_seed_vocab(words)
     cost = _uni_cost_table(vocab).localCheckpoint()
@@ -2703,8 +2745,16 @@ def _uni_em_state(
             .orderBy(F.col("cnt").desc(), "token")
             .limit(_UNI_EM_TOPK)
         )
+        prev_vocab, prev_cost = vocab, cost
         vocab = ch.unionByName(multi).localCheckpoint()
         cost = _uni_cost_table(vocab).localCheckpoint()
+        # The new round's checkpoints above are EAGER, so nothing
+        # references the superseded round's blocks any more — drop
+        # them now instead of leaking them for the session lifetime
+        # (release_pins only covers persist_once pins).
+        free_local_checkpoint(prev_cost)
+        free_local_checkpoint(prev_vocab)
+        free_local_checkpoint(cnts)
     return vocab, cost
 
 
@@ -2739,10 +2789,18 @@ def ensure_unigram_vocab(
         except (OSError, ValueError):
             pass  # unreadable marker -> rebuild
 
+    from change_data_capture_poc_spark.functions.caching import (
+        free_local_checkpoint,
+    )
+
     vocab, cost = _uni_em_state(spark, sf_dir)
     vocab.join(cost, "token").coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(d, "vocab.parquet"))
+    # The model now lives on disk; the final EM round's checkpoint
+    # blocks have no further reader — free them.
+    free_local_checkpoint(cost)
+    free_local_checkpoint(vocab)
     with open(marker, "w") as fh:
         json.dump({"sf_dir": sf_dir, "fp": fp}, fh)
     return d

@@ -394,14 +394,41 @@ _Q17_SQL = """
     "sql_small_qty_revenue",
     oracle=_Q17_SQL,
     doc="TPC-H Q17 shape (small-quantity-order revenue): correlated "
-        "scalar AVG subquery on the join key. Catalyst decorrelates it "
-        "into a per-partkey aggregate joined back to the filtered fact "
-        "— one extra agg shuffle instead of a per-row subquery; the "
-        "brand filter prunes the part side before both joins.",
+        "scalar AVG subquery on the join key. The oracle keeps the "
+        "textbook correlated form; the engine plan applies the "
+        "classic Q17 rewrite — the correlated average only ever "
+        "matters for the ONE brand's partkeys, so lineitem is first "
+        "reduced by a broadcast semi-join against the brand-filtered "
+        "part slice (a ~1/|brands| cut), and the per-partkey AVG "
+        "aggregates that reduced stream instead of the whole fact. "
+        "Semantically identical (the final join restricted the avg's "
+        "consumers to those partkeys anyway); at 100 TB the agg "
+        "shuffle shrinks by the brand selectivity, and the round-10 "
+        "probe's 18x shuffle-byte flip (full-lineitem agg falling out "
+        "of broadcast) disappears because the full fact never enters "
+        "an exchange.",
 )
 def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q17_SQL)
+    return spark.sql("""
+        WITH bp AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+        ),
+        li AS (
+            SELECT /*+ BROADCAST(bp) */
+                   l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l
+            JOIN bp ON bp.p_partkey = l.l_partkey
+        ),
+        avgq AS (
+            SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+            FROM li GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(li.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM li
+        JOIN avgq ON avgq.l_partkey = li.l_partkey
+        WHERE li.l_quantity < avgq.half_avg
+    """)
 
 
 _Q15_SQL = """

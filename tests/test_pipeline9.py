@@ -200,6 +200,35 @@ def test_cache_contract_pins_and_releases(spark, sf_dir):
     assert engine_cache_is_clean(spark)
 
 
+def test_free_local_checkpoint_drops_blocks(spark):
+    """Round-11 cache-contract extension: iterative trainers
+    re-checkpoint per round; free_local_checkpoint must actually drop
+    the superseded rounds' RDD blocks (release_pins only covers
+    persist_once pins — without this the EM trainer leaked a block
+    set per round for the session lifetime)."""
+    import time
+
+    from change_data_capture_poc_spark.functions.caching import (
+        free_local_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    assert df.count() == 1000
+    assert n_cached() >= base + 1  # the checkpoint holds blocks
+    free_local_checkpoint(df)
+    for _ in range(50):  # unpersist is non-blocking
+        if n_cached() <= base:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= base
+
+
 def test_multiprobe_sampled_truth_agrees_with_exact(spark):
     """Calibration for the cheap multiprobe gate (the round-8 SCALING
     row this query retires): at sf0.01 the sampled-truth multiprobe

@@ -179,8 +179,13 @@ PROBES = (
     "wordpiece_maxmatch_encode",
     "wordpiece_threshold_sensitivity",
     "corpus_datacard_report",
+    # Round 11: unigram_train_em IS probed — the SPARK_GRAFT_TMP_NS
+    # namespace confines its persisted vocab artifact to probe-local
+    # dirs, and without it the unigram family had zero scale-probe
+    # coverage (the viterbi-encode exclusion below leans on this row).
+    "unigram_train_em",
     # NOT probed: BUILDER queries that force-persist shared artifacts
-    # (unigram_train_em, tokenizer_vocab_build, ann_index_build,
+    # (tokenizer_vocab_build, ann_index_build,
     # chunk_index_build) — probing one under the patched loader trains
     # a model on the synthetic 8x corpus; the SPARK_GRAFT_TMP_NS
     # namespace (set below) confines any such write to probe-local
@@ -330,15 +335,25 @@ def main() -> None:
         scaled_b = max(b for _, b in reps)
         set_loader(real_load)
         ratio = scaled / base if base > 0 else float("nan")
-        # 0-byte base = map-only plan (no shuffle at either scale is
-        # the BEST scale shape, not a missing measurement)
-        bratio = round(scaled_b / base_b, 1) if base_b > 0 else "-"
+        # 0-byte base at BOTH scales = map-only plan (no shuffle at
+        # either scale is the BEST scale shape, not a missing
+        # measurement). A shuffle that only APPEARS at scale
+        # (base 0, scaled > 0) is the strongest state-growth signal
+        # there is — report it as 'inf' and WARN, never mask it.
+        if base_b > 0:
+            bratio = round(scaled_b / base_b, 1)
+        elif scaled_b > 0:
+            bratio = "inf"
+        else:
+            bratio = "-"
         rows.append(
             (name, round(base, 2), round(scaled, 2), round(ratio, 1),
              mb(base_b), mb(scaled_b), bratio)
         )
         print(rows[-1])
-        if base_b > 0 and scaled_b / base_b > n:
+        if (base_b > 0 and scaled_b / base_b > n) or (
+            base_b == 0 and scaled_b > 0
+        ):
             print(f"WARN super-linear shuffle bytes: {name} "
                   f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x")
 
