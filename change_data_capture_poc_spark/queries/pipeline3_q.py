@@ -540,21 +540,21 @@ def _containment_oracle() -> str:
     """
 
 
-def _participant_grams(g: DataFrame, pairs: DataFrame):
-    """Gram table pruned to candidate-pair PARTICIPANTS, split into
-    the two join aliases. Docs in no LSH pair — the overwhelming
-    corpus majority at real scale — never ship their 4-gram arrays
-    through an exchange; only the id column travels for the
-    semi-join. Join strategy stays AQE's call (the participant set
-    grows with the corpus, so no forced broadcast)."""
-    cand_ids = pairs.select(F.col("doc_id_a").alias("doc_id")).union(
-        pairs.select(F.col("doc_id_b").alias("doc_id"))
-    )
-    g_cand = g.join(cand_ids, "doc_id", "leftsemi")
-    ga = g_cand.select(
+def _pair_grams(g: DataFrame):
+    """The gram table split into the two candidate-join aliases.
+
+    Deliberately NOT pre-pruned to pair participants: the candidate
+    pair set is dimension-sized next to the corpus, so AQE broadcasts
+    it and the gram arrays never enter an exchange at all — a round-11
+    experiment that semi-joined g down to participants first forced
+    the full gram table through a shuffle instead and measured 17x
+    slower at the 8x probe (60 MB of gram arrays moved vs sub-1 MB).
+    If pairs ever outgrow broadcast, AQE degrades to a hash join whose
+    gram shuffle is one linear pass — still the right fallback."""
+    ga = g.select(
         F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
     )
-    gb = g_cand.select(
+    gb = g.select(
         F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
     )
     return ga, gb
@@ -570,8 +570,9 @@ def _participant_grams(g: DataFrame, pairs: DataFrame):
         "containment ~1) — this is the signal sub-document dedup "
         "keys on. Scale shape: exact set intersection runs ONLY on "
         "LSH survivors (band equi-join output), never all pairs; the "
-        "gram table is semi-join-pruned to pair participants before "
-        "the heavy gram column moves at all (_participant_grams).",
+        "gram arrays join in by doc_id against the broadcast-sized "
+        "candidate set, so the heavy column never enters an exchange "
+        "(_pair_grams documents why no participant pre-prune).",
 )
 def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.queries.datapipe import (
@@ -582,7 +583,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    ga, gb = _participant_grams(g, pairs)
+    ga, gb = _pair_grams(g)
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         pairs.join(ga, "doc_id_a")
@@ -1010,7 +1011,7 @@ def dedup_containment_survivors(
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d)
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    ga, gb = _participant_grams(g, pairs)
+    ga, gb = _pair_grams(g)
     scored = (
         pairs.join(ga, "doc_id_a")
         .join(gb, "doc_id_b")
