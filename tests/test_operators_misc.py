@@ -118,6 +118,63 @@ def test_simhash32_portable_pandas_matches_expression(spark):
     assert expr[1] == expr[4]
 
 
+def test_first_matching_band_equals_distinct_dedup(spark, sf_dir):
+    """Round-11 rewrite pin: emitting a band-join pair only from its
+    LOWEST matching band must yield exactly the DISTINCT of the full
+    band fan-out — same pair set, one row per pair, no shuffle. Run
+    the production query, then rebuild the naive WHERE+DISTINCT plan
+    and compare row sets (hamming included: deterministic per pair)."""
+    from change_data_capture_poc_spark.operators.simhash import (
+        hamming64,
+        simhash32_portable_pandas,
+    )
+    from change_data_capture_poc_spark.queries.operators_q import (
+        dedup_simhash_portable,
+    )
+    from change_data_capture_poc_spark.sources.tables import load_table
+
+    got = {tuple(r) for r in dedup_simhash_portable(spark, sf_dir).collect()}
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash32_portable_pandas(d).withColumnRenamed("simhash", "h")
+    bands = fp.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", "b.band", "b.key")
+    x, y = bands.alias("x"), bands.alias("y")
+    naive = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming64(F.col("x.h"), F.col("y.h")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 4)
+        .distinct()
+    )
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+    assert len(got) > 0  # the fixture plants near-dups
+
+
 def test_lsh_buckets_pandas_matches_expression(spark, sf_dir):
     from change_data_capture_poc_spark.queries.datapipe import (
         _lsh_buckets_expr,
