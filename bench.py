@@ -75,6 +75,7 @@ HEADLINE = (
     "corpus_mix_rebalance",         # broadcast-rate source downsampling
     "curriculum_quality_phases",    # percentile-broadcast phasing
     "text_bigram_logprob",          # bigram LM scoring
+    "text_unigram_logprob",         # unigram LM scoring (pre-agg + bcast)
     "dedup_minhash_containment",    # containment on LSH survivors
     "eval_ann_recall",              # IVF-vs-exact recall gate
     "cdc_lsn_gap_transactions",     # banded-prefix-sum tx inference
