@@ -89,8 +89,28 @@ def free_local_checkpoint(df: DataFrame) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
+            _silence_checkpoint_unpersist_warning(df.sparkSession)
             plan.rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — best-effort on a dead session
+        pass
+
+
+def _silence_checkpoint_unpersist_warning(spark) -> None:
+    """Raise MapPartitionsRDD's log level to ERROR (idempotent).
+
+    Unpersisting a locally-checkpointed RDD makes Spark warn that the
+    lineage cannot be recomputed — exactly the property the caller
+    relies on (the freed frame is a SUPERSEDED trainer round nothing
+    reads again). Each EM round frees three frames, so a bench run
+    would log the same no-information warning dozens of times (the
+    WindowExec pattern, session._silence_bounded_window_warning)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — cosmetic only
         pass
 
 
