@@ -351,7 +351,12 @@ def main() -> None:
              mb(base_b), mb(scaled_b), bratio)
         )
         print(rows[-1])
-        if (base_b > 0 and scaled_b / base_b > n) or (
+        # 10% allowance over the linear ratio: the fixture's per-copy
+        # alphabet rotation costs every vocabulary-keyed exchange a few
+        # percent of dictionary compression, so raw ratios of 8.0x-8.1x
+        # are linear in rows — warning on them buries the real signal.
+        # The table records the exact ratio either way.
+        if (base_b > 0 and scaled_b / base_b > n * 1.1) or (
             base_b == 0 and scaled_b > 0
         ):
             print(f"WARN super-linear shuffle bytes: {name} "
