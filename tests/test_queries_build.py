@@ -65,6 +65,27 @@ def test_oracle_queries_are_well_formed():
         assert q.doc, f"{name}: every query needs its design note"
 
 
+def test_q17_semijoin_rewrite_matches_textbook_form(spark, sf_dir):
+    """Round-11 Q17 rewrite pin, Spark-vs-Spark (independent of the
+    DuckDB oracle): the engine plan pre-reduces lineitem to the one
+    brand's partkeys before the per-partkey AVG; running the TEXTBOOK
+    correlated form through Spark itself must give the identical
+    single-row answer, because the final brand join already restricted
+    the average's consumers to those partkeys."""
+    from change_data_capture_poc_spark.queries.sql_q import (
+        _Q17_SQL,
+        sql_small_qty_revenue,
+    )
+
+    got = sql_small_qty_revenue(spark, sf_dir).collect()
+    want = spark.sql(_Q17_SQL).collect()
+    assert len(got) == len(want) == 1
+    g, w = got[0][0], want[0][0]
+    assert (g is None) == (w is None)
+    if g is not None:
+        assert abs(float(g) - float(w)) < 1e-6, (g, w)
+
+
 def test_representative_queries_deterministic(spark, sf_dir):
     """Two executions of the same query must produce identical rows —
     guards against nondeterministic expressions (rand, monotonically_
