@@ -3465,39 +3465,43 @@ def text_chunk_overlap(spark, sf_dir):
     doc="Unigram language-model scoring — the perplexity-style quality "
         "filter every pretraining pipeline runs (docs whose mean token "
         "log-probability under the corpus unigram model is too low are "
-        "gibberish/boilerplate candidates). The occurrence stream is "
-        "pre-aggregated to (doc_id, tok, cnt) BEFORE anything joins "
-        "it, so only distinct tokens-per-doc ever shuffle (round-11 "
-        "fix for the 62.5x shuffle-byte blowup the 8x probe caught "
-        "when the raw stream shuffled on an AQE broadcast fallback); "
-        "the vocab derives from the same exchange (ReusedExchange) "
-        "and joins back under a forced broadcast — Heaps-law-bounded "
-        "(types grow ~sqrt of corpus). A deployment whose type count "
-        "outgrows driver memory drops the hint and the join degrades "
-        "to a shuffle of the already-compressed pair stream.",
+        "gibberish/boilerplate candidates). Round-11 fix for the "
+        "62.5x shuffle-byte blowup the 8x probe caught (an AQE "
+        "broadcast fallback shuffled every token occurrence): the "
+        "Heaps-bounded vocab (types grow ~sqrt of corpus) is "
+        "force-broadcast, so the occurrence stream never shuffles — "
+        "the only exchanges are the vocab count and ~1 per-doc "
+        "partial row per partition (probe: 8.0x bytes, exactly "
+        "linear). A deployment whose type count outgrows driver "
+        "memory drops the hint AND pre-aggregates the stream to "
+        "(doc_id, tok, cnt) first, so the fallback shuffles distinct "
+        "pairs, never raw occurrences.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    tokc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # Vocab FROM the pre-agg (rows are distinct (doc, tok) pairs, so
-    # sum(cnt) is the corpus count) — one tokenization pass, the tokc
-    # exchange is reused for both branches.
-    vocab = tokc.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    # Vocabulary counts: the ONLY vocabulary-keyed exchange in the
+    # plan (map-side combined to distinct tokens per partition).
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
-    # The global total stays OUT of the per-token path entirely:
+    # With the vocab broadcast, the occurrence stream itself NEVER
+    # shuffles: the join is map-side and the per-doc aggregate's
+    # partial combine ships ~1 row per doc per partition. (If the
+    # hint is ever dropped for a vocabulary too large to broadcast,
+    # pre-aggregate the stream to (doc_id, tok, cnt) first so the
+    # fallback join shuffles distinct pairs, not occurrences — the
+    # round-10 probe measured the raw-stream fallback at 62.5x.)
+    # The global total also stays OUT of the per-token path:
     # avg(ln(c/n)) = avg(ln c) - ln(n), so the scalar joins the
     # per-doc aggregate, not the token stream.
     per_doc = (
-        tokc.join(F.broadcast(vocab), "tok")
+        tok.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_tokens"),
-            (
-                F.sum(F.col("cnt") * F.log("c")) / F.sum("cnt")
-            ).alias("avg_ln_c"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("c")).alias("avg_ln_c"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(
