@@ -752,3 +752,58 @@ def test_interval_overlap_join_matches_model(spark, left, right, bucket_s):
         if lk == rk and llo <= rlo + rspan and rlo <= llo + lspan
     )
     assert got == want
+
+
+# 64-bit fingerprints include NEGATIVE longs (xxhash64), so the band
+# extraction's arithmetic shiftright sign-extends into the masked
+# bits for the top band — the model pins two's-complement agreement.
+_fp_pairs = st.lists(
+    st.tuples(
+        st.integers(-(2**63), 2**63 - 1),
+        st.integers(-(2**63), 2**63 - 1),
+        # per-band "keep equal" flags: b copies a's band when kept, so
+        # most examples exercise real collisions, not just the
+        # otherwise-branch
+        st.tuples(*[st.booleans()] * 4),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=_fp_pairs)
+@settings(**_SETTINGS)
+def test_first_matching_band_matches_model(spark, pairs):
+    from change_data_capture_poc_spark.operators.simhash import (
+        first_matching_band,
+    )
+
+    def to_i64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    rows = []
+    for a, b, keep in pairs:
+        bb = b
+        for j, k in enumerate(keep):
+            if k:  # copy a's band j into b -> band j matches
+                mask = 0xFFFF << (16 * j)
+                bb = (bb & ~mask) | (a & mask)
+        rows.append((a, to_i64(bb)))
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r.fb
+        for r in df.select(
+            first_matching_band(F.col("a"), F.col("b"), 16, 4).alias("fb")
+        ).collect()
+    ]
+
+    def model(a: int, b: int) -> int:
+        x = a ^ b  # Python ints: arithmetic shift + mask == two's compl.
+        for j in range(3):
+            if (x >> (16 * j)) & 0xFFFF == 0:
+                return j
+        return 3
+
+    assert got == [model(a, b) for a, b in rows]
