@@ -95,21 +95,41 @@ def free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# Sessions whose JVM already had the MapPartitionsRDD logger raised —
+# the Configurator call is idempotent but not free (a py4j round-trip
+# per freed frame; EM trainers free three frames per round).
+_WARNING_SILENCED: set[int] = set()
+
+
 def _silence_checkpoint_unpersist_warning(spark) -> None:
-    """Raise MapPartitionsRDD's log level to ERROR (idempotent).
+    """Raise MapPartitionsRDD's log level to ERROR, once per session.
 
     Unpersisting a locally-checkpointed RDD makes Spark warn that the
     lineage cannot be recomputed — exactly the property the caller
     relies on (the freed frame is a SUPERSEDED trainer round nothing
     reads again). Each EM round frees three frames, so a bench run
     would log the same no-information warning dozens of times (the
-    WindowExec pattern, session._silence_bounded_window_warning)."""
+    WindowExec pattern, session._silence_bounded_window_warning).
+
+    Deliberately NOT restored after the unpersist: blocks are dropped
+    asynchronously (unpersist(False)), so the warning can fire after
+    this call returns — restoring the level immediately would re-expose
+    the exact message being silenced. The cost is that other WARNs from
+    this one concrete RDD class stay suppressed for the session; in
+    practice MapPartitionsRDD logs nothing else at WARN in local mode,
+    and the level is scoped to the narrowest logger log4j offers for
+    this message (the warning is emitted by the concrete RDD subclass,
+    so there is no per-message hook short of a log4j filter plugin)."""
+    key = _session_key(spark)
+    if key in _WARNING_SILENCED:
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
             "org.apache.spark.rdd.MapPartitionsRDD",
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
+        _WARNING_SILENCED.add(key)
     except Exception:  # noqa: BLE001 — cosmetic only
         pass
 

@@ -29,6 +29,7 @@ from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.functions.windows import global_window
 from change_data_capture_poc_spark.functions.caching import persist_once
+from change_data_capture_poc_spark.functions.hints import vocab_broadcast
 
 
 # --------------------------------------------------------------------
@@ -2168,15 +2169,16 @@ def text_tfidf_top_terms(spark, sf_dir):
     # both branches (ReusedExchange in the plan).
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
-    # Forced broadcast on dfreq (round-11): the vocabulary is
+    # Broadcast on dfreq (round-11): the vocabulary is
     # Heaps-law-bounded — sub-linear in corpus size — and the tf side
     # is already the pre-aggregated (doc, tok) pair stream, so without
     # the hint an AQE fallback shuffles that whole stream on tok (the
     # 8x probe measured the flip as a 10.8x shuffle-byte jump). A
-    # deployment whose type count outgrows driver memory drops the
-    # hint and the join degrades to a shuffle of the compressed pairs.
+    # deployment whose type count outgrows driver memory flips
+    # spark.graft.vocab.broadcast=false (functions/hints.py) and the
+    # join degrades to a shuffle of the compressed pairs — no edit.
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(vocab_broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -3473,9 +3475,11 @@ def text_chunk_overlap(spark, sf_dir):
         "the only exchanges are the vocab count and ~1 per-doc "
         "partial row per partition (probe: 8.0x bytes, exactly "
         "linear). A deployment whose type count outgrows driver "
-        "memory drops the hint AND pre-aggregates the stream to "
-        "(doc_id, tok, cnt) first, so the fallback shuffles distinct "
-        "pairs, never raw occurrences.",
+        "memory sets spark.graft.vocab.broadcast=false "
+        "(functions/hints.py) to degrade to a shuffle join without a "
+        "code edit; for best fallback cost also pre-aggregate the "
+        "stream to (doc_id, tok, cnt) so it shuffles distinct pairs, "
+        "never raw occurrences.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3497,7 +3501,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg(ln(c/n)) = avg(ln c) - ln(n), so the scalar joins the
     # per-doc aggregate, not the token stream.
     per_doc = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab_broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -13,6 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from change_data_capture_poc_spark.functions.hints import (
+    vocab_broadcast_enabled,
+)
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 
@@ -410,12 +413,17 @@ _Q17_SQL = """
 )
 def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql("""
+    # bp is part-DERIVED (grows with scale factor, ~1/|brands| of
+    # part); the hint is gated on the same flag as the vocab
+    # broadcasts so an oversized deployment degrades to a shuffle
+    # join via config, not a query edit (functions/hints.py).
+    hint = "/*+ BROADCAST(bp) */" if vocab_broadcast_enabled(spark) else ""
+    return spark.sql(f"""
         WITH bp AS (
             SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
         ),
         li AS (
-            SELECT /*+ BROADCAST(bp) */
+            SELECT {hint}
                    l.l_partkey, l.l_quantity, l.l_extendedprice
             FROM lineitem l
             JOIN bp ON bp.p_partkey = l.l_partkey

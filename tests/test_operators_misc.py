@@ -133,7 +133,12 @@ def test_first_matching_band_equals_distinct_dedup(spark, sf_dir):
     )
     from change_data_capture_poc_spark.sources.tables import load_table
 
-    got = {tuple(r) for r in dedup_simhash_portable(spark, sf_dir).collect()}
+    got_rows = [tuple(r) for r in dedup_simhash_portable(spark, sf_dir).collect()]
+    got = set(got_rows)
+    # One row PER PAIR: the round-11 rewrite removed the DISTINCT, so
+    # duplicate emission of the same pair (two bands matching) is the
+    # exact regression a set-compare cannot see.
+    assert len(got_rows) == len(got)
 
     d = load_table(spark, sf_dir, "documents")
     fp = simhash32_portable_pandas(d).withColumnRenamed("simhash", "h")
@@ -473,3 +478,58 @@ def test_scene_segmentation_nonascii_oracle_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_vocab_broadcast_flag_degrades_without_code_edit(spark, sf_dir):
+    """Round-11 advice: forced broadcasts on corpus-derived vocab
+    tables must be droppable via config (spark.graft.vocab.broadcast)
+    so an oversized deployment degrades to a shuffle join instead of
+    hard-failing at the 8 GB broadcast ceiling. Pin: with the flag
+    off, the plans lose their vocab broadcast yet produce identical
+    rows; with the flag restored, the hint is back."""
+    from change_data_capture_poc_spark.functions.hints import (
+        VOCAB_BROADCAST_CONF,
+    )
+    from change_data_capture_poc_spark.registry import all_queries
+
+    qs = all_queries()
+    names = (
+        "text_unigram_logprob",
+        "text_tfidf_top_terms",
+        "sql_small_qty_revenue",
+    )
+
+    def rows(name):
+        return sorted(tuple(r) for r in qs[name].fn(spark, sf_dir).collect())
+
+    def bhj_count(name):
+        plan = (
+            qs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("BroadcastHashJoin")
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_hint = {n: rows(n) for n in names}
+        # Isolate the GATED hint from Spark's own size-based choice:
+        # at test scale the vocab is under autoBroadcastJoinThreshold,
+        # so dropping the hint alone still yields a BHJ (the intended
+        # degrade path defers to that threshold). With the threshold
+        # disabled, the only BHJs left are explicit hints — exactly
+        # what the flag must remove (minus the always-hinted 1-row
+        # scalar frames, hence count-compare, not zero).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted_bhj = {n: bhj_count(n) for n in names}
+        spark.conf.set(VOCAB_BROADCAST_CONF, "false")
+        for n in names:
+            assert bhj_count(n) < hinted_bhj[n], n
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for n in names:
+            assert rows(n) == with_hint[n], n
+    finally:
+        spark.conf.set(VOCAB_BROADCAST_CONF, "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

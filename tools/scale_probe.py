@@ -12,35 +12,50 @@ Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir] [N]
 from __future__ import annotations
 
 import sys
-import time
-
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 import change_data_capture_poc_spark.queries  # noqa: F401 - registers all
-from change_data_capture_poc_spark.functions.caching import release_pins
 from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources import tables as tables_mod
+from tools.probe_common import (
+    consumers,
+    make_materialized_load,
+    make_scaled_load,
+    mb,
+    run_query,
+    set_loader,
+)
 
+# Probe-name variant suffix: "<query>@repeat_text" runs the query
+# with the REPEAT-TEXT fixture (documents copies reuse the same text;
+# only ids shift) instead of the default alphabet rotation — the
+# Heaps-law-shaped corpus where word TYPES stay constant while tokens
+# grow n-times. Only meaningful for queries with no pair/self-join
+# semantics (identical copies are all mutual near-dups there).
+REPEAT_TEXT_SUFFIX = "@repeat_text"
 
-def _consumers():
-    """Every loaded module that bound ``load_table`` at import time
-    (`from ... import load_table`) — the probe must patch each consumer
-    namespace. DISCOVERED, not hand-listed: a hand-maintained tuple
-    silently un-scales any new query module that isn't added to it
-    (pipeline4_q's first probe ran 1x vs 1x exactly this way)."""
-    import sys as _sys
+# Queries whose SCALED input is localCheckpoint-materialized before
+# the query runs: AQE re-plans the raw n-way self-UNION into
+# per-branch joins for these (round 11 measured the containment
+# query's exchanges going 3 -> 24, bytes 11.8x — a fixture artifact;
+# real 8x data is one source, not eight plan branches).
+MATERIALIZE_SCALED_INPUT = frozenset({"dedup_containment_survivors"})
 
-    mods = [tables_mod]
-    for name, mod in list(_sys.modules.items()):
-        if (
-            name.startswith("change_data_capture_poc_spark.")
-            and mod is not tables_mod
-            and getattr(mod, "load_table", None) is not None
-        ):
-            mods.append(mod)
-    return tuple(mods)
+# Operators whose plans are MAP-ONLY by design (round-11 reworks or
+# construction): zero shuffle bytes at BOTH scales is asserted, not
+# just printed as '-'. A regression that introduces an exchange into
+# one of these (a lost broadcast, an accidental distinct) is exactly
+# the change the byte probe exists to catch — it must WARN, not
+# silently switch the row to a finite ratio.
+EXPECT_ZERO_SHUFFLE = frozenset(
+    {
+        "dedup_simhash_portable",
+        "text_winnowing_fingerprint",
+        "range_join_signup_windows",
+        "embedding_random_projection",
+        "split_train_val_test",
+    }
+)
 
 PROBES = (
     "pricing_summary",
@@ -68,6 +83,12 @@ PROBES = (
     "range_join_signup_windows",
     "events_funnel",
     "text_tfidf_top_terms",
+    # Round-12 (verdict item 3): the rotation fixture mints 8x word
+    # types, which is what pushed tfidf's bytes to 10.8x; this twin
+    # row measures the same plan on the repetition-shaped corpus
+    # (constant vocabulary) where the Heaps claim predicts at-or-
+    # under-linear bytes.
+    "text_tfidf_top_terms@repeat_text",
     "decontaminate_ngram_overlap",
     "global_ordinal_ids",
     "events_transition_matrix",
@@ -229,7 +250,9 @@ def main() -> None:
     subset = sys.argv[3:]
     probes = tuple(subset) if subset else PROBES
     qs = all_queries()
-    unknown = [p for p in probes if p not in qs]
+    unknown = [
+        p for p in probes if p.split("@")[0] not in qs
+    ]
     if unknown:
         sys.exit(
             f"unknown query name(s) {unknown}; "
@@ -238,102 +261,34 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
 
     real_load = tables_mod.load_table
-
-    def scaled_load(spark_, sf_dir_, name):
-        df: DataFrame = real_load(spark_, sf_dir_, name)
-        if name in ("region", "nation", "customer", "supplier", "part"):
-            return df  # dims keep their cardinality (broadcast sides)
-        out = df
-        for i in range(1, n):
-            # Shift keys so unioned copies don't collapse into the
-            # same groups/pairs.
-            shifted = df
-            if name == "documents":
-                # Per-copy letter substitution: copies share NO tokens,
-                # so the near-dup structure is replicated, not
-                # multiplied (appending a tag would make all N copies
-                # mutual near-dups — a pathological corpus that
-                # measures the data, not the operator).
-                alpha = "abcdefghijklmnopqrstuvwxyz"
-                rot = alpha[i:] + alpha[:i]
-                shifted = df.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
-                ).withColumn("text", F.translate("text", alpha, rot))
-            elif name == "embeddings":
-                shifted = df.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
-                )
-            elif name == "events":
-                shifted = df.withColumn(
-                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
-                )
-            elif name == "lineitem":
-                shifted = df.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
-                )
-            elif name == "orders":
-                shifted = df.withColumn(
-                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
-                )
-            out = out.unionByName(shifted)
-        return out
-
-    def shuffle_totals() -> int:
-        """Cumulative shuffle write bytes from the driver-side
-        AppStatusStore (populated regardless of spark.ui.enabled) —
-        the memory dimension of the probe: a query can stay
-        time-linear while its shuffle bytes blow up super-linearly
-        (the spill precursor at 100 TB). Write bytes are the signal
-        (read mirrors them in local mode); deltas around a run are
-        deterministic, unlike wall time."""
-        try:
-            bus = spark.sparkContext._jsc.sc().listenerBus()
-            bus.waitUntilEmpty()
-        except Exception:
-            time.sleep(0.5)
-        store = spark.sparkContext._jsc.sc().statusStore()
-        it = store.executorList(False).iterator()
-        w = 0
-        while it.hasNext():
-            w += it.next().totalShuffleWrite()
-        return w
-
-    def run(name: str) -> tuple[float, int]:
-        b0 = shuffle_totals()
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        elapsed = time.time() - t0
-        bytes_w = shuffle_totals() - b0
-        # release AFTER the clock stops: it is bookkeeping between
-        # reps, not query work — timing it inflates absolute numbers
-        # (and small-query ratios) relative to the bench protocol.
-        # release_pins drops exactly the engine's persist_once pins
-        # (round-9 cache contract).
-        release_pins(spark)
-        return elapsed, bytes_w
-
-    consumers = _consumers()
-
-    def set_loader(fn):
-        for m in consumers:
-            m.load_table = fn
-
-    def mb(b: int) -> float:
-        return round(b / 1048576, 3)
+    scaled_rotate = make_scaled_load(real_load, n, rotate_text=True)
+    scaled_repeat = make_scaled_load(real_load, n, rotate_text=False)
+    mods = consumers()
 
     rows = []
-    for name in probes:
-        set_loader(real_load)
-        reps = [run(name) for _ in range(3)]
+    for probe in probes:
+        name = probe.split("@")[0]
+        scaled_loader = (
+            scaled_repeat
+            if probe.endswith(REPEAT_TEXT_SUFFIX)
+            else scaled_rotate
+        )
+        free_materialized = None
+        if name in MATERIALIZE_SCALED_INPUT:
+            scaled_loader, free_materialized = make_materialized_load(
+                scaled_loader
+            )
+        set_loader(mods, real_load)
+        reps = [run_query(spark, qs, name, sf_dir) for _ in range(3)]
         base = min(t for t, _ in reps)
         base_b = max(b for _, b in reps)  # peak across reps
-        set_loader(scaled_load)
-        reps = [run(name) for _ in range(3)]
+        set_loader(mods, scaled_loader)
+        reps = [run_query(spark, qs, name, sf_dir) for _ in range(3)]
         scaled = min(t for t, _ in reps)
         scaled_b = max(b for _, b in reps)
-        set_loader(real_load)
+        if free_materialized is not None:
+            free_materialized()
+        set_loader(mods, real_load)
         ratio = scaled / base if base > 0 else float("nan")
         # 0-byte base at BOTH scales = map-only plan (no shuffle at
         # either scale is the BEST scale shape, not a missing
@@ -347,7 +302,7 @@ def main() -> None:
         else:
             bratio = "-"
         rows.append(
-            (name, round(base, 2), round(scaled, 2), round(ratio, 1),
+            (probe, round(base, 2), round(scaled, 2), round(ratio, 1),
              mb(base_b), mb(scaled_b), bratio)
         )
         print(rows[-1])
@@ -355,12 +310,26 @@ def main() -> None:
         # alphabet rotation costs every vocabulary-keyed exchange a few
         # percent of dictionary compression, so raw ratios of 8.0x-8.1x
         # are linear in rows — warning on them buries the real signal.
-        # The table records the exact ratio either way.
+        # The table records the exact ratio either way; ratios inside
+        # the allowance band still get a NOTE (round-11 advice: the
+        # threshold must not silently absorb ~10% real growth).
         if (base_b > 0 and scaled_b / base_b > n * 1.1) or (
             base_b == 0 and scaled_b > 0
         ):
-            print(f"WARN super-linear shuffle bytes: {name} "
+            print(f"WARN super-linear shuffle bytes: {probe} "
                   f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x")
+        elif base_b > 0 and n < scaled_b / base_b <= n * 1.1:
+            print(f"NOTE near-linear shuffle bytes (within the 1.1x "
+                  f"fixture allowance): {probe} "
+                  f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x "
+                  f"({scaled_b / base_b:.2f}x)")
+        # Map-only contract: these plans must show ZERO shuffle bytes
+        # at both scales; any bytes at all is a structural regression
+        # (the 0->0 '-' row is the only acceptable state).
+        if name in EXPECT_ZERO_SHUFFLE and (base_b > 0 or scaled_b > 0):
+            print(f"WARN map-only operator gained shuffle bytes: {name} "
+                  f"{mb(base_b)} MB (1x) / {mb(scaled_b)} MB ({n}x) — "
+                  "expected 0 at both scales")
 
     if subset:
         # Merge into a SINGLE incremental section (new rows win over
