@@ -154,18 +154,36 @@ def _stream_events_with_sentinel(
 
 
 def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    # Stateful streaming fixes its STATE partition count from
+    # spark.sql.shuffle.partitions at first query start, and every
+    # micro-batch then schedules that many state-store tasks per
+    # stateful operator (x4 stores for a stream-stream join). At the
+    # drain's data scale the session default (32) is almost pure
+    # per-task/commit overhead — round 11 measured the full-outer
+    # interval join drain as the single biggest bench line (9.2s,
+    # 5.9% of the whole run). Scope the partition count down for the
+    # START call only (batch queries in the session are untouched);
+    # production drains of real volume would size this to volume.
+    # Correctness is partitioning-independent — the drained row set
+    # is pinned by the oracle either way.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     finished = q.awaitTermination(300)
     q.stop()
     if not finished:
         raise TimeoutError(f"streaming drain {name} did not finish in 300s")
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
 
 
 @register(
