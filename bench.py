@@ -183,6 +183,7 @@ HEADLINE = (
     "cdc_widening_precision_audit",     # float32-era loss accounting
     "corpus_datacard_report",       # per-source publishing data card
     "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
+    "dedup_url_canonical",          # RefinedWeb front-line URL dedup key
 )
 
 # Drift canaries (round-12): core queries whose PLANS have been frozen

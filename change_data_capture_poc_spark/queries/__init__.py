@@ -47,6 +47,8 @@ Modules:
 - ``pipeline11_q`` — CDC type-widening schema evolution (Spark 4
                     Parquet type-widening reader over two physical
                     writer generations), corpus data card rollup
+- ``pipeline12_q`` — URL-canonicalization dedup (RefinedWeb/Dolma
+                    front-line crawl dedup key)
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401
@@ -66,3 +68,4 @@ import change_data_capture_poc_spark.queries.pipeline8_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline9_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline10_q  # noqa: F401
 import change_data_capture_poc_spark.queries.pipeline11_q  # noqa: F401
+import change_data_capture_poc_spark.queries.pipeline12_q  # noqa: F401
