@@ -2163,10 +2163,18 @@ def text_vocab_stats(spark, sf_dir):
 def text_tfidf_top_terms(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf is read by BOTH the scored stream and the df aggregation.
+    # Exchange reuse is supposed to cover that, but it is fragile —
+    # the round-12 probe measured the 8x self-union input defeating
+    # ReusedExchange canonicalization, silently doubling the pair-
+    # exchange write (the dominant shuffle). persist_once pins the
+    # pair table so the aggregation materializes exactly once no
+    # matter what the reuse pass decides.
+    tf = persist_once(
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
     # df derived FROM tf (rows are already distinct (doc, tok) pairs):
-    # no countDistinct two-phase agg, and the tf exchange is reused for
-    # both branches (ReusedExchange in the plan).
+    # no countDistinct two-phase agg.
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
     # Broadcast on dfreq (round-11): the vocabulary is
