@@ -215,21 +215,20 @@ PROBES = (
     # the operator. Also NOT probed: streaming_* drains (file-stream
     # sources watch a
     # symlink dir, not load_table — the self-union patch can't reach
-    # them; their batch twins are probed), ann_serve_from_index /
-    # ann_index_delta_serve /
-    # ann_index_compact, bpe_encode_from_vocab /
-    # bpe_detokenize_roundtrip / pack_best_fit_bpe_tokens /
-    # tokenizer_family_fertility_compare (persisted-vocab BPE side) /
-    # unigram_viterbi_encode (round 10: serves off the persisted
-    # trained vocab — its trainer twin unigram_train_em IS probed) /
+    # them; their batch twins are probed). The artifact-SERVING family
+    # (ann_serve_from_index / ann_index_delta_serve /
+    # bpe_encode_from_vocab / unigram_viterbi_encode /
+    # cdc_quarantine_report / cdc_quarantine_replay) is likewise
+    # excluded HERE because the loader patch cannot scale a persisted
+    # artifact — but since round 12 it is MEASURED by
+    # tools/serve_probe.py, which builds honest 1x/8x artifacts under
+    # per-phase namespaces and times the serve path against each (see
+    # SCALING.md "Artifact-serving probe"). Still plan-audit-only:
+    # ann_index_compact / bpe_detokenize_roundtrip /
+    # pack_best_fit_bpe_tokens / tokenizer_family_fertility_compare
+    # (read artifacts but add no distinct serve-path plan shape),
     # cdc_schema_evolution_widening (reads its own one-time
-    # generation artifacts) / cdc_incremental_agg_maintenance, and
-    # the cdc_quarantine_* pair read per-SF PERSISTED artifacts
-    # (index tables, synthesized log) keyed on sf_dir — the probe's
-    # load_table self-union patch cannot scale those inputs, so a
-    # probe row would report a misleading ~1x. Their scale shape is
-    # pinned by the plan audit (pushed-range scans, map-side classify,
-    # |days|/|C|-key rollups) instead.
+    # generation artifacts), cdc_incremental_agg_maintenance.
 )
 
 
