@@ -184,6 +184,7 @@ HEADLINE = (
     "corpus_datacard_report",       # per-source publishing data card
     "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
     "dedup_url_canonical",          # RefinedWeb front-line URL dedup key
+    "dedup_bloom_paragraph",        # applied Dolma paragraph Bloom dedup
 )
 
 # Drift canaries (round-12): core queries whose PLANS have been frozen

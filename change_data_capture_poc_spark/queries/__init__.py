@@ -48,7 +48,9 @@ Modules:
                     Parquet type-widening reader over two physical
                     writer generations), corpus data card rollup
 - ``pipeline12_q`` — URL-canonicalization dedup (RefinedWeb/Dolma
-                    front-line crawl dedup key)
+                    front-line crawl dedup key), applied paragraph
+                    Bloom dedup (Dolma's check-then-add stream made
+                    relational via per-bit first-set times)
 """
 
 import change_data_capture_poc_spark.queries.scd2_q  # noqa: F401

@@ -1,4 +1,5 @@
-"""Round-12 additions: URL canonicalization dedup.
+"""Round-12 additions: URL canonicalization dedup, applied paragraph
+Bloom dedup.
 
 ``dedup_url_canonical`` — the RefinedWeb/Dolma front-line dedup step
 (RefinedWeb, arXiv 2306.01116 §3.1 "URL deduplication" — the FIRST
@@ -249,4 +250,171 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_doc").alias("keeper_doc_id"),
         )
         .orderBy("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_paragraph — APPLIED paragraph-level Bloom dedup
+# ---------------------------------------------------------------------------
+
+# Paragraph unit: the same non-overlapping 8-token spans as
+# text_span_dedup_c4 (the synthetic corpus has no newlines; fixed
+# token blocks are its paragraph proxy, shared so the two queries
+# describe the same units).
+_PARA_N = 8
+
+
+def _para_gh_expr() -> str:
+    """md5 fingerprints of the non-overlapping paragraph spans of a
+    `w` token array — only the 32-char digest ever leaves the map
+    stage, never paragraph text."""
+    return (
+        f"transform(sequence(0, (size(w) + {_PARA_N} - 1)"
+        f" DIV {_PARA_N} - 1),"
+        f" p -> md5(array_join(slice(w, p * {_PARA_N} + 1, {_PARA_N}),"
+        f" ' ')))"
+    )
+
+
+def _para_oracle() -> str:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _BLM_H,
+        _BLM_M,
+    )
+
+    # _blm_bit_sql bakes the salt literal per hash function; restate
+    # the identical md5('h:' || gh) recipe generically over the
+    # unnested h (pipeline7_q._blm_bit_sql is the portability
+    # reference both engines already agree on).
+    bit = (
+        "('0x' || substring(md5(b.h || ':' || f.gh), 1, 8))::BIGINT"
+        f" % {_BLM_M}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   w[s.pos * {_PARA_N} + 1 : s.pos * {_PARA_N} + {_PARA_N}],
+                   ' ')) AS gh,
+               doc_id * 1000000 + s.pos AS k
+        FROM t, LATERAL (
+            SELECT unnest(range((len(w) + {_PARA_N} - 1) // {_PARA_N}))
+                   AS pos
+        ) s
+    ),
+    first_occ AS (SELECT gh, MIN(k) AS fkey FROM spans GROUP BY gh),
+    gbits AS (
+        SELECT f.gh, f.fkey, {bit} AS bit
+        FROM first_occ f, LATERAL (
+            SELECT unnest(range({_BLM_H})) AS h
+        ) b
+        GROUP BY ALL
+    ),
+    bit_min AS (SELECT bit, MIN(fkey) AS bmin FROM gbits GROUP BY bit),
+    fp AS (
+        SELECT g.gh, g.fkey, COUNT(*) AS nb,
+               COUNT(*) FILTER (WHERE m.bmin < g.fkey) AS nset
+        FROM gbits g JOIN bit_min m USING (bit)
+        GROUP BY g.gh, g.fkey
+    ),
+    flags AS (
+        SELECT s.doc_id,
+               CASE WHEN s.k > p.fkey THEN 1 ELSE 0 END AS exact_drop,
+               CASE WHEN s.k = p.fkey AND p.nset = p.nb
+                    THEN 1 ELSE 0 END AS fp_drop
+        FROM spans s JOIN fp p USING (gh)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(exact_drop) AS BIGINT) AS n_exact_dropped,
+           CAST(SUM(fp_drop) AS BIGINT) AS n_fp_dropped,
+           CAST(COUNT(*) - SUM(exact_drop) - SUM(fp_drop) AS BIGINT)
+               AS n_kept
+    FROM flags GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_bloom_paragraph",
+    oracle=_para_oracle(),
+    doc="APPLIED paragraph-level Bloom dedup — the bridge between "
+        "text_span_dedup_c4 (exact keep-first paragraph dedup) and "
+        "dedup_bloom_portable (Bloom membership, graded but never "
+        "applied). Dolma's production paragraph dedup streams every "
+        "paragraph through a Bloom filter in document order and "
+        "DROPS what the filter claims to contain — so false "
+        "positives delete real text, and the per-document damage "
+        "accounting is the number a deployment must sign off on. "
+        "The sequential check-then-add stream is made relational "
+        "and deterministic via per-bit first-set times: a paragraph "
+        "occurrence at global key k (doc_id*1e6+pos) is dropped "
+        "exactly-duplicate iff an earlier occurrence of its "
+        "fingerprint exists (k > first_occ), and dropped as a FALSE "
+        "POSITIVE iff it IS the first occurrence but every one of "
+        "its distinct filter bits was first set by a strictly "
+        "earlier distinct paragraph (min-setter-key < k reproduces "
+        "the stream's bit state at k bit-for-bit, because "
+        "check-then-add bit insertion is monotone). Per doc: "
+        "paragraphs, exact drops, FP drops, survivors. Scale shape: "
+        "paragraph text never shuffles (md5 keys only); the bit "
+        "table is bounded at 65536 rows forever and broadcast; "
+        "exchanges are the gh keeper-agg, the bounded bit-min agg, "
+        "the gh-keyed flag join, and the per-doc rollup — all "
+        "skinny-key, all map-side-combinable.",
+)
+def dedup_bloom_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _blm_bit_exprs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_para_gh_expr())).alias("pos", "gh"),
+        )
+        .select(
+            "doc_id",
+            "gh",
+            (F.col("doc_id") * 1000000 + F.col("pos")).alias("k"),
+        )
+    )
+    first_occ = spans.groupBy("gh").agg(F.min("k").alias("fkey"))
+    # Distinct bits per distinct paragraph (the _blm_readout
+    # distinct-bit rule: colliding hash functions probe ONE bit).
+    gbits = first_occ.select(
+        "gh",
+        "fkey",
+        F.explode(
+            F.array_distinct(F.array(*_blm_bit_exprs()))
+        ).alias("bit"),
+    )
+    bit_min = gbits.groupBy("bit").agg(F.min("fkey").alias("bmin"))
+    fp = (
+        gbits.join(F.broadcast(bit_min), "bit")
+        .groupBy("gh", "fkey")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.count(F.when(F.col("bmin") < F.col("fkey"), 1)).alias(
+                "nset"
+            ),
+        )
+    )
+    flags = spans.join(fp, "gh").select(
+        "doc_id",
+        (F.col("k") > F.col("fkey")).cast("int").alias("exact_drop"),
+        (
+            (F.col("k") == F.col("fkey"))
+            & (F.col("nset") == F.col("nb"))
+        ).cast("int").alias("fp_drop"),
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum("exact_drop").cast("long").alias("n_exact_dropped"),
+        F.sum("fp_drop").cast("long").alias("n_fp_dropped"),
+        (
+            F.count(F.lit(1)) - F.sum("exact_drop") - F.sum("fp_drop")
+        ).cast("long").alias("n_kept"),
     )

@@ -84,3 +84,67 @@ def test_dedup_url_canonical_census_shape(spark, sf_dir):
     )
     j = df.join(recomputed, "canonical_url")
     assert j.where(F.col("keeper_doc_id") != F.col("k2")).count() == 0
+
+
+def test_bloom_paragraph_equals_sequential_stream(spark, sf_dir):
+    """The relational per-bit first-set-time reformulation must equal
+    a literal sequential replay of Dolma's check-then-add stream:
+    paragraphs processed in global (doc_id, pos) order against one
+    mutable bit set; drop iff all bits present at arrival; add after.
+    This is the claim the query's determinism rests on."""
+    import hashlib
+
+    from change_data_capture_poc_spark.queries.pipeline12_q import (
+        _PARA_N,
+    )
+    from change_data_capture_poc_spark.queries.pipeline7_q import (
+        _BLM_H,
+        _BLM_M,
+    )
+    from change_data_capture_poc_spark.registry import all_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def bits_of(gh: str):
+        return {
+            int(hashlib.md5(f"{h}:{gh}".encode()).hexdigest()[:8], 16)
+            % _BLM_M
+            for h in range(_BLM_H)
+        }
+
+    spans = []
+    for r in docs:
+        w = r.text.split(" ")
+        for pos in range((len(w) + _PARA_N - 1) // _PARA_N):
+            chunk = " ".join(w[pos * _PARA_N: (pos + 1) * _PARA_N])
+            gh = hashlib.md5(chunk.encode()).hexdigest()
+            spans.append((r.doc_id * 1000000 + pos, r.doc_id, gh))
+    spans.sort()
+
+    bitset: set[int] = set()
+    seen: set[str] = set()
+    want: dict[int, list[int]] = {}
+    for _k, doc_id, gh in spans:
+        st = want.setdefault(doc_id, [0, 0, 0, 0])  # n, exact, fp, kept
+        st[0] += 1
+        gb = bits_of(gh)
+        if gh in seen:
+            st[1] += 1
+        elif gb <= bitset:
+            st[2] += 1
+        else:
+            st[3] += 1
+        seen.add(gh)
+        bitset |= gb
+    got = {
+        r.doc_id: [
+            r.n_paragraphs, r.n_exact_dropped, r.n_fp_dropped, r.n_kept
+        ]
+        for r in all_queries()["dedup_bloom_paragraph"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0  # FP path exercised

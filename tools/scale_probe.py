@@ -201,6 +201,7 @@ PROBES = (
     "wordpiece_threshold_sensitivity",
     "corpus_datacard_report",
     "dedup_url_canonical",
+    "dedup_bloom_paragraph",
     # Round 11: unigram_train_em IS probed — the SPARK_GRAFT_TMP_NS
     # namespace confines its persisted vocab artifact to probe-local
     # dirs, and without it the unigram family had zero scale-probe
