@@ -185,6 +185,7 @@ HEADLINE = (
     "streaming_interval_join_full_outer_drain",  # both-sides NULL padding
     "dedup_url_canonical",          # RefinedWeb front-line URL dedup key
     "dedup_bloom_paragraph",        # applied Dolma paragraph Bloom dedup
+    "streaming_url_dedup_drain",    # URL dedup as bounded stream state
 )
 
 # Drift canaries (round-12): core queries whose PLANS have been frozen

@@ -162,10 +162,13 @@ _URL_RAW_SQL = """
 """
 
 
-@register(
-    "dedup_url_canonical",
-    oracle=f"""
-    WITH u AS (
+# Shared canonicalization CTE chain (raw synthesis -> canonical_url
+# per doc) — the batch census oracle and the streaming drain oracle
+# both build on it, so the canonicalization rule cannot drift between
+# the two (repo rule: shared CTE builders keep twin oracles in
+# lockstep).
+_URL_CANON_CTE_SQL = f"""
+    u AS (
         SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents
     ),
     s1 AS (
@@ -202,7 +205,14 @@ _URL_RAW_SQL = """
                                 THEN '?' || array_to_string(kept, '&')
                                 ELSE '' END AS canonical_url
         FROM s4
-    ),
+    )
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH {_URL_CANON_CTE_SQL},
     pair AS (
         SELECT canonical_url, raw_url,
                CAST(COUNT(*) AS BIGINT) AS n_pair,

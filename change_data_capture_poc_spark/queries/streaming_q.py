@@ -1754,3 +1754,62 @@ def streaming_chunk_cdc_drain(
         stream.select("doc_id", "source", "text")
     ).select("doc_id", "chunk_idx", "n_words", "chunk_fp")
     return _drain(out, "streaming_chunk_cdc_tbl", "append")
+
+
+def _url_dedup_stream_oracle() -> str:
+    # Shares pipeline12_q's canonicalization CTE chain verbatim so
+    # the streamed and batch rules cannot drift. (Importing here —
+    # evaluated at registration — just loads pipeline12_q a moment
+    # early; Python's module cache makes the queries-package import
+    # order immaterial, and pipeline12_q never imports this module.)
+    from change_data_capture_poc_spark.queries.pipeline12_q import (
+        _URL_CANON_CTE_SQL,
+    )
+
+    return f"""
+    WITH {_URL_CANON_CTE_SQL}
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@register(
+    "streaming_url_dedup_drain",
+    oracle=_url_dedup_stream_oracle(),
+    doc="STREAMING URL dedup — the front-line crawl dedup key "
+        "(dedup_url_canonical) maintained as stream state: documents "
+        "arrive, the messy URL is synthesized + canonicalized IN THE "
+        "MAP STAGE (pure JVM regex, stateless — the whole "
+        "normalization front end runs on a stream unchanged), and a "
+        "running per-canonical-key aggregate keeps occupancy + the "
+        "keep-first doc. Complete-mode drain: the aggregate (not "
+        "dropDuplicates, whose keeper would depend on arrival order) "
+        "makes the streamed keeper MIN(doc_id), deterministically "
+        "equal to the batch census. State is one row per canonical "
+        "key — web-host-bounded forever; the key shuffle is the only "
+        "shuffle. n_raw_variants is batch-only: a second stateful "
+        "aggregation level is not expressible in one streaming query "
+        "(Spark single-stateful-agg rule), and the variant census is "
+        "an offline readout anyway.",
+)
+def streaming_url_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from change_data_capture_poc_spark.queries.pipeline12_q import (
+        _canonical_url_col,
+        _raw_url_col,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _documents_stream_dir(sf_dir)
+    )
+    canon = stream.select(
+        "doc_id",
+        _canonical_url_col(_raw_url_col()).alias("canonical_url"),
+    )
+    agg = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    return _drain(agg, "streaming_url_dedup_tbl", "complete")
