@@ -319,3 +319,31 @@ def test_round8_plan_shapes(spark, sf_dir, queries):
             name, shuffle_count(df, plan),
         )
         assert unpartitioned_window_count(df) == 0, name
+
+
+def test_url_canonical_plan_shape(spark, sf_dir, queries):
+    """URL dedup: the scan reads ONLY doc_id (synthesis is derived),
+    no Python anywhere, and the plan is the two-level pre-aggregated
+    count-distinct shape — (canon,raw) agg, canon agg, order-by range
+    exchange — with map-side partials before both agg exchanges."""
+    df = queries["dedup_url_canonical"].fn(spark, sf_dir)
+    rs = read_schemas(df)
+    assert len(rs) == 1 and "doc_id" in rs[0] and "text" not in rs[0]
+    assert shuffle_count(df) == 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_paragraph_plan_shape(spark, sf_dir, queries):
+    """Paragraph Bloom dedup: paragraph TEXT never enters an exchange
+    (md5 keys only), the bounded bit-min table broadcasts, and no
+    Python crosses the plan."""
+    df = queries["dedup_bloom_paragraph"].fn(spark, sf_dir)
+    rs = read_schemas(df)
+    assert all("doc_id" in s for s in rs)
+    # keeper agg (gh), bit-min agg (bit), fp agg (gh), flag join (gh),
+    # per-doc rollup — exchange count must not grow past the algebra.
+    assert shuffle_count(df) <= 6
+    assert broadcast_count(df) >= 1  # bit_min rides a broadcast
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
