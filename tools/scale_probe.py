@@ -411,8 +411,11 @@ def main() -> None:
             "stay time-linear while its shuffle bytes blow up — bytes "
             f"ratio > {n} flags super-linear state growth even when "
             "wall time hides it behind fixed overheads. Byte deltas "
-            "are deterministic (unlike wall time); '-' marks rows "
-            "not yet re-probed since the column landed.\n\n"
+            "are deterministic (unlike wall time); '-' marks MAP-ONLY "
+            "plans (zero shuffle bytes at both scales — the best "
+            "scale shape, asserted for the EXPECT_ZERO_SHUFFLE set: "
+            "the probe WARNs if one of those ever gains an "
+            "exchange).\n\n"
             f"| query | 1x sec | {n}x sec | ratio "
             f"| 1x shuf MB | {n}x shuf MB | bytes ratio |\n"
             "|---|---|---|---|---|---|---|\n"
