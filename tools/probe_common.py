@@ -176,3 +176,25 @@ def run_query(spark, qs, name: str, sf_dir: str) -> tuple[float, int]:
 
 def mb(b: int) -> float:
     return round(b / 1048576, 3)
+
+
+def bytes_ratio(base_b: int, scaled_b: int):
+    """Shared bytes-ratio convention for the probe tables: '-' marks a
+    map-only plan (zero shuffle at BOTH scales — the best scale
+    shape); 'inf' marks a shuffle that only APPEARS at scale (the
+    strongest state-growth signal there is — never mask it)."""
+    if base_b > 0:
+        return round(scaled_b / base_b, 1)
+    if scaled_b > 0:
+        return "inf"
+    return "-"
+
+
+def super_linear(base_b: int, scaled_b: int, n: int) -> bool:
+    """Shared WARN threshold: shuffle bytes beyond the n*1.1 fixture
+    allowance (the self-union's per-copy key/text perturbation costs
+    vocabulary-keyed exchanges a few percent of dictionary
+    compression), or bytes appearing from a zero base."""
+    return (base_b > 0 and scaled_b / base_b > n * 1.1) or (
+        base_b == 0 and scaled_b > 0
+    )

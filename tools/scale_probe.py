@@ -18,12 +18,14 @@ from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources import tables as tables_mod
 from tools.probe_common import (
+    bytes_ratio,
     consumers,
     make_materialized_load,
     make_scaled_load,
     mb,
     run_query,
     set_loader,
+    super_linear,
 )
 
 # Probe-name variant suffix: "<query>@repeat_text" runs the query
@@ -254,10 +256,20 @@ def main() -> None:
     unknown = [
         p for p in probes if p.split("@")[0] not in qs
     ]
+    # A typo'd variant suffix must not silently run the DEFAULT
+    # fixture under the variant's label (round-12 review finding:
+    # '@repeat_txt' would merge a rotation-fixture row that readers
+    # interpret as the constant-vocabulary measurement).
+    unknown += [
+        p
+        for p in probes
+        if "@" in p and not p.endswith(REPEAT_TEXT_SUFFIX)
+    ]
     if unknown:
         sys.exit(
-            f"unknown query name(s) {unknown}; "
-            "valid names come from registry.all_queries()"
+            f"unknown query name(s)/variant suffix(es) {unknown}; "
+            "valid names come from registry.all_queries(), the only "
+            f"variant suffix is {REPEAT_TEXT_SUFFIX!r}"
         )
     spark = get_spark(app_name="scale_probe")
 
@@ -274,49 +286,44 @@ def main() -> None:
             if probe.endswith(REPEAT_TEXT_SUFFIX)
             else scaled_rotate
         )
-        free_materialized = None
+        base_loader = real_load
+        free_base = free_scaled = None
         if name in MATERIALIZE_SCALED_INPUT:
-            scaled_loader, free_materialized = make_materialized_load(
+            # Materialize BOTH phases, not just the 8x side: RAM-backed
+            # 8x input vs disk-scanned 1x input would bias the ratio
+            # low and could hide genuine super-linearity (round-12
+            # review finding).
+            base_loader, free_base = make_materialized_load(real_load)
+            scaled_loader, free_scaled = make_materialized_load(
                 scaled_loader
             )
-        set_loader(mods, real_load)
+        set_loader(mods, base_loader)
         reps = [run_query(spark, qs, name, sf_dir) for _ in range(3)]
         base = min(t for t, _ in reps)
         base_b = max(b for _, b in reps)  # peak across reps
+        if free_base is not None:
+            free_base()
         set_loader(mods, scaled_loader)
         reps = [run_query(spark, qs, name, sf_dir) for _ in range(3)]
         scaled = min(t for t, _ in reps)
         scaled_b = max(b for _, b in reps)
-        if free_materialized is not None:
-            free_materialized()
+        if free_scaled is not None:
+            free_scaled()
         set_loader(mods, real_load)
         ratio = scaled / base if base > 0 else float("nan")
-        # 0-byte base at BOTH scales = map-only plan (no shuffle at
-        # either scale is the BEST scale shape, not a missing
-        # measurement). A shuffle that only APPEARS at scale
-        # (base 0, scaled > 0) is the strongest state-growth signal
-        # there is — report it as 'inf' and WARN, never mask it.
-        if base_b > 0:
-            bratio = round(scaled_b / base_b, 1)
-        elif scaled_b > 0:
-            bratio = "inf"
-        else:
-            bratio = "-"
+        # bytes_ratio/super_linear semantics live in probe_common
+        # (shared with serve_probe so the conventions cannot drift).
+        bratio = bytes_ratio(base_b, scaled_b)
         rows.append(
             (probe, round(base, 2), round(scaled, 2), round(ratio, 1),
              mb(base_b), mb(scaled_b), bratio)
         )
         print(rows[-1])
-        # 10% allowance over the linear ratio: the fixture's per-copy
-        # alphabet rotation costs every vocabulary-keyed exchange a few
-        # percent of dictionary compression, so raw ratios of 8.0x-8.1x
-        # are linear in rows — warning on them buries the real signal.
-        # The table records the exact ratio either way; ratios inside
-        # the allowance band still get a NOTE (round-11 advice: the
-        # threshold must not silently absorb ~10% real growth).
-        if (base_b > 0 and scaled_b / base_b > n * 1.1) or (
-            base_b == 0 and scaled_b > 0
-        ):
+        # The 1.1x allowance keeps linear-in-rows ratios (8.0-8.1 at
+        # an 8x probe) from burying the real signal; ratios inside
+        # the band still get a NOTE (round-11 advice: the threshold
+        # must not silently absorb ~10% real growth).
+        if super_linear(base_b, scaled_b, n):
             print(f"WARN super-linear shuffle bytes: {probe} "
                   f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x")
         elif base_b > 0 and n < scaled_b / base_b <= n * 1.1:

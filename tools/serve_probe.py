@@ -8,14 +8,19 @@ is weaker than measured for queries whose whole point is sub-corpus
 serving cost — this tool measures them for real:
 
 - phase "1x": artifacts are BUILT from the real corpus under a
-  probe-local namespace (SPARK_GRAFT_TMP_NS=serveprobe1x), then the
-  serve query is timed best-of-3 against them (the build happens once,
-  in the untimed warm run — every ``ensure_*`` early-returns via its
-  marker afterwards);
-- phase "Nx": a second namespace (serveprobeNx) plus the scaled loader
-  builds the artifacts from the N-times self-unioned corpus, and the
-  serve query (whose delta/request inputs are also scaled by the same
-  loader) is timed against THOSE.
+  probe-local per-run namespace (SPARK_GRAFT_TMP_NS=serveprobe1x<pid>
+  — the pid nonce forces a fresh build every run, so the 'warm'
+  column always measures build+serve, never a stale-artifact
+  early-return), then the serve query is timed best-of-3 against them
+  (the build happens once, in the untimed warm run — every
+  ``ensure_*`` early-returns via its marker afterwards);
+- phase "Nx": a second namespace (serveprobeNx<pid>) plus the scaled
+  loader builds the artifacts from the N-times self-unioned corpus,
+  and the serve query (whose delta/request inputs are also scaled by
+  the same loader) is timed against THOSE. This run's artifact dirs
+  are removed afterwards (snapshot diff of /tmp/spark_graft_* —
+  assumes no concurrent artifact-building harness, the repo's
+  standing no-concurrent-sweeps rule).
 
 The ratio is therefore serve-vs-serve on honest 1x/Nx artifacts. The
 warm columns record the one-time build+serve pass for context (the
@@ -27,8 +32,10 @@ Usage: PYTHONPATH=/root/repo python tools/serve_probe.py [sf_dir] [N] [names...]
 
 from __future__ import annotations
 
+import glob
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -37,11 +44,13 @@ from change_data_capture_poc_spark.registry import all_queries
 from change_data_capture_poc_spark.session import get_spark
 from change_data_capture_poc_spark.sources import tables as tables_mod
 from tools.probe_common import (
+    bytes_ratio,
     consumers,
     make_scaled_load,
     mb,
     run_query,
     set_loader,
+    super_linear,
 )
 
 SERVE_PROBES = (
@@ -84,29 +93,32 @@ def main() -> None:
         )
 
     prior_ns = os.environ.get("SPARK_GRAFT_TMP_NS")
+    # Per-run namespace nonce: artifact dirs persist in /tmp with
+    # still-valid source fingerprints, so a FIXED namespace would make
+    # every run after the first record serve-only cost in the 'warm'
+    # (build+serve) column — falsifying the offline-build readout the
+    # column exists for (round-12 review finding). The pid nonce
+    # guarantees fresh builds; the snapshot diff below removes this
+    # run's artifacts afterwards so reruns neither reuse nor leak.
+    nonce = os.getpid()
+    pre_dirs = set(glob.glob("/tmp/spark_graft_*"))
     rows = []
     try:
         for name in names:
-            w1, base, base_b = phase("serveprobe1x", real_load, name)
+            w1, base, base_b = phase(
+                f"serveprobe1x{nonce}", real_load, name
+            )
             wn, scaled, scaled_b = phase(
-                f"serveprobe{n}x", scaled_load, name
+                f"serveprobe{n}x{nonce}", scaled_load, name
             )
             ratio = scaled / base if base > 0 else float("nan")
-            if base_b > 0:
-                bratio = round(scaled_b / base_b, 1)
-            elif scaled_b > 0:
-                bratio = "inf"
-            else:
-                bratio = "-"
             rows.append(
                 (name, round(base, 2), round(scaled, 2), round(ratio, 1),
-                 mb(base_b), mb(scaled_b), bratio,
+                 mb(base_b), mb(scaled_b), bytes_ratio(base_b, scaled_b),
                  round(w1, 2), round(wn, 2))
             )
             print(rows[-1])
-            if (base_b > 0 and scaled_b / base_b > n * 1.1) or (
-                base_b == 0 and scaled_b > 0
-            ):
+            if super_linear(base_b, scaled_b, n):
                 print(f"WARN super-linear serve shuffle bytes: {name} "
                       f"{mb(base_b)} MB -> {mb(scaled_b)} MB at {n}x")
     finally:
@@ -115,6 +127,8 @@ def main() -> None:
         else:
             os.environ["SPARK_GRAFT_TMP_NS"] = prior_ns
         set_loader(mods, real_load)
+        for d in set(glob.glob("/tmp/spark_graft_*")) - pre_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     header = f"\n## Artifact-serving probe at {n}x (probe-local artifacts)\n"
     body = (
