@@ -205,14 +205,11 @@ CANARIES = (
 
 
 def _drift(timings: dict[str, float], base_q: dict[str, float]) -> float | None:
-    """Median canary ratio vs the committed baseline, sanity-bounded.
+    """Median canary ratio vs the committed baseline — RAW, unbounded.
 
     Median, not ratio-of-sums: one canary eating an ambient burst must
-    not drag the coefficient. Bounds [0.5, 3.0]: outside that range the
-    canary measurement itself is suspect (a dirty baseline or a broken
-    run) and normalizing by it would hide real regressions — fall back
-    to the nearest bound and let the recorded per-canary ratios tell
-    the story."""
+    not drag the coefficient. Sanity policy lives in _drift_factor —
+    this function only measures."""
     ratios = sorted(
         timings[c] / base_q[c]
         for c in CANARIES
@@ -226,7 +223,54 @@ def _drift(timings: dict[str, float], base_q: dict[str, float]) -> float | None:
         if len(ratios) % 2
         else (ratios[mid - 1] + ratios[mid]) / 2
     )
-    return round(min(max(med, 0.5), 3.0), 3)
+    return round(med, 3)
+
+
+# Sanity bounds for the canary median: outside this range the canary
+# measurement ITSELF is suspect (dirty baseline, broken run) and
+# normalization is DISABLED rather than clamped — clamping to 3.0 would
+# hand a dirty run a 3x flag allowance (round-12 ADVICE). Above
+# DRIFT_WARN normalization still applies but gets a WARN: canaries run
+# on the same engine runtime, so an engine-WIDE slowdown (session
+# defaults, caching, JVM config) inflates the median exactly like host
+# drift does, and a >1.5x coefficient deserves human adjudication
+# instead of silently widening every non-canary threshold.
+DRIFT_BOUNDS = (0.5, 3.0)
+DRIFT_WARN = 1.5
+
+
+def _drift_factor(
+    med: float | None,
+) -> tuple[float | None, float, float | None]:
+    """Turn the raw canary median into (drift, dfac, suspect).
+
+    - med None (no canary/baseline overlap): no normalization.
+    - med outside DRIFT_BOUNDS: normalization disabled (dfac=1.0); the
+      raw median comes back as `suspect` so the recorded artifact
+      self-describes the fallback.
+    - DRIFT_WARN < med <= upper bound: normalization applies, WARN to
+      stderr so large "host drift" gets adjudicated, not absorbed.
+    """
+    if med is None:
+        return None, 1.0, None
+    lo, hi = DRIFT_BOUNDS
+    if not (lo <= med <= hi):
+        print(
+            f"WARN bench drift: canary median {med}x outside sanity "
+            f"bounds [{lo}, {hi}] — normalization DISABLED (dfac=1.0); "
+            f"adjudicate the recorded per-canary ratios by hand",
+            file=sys.stderr,
+        )
+        return None, 1.0, med
+    if med > DRIFT_WARN:
+        print(
+            f"WARN bench drift {med}x > {DRIFT_WARN}x: flag thresholds "
+            f"widen to {round(2 * med, 2)}x baseline — verify the "
+            f"slowdown is host-side (canaries share the engine runtime; "
+            f"an engine-wide regression inflates drift identically)",
+            file=sys.stderr,
+        )
+    return med, med, None
 
 
 def main() -> None:
@@ -305,6 +349,7 @@ def main() -> None:
     baseline = _load_baseline()
     drift = None
     dfac = 1.0
+    drift_suspect = None
     if baseline and baseline.get("sf") == sf:
         base_q = baseline.get("queries", {})
         # Canaries get their burst-kill re-run FIRST, at the RAW 2x
@@ -324,8 +369,9 @@ def main() -> None:
         # drifted host stops minting phantom >2x flags. Computed AFTER
         # the canary re-runs so the recorded drift always agrees with
         # the recorded canary ratios.
-        drift = _drift(timings, base_q)
-        dfac = drift if drift else 1.0
+        drift, dfac, drift_suspect = _drift_factor(
+            _drift(timings, base_q)
+        )
         # Any apparent >2x regression gets ONE isolated re-run before
         # being recorded — round-3 burned judge time on five phantom
         # regressions that were ambient load, not engine cost. The
@@ -390,6 +436,11 @@ def main() -> None:
                 )
         if drift:
             out["drift"] = drift
+        if drift_suspect is not None:
+            # Normalization was disabled by the sanity bounds; record
+            # the raw median so the judge sees what was rejected.
+            out["drift_suspect"] = drift_suspect
+        if drift or drift_suspect is not None:
             out["canaries"] = {
                 c: round(timings[c] / base_q[c], 2)
                 for c in CANARIES
@@ -427,6 +478,8 @@ def main() -> None:
         compact["vs_baseline_drift_adj"] = out["vs_baseline_drift_adj"]
     if "drift" in out:
         compact["drift"] = out["drift"]
+    if "drift_suspect" in out:
+        compact["drift_suspect"] = out["drift_suspect"]
     if "regressed" in out:
         compact["regressed_count"] = len(out["regressed"])
     print(json.dumps(compact, separators=(",", ":")))

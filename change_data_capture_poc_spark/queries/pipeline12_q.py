@@ -107,8 +107,13 @@ def _canonical_url_col(raw: "F.Column") -> "F.Column":
     noscheme = F.regexp_replace(nofrag, "^https?://", "")
     nowww = F.regexp_replace(noscheme, r"^www\.", "")
     # Path always follows the host (the synthesis never emits a bare
-    # host), so the default port is always ':443/' / ':80/'.
-    noport = F.regexp_replace(nowww, ":(443|80)/", "/")
+    # host), so the default port is always ':443/' / ':80/'. Anchored
+    # to the host position: Spark's regexp_replace replaces ALL
+    # occurrences while DuckDB's replaces only the FIRST, so an
+    # unanchored pattern would let the twin rules diverge on a URL
+    # carrying a second ':443/'-looking substring in a query param.
+    # '^' can match at most once, making the semantics identical.
+    noport = F.regexp_replace(nowww, "^([^/:?#]*):(443|80)/", "$1/")
     hostpath = F.regexp_replace(
         F.substring_index(noport, "?", 1), "/+$", ""
     )
@@ -180,7 +185,7 @@ _URL_CANON_CTE_SQL = f"""
     ),
     s2 AS (
         SELECT doc_id, raw_url,
-               regexp_replace(s, ':(443|80)/', '/') AS s
+               regexp_replace(s, '^([^/:?#]*):(443|80)/', '\\1/') AS s
         FROM s1
     ),
     s3 AS (

@@ -40,10 +40,11 @@ def test_drift_single_outlier_cannot_drag_the_median():
     assert bench._drift(timings, base) == 1.0
 
 
-def test_drift_sanity_bounds():
+def test_drift_is_raw_median_unbounded():
+    # _drift only measures; the sanity policy lives in _drift_factor.
     base = {c: 1.0 for c in bench.CANARIES}
-    assert bench._drift({c: 10.0 for c in bench.CANARIES}, base) == 3.0
-    assert bench._drift({c: 0.01 for c in bench.CANARIES}, base) == 0.5
+    assert bench._drift({c: 10.0 for c in bench.CANARIES}, base) == 10.0
+    assert bench._drift({c: 0.01 for c in bench.CANARIES}, base) == 0.01
 
 
 def test_drift_none_without_baseline_overlap():
@@ -53,6 +54,50 @@ def test_drift_none_without_baseline_overlap():
     assert bench._drift(
         {"pricing_summary": 1.0}, {"pricing_summary": 0.0}
     ) is None
+
+
+def test_factor_passthrough_inside_bounds(capsys):
+    assert bench._drift_factor(1.2) == (1.2, 1.2, None)
+    assert capsys.readouterr().err == ""
+
+
+def test_factor_none_means_no_normalization():
+    # Degenerate: canary missing from baseline -> _drift gave None.
+    assert bench._drift_factor(None) == (None, 1.0, None)
+
+
+def test_factor_disables_above_cap_instead_of_clamping(capsys):
+    # Degenerate: drift above the 3.0 cap. Clamping would hand a dirty
+    # run a 3x allowance; the factor must DISABLE normalization and
+    # surface the raw median as suspect (round-12 ADVICE).
+    drift, dfac, suspect = bench._drift_factor(10.0)
+    assert (drift, dfac, suspect) == (None, 1.0, 10.0)
+    assert "DISABLED" in capsys.readouterr().err
+
+
+def test_factor_disables_below_floor(capsys):
+    # Degenerate: zero-time canaries -> median ~0 (a broken run or a
+    # malformed committed record); same disable-not-clamp policy.
+    drift, dfac, suspect = bench._drift_factor(0.01)
+    assert (drift, dfac, suspect) == (None, 1.0, 0.01)
+    assert "DISABLED" in capsys.readouterr().err
+
+
+def test_factor_warns_on_large_but_sane_drift(capsys):
+    # 1.5 < med <= 3.0: normalization applies but gets adjudication.
+    drift, dfac, suspect = bench._drift_factor(2.0)
+    assert (drift, dfac, suspect) == (2.0, 2.0, None)
+    assert "WARN bench drift" in capsys.readouterr().err
+
+
+def test_zero_time_canary_end_to_end():
+    # A committed record with zero canary times must not divide by zero
+    # mid-bench: _drift skips them, factor sees None, dfac stays 1.0.
+    base = {c: 0.0 for c in bench.CANARIES}
+    timings = {c: 1.0 for c in bench.CANARIES}
+    med = bench._drift(timings, base)
+    assert med is None
+    assert bench._drift_factor(med) == (None, 1.0, None)
 
 
 def test_canaries_are_headline_members():
