@@ -153,6 +153,14 @@ def _stream_events_with_sentinel(
     return _events_stream_from_dir(spark, d, nanos)
 
 
+# State partition count scoped around every drain's start() call.
+# _LAST_STATE_PARTITIONS records what the most recent stateful drain
+# ACTUALLY used (from its own progress JSON) so tests can pin the
+# scoping without reaching into a stopped query.
+_DRAIN_STATE_PARTITIONS = 8
+_LAST_STATE_PARTITIONS: int | None = None
+
+
 def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     spark = stream_df.sparkSession
     # Stateful streaming fixes its STATE partition count from
@@ -168,7 +176,9 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     # Correctness is partitioning-independent — the drained row set
     # is pinned by the oracle either way.
     prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_DRAIN_STATE_PARTITIONS)
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -178,11 +188,33 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
             .start()
         )
     finally:
+        # Restoring immediately after start() leans on StreamExecution
+        # cloning the session conf synchronously INSIDE start() — true
+        # in current Spark but an undocumented implementation detail.
+        # The progress check below closes the gap: every stateful
+        # drain verifies, from its own progress JSON, that the state
+        # stores were actually sized at the scoped count, so a future
+        # clone-timing change fails loudly instead of silently
+        # changing state sizing (round-12 ADVICE).
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     finished = q.awaitTermination(300)
     q.stop()
     if not finished:
         raise TimeoutError(f"streaming drain {name} did not finish in 300s")
+    global _LAST_STATE_PARTITIONS
+    last = q.lastProgress or {}
+    for op in last.get("stateOperators", []):
+        nsp = op.get("numShufflePartitions")
+        if nsp is None:
+            continue
+        _LAST_STATE_PARTITIONS = int(nsp)
+        if int(nsp) != _DRAIN_STATE_PARTITIONS:
+            raise RuntimeError(
+                f"streaming drain {name}: state stores sized at {nsp} "
+                f"partitions, expected {_DRAIN_STATE_PARTITIONS} — the "
+                "scoped shuffle-partition setting raced with query "
+                "start (conf clone timing changed?)"
+            )
     return spark.table(name)
 
 

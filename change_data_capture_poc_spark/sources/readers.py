@@ -112,7 +112,10 @@ def read_jdbc_snapshot(
     ``num_partitions`` parallel range queries instead of one cursor —
     the only way a snapshot of a large table isn't single-threaded.
     Not exercised in this container (no database); the CDC generator's
-    op='r' batch reproduces the snapshot semantics for tests.
+    op='r' batch reproduces the snapshot semantics for tests, and the
+    constructed reader options — the contract this gate rides on — are
+    pinned database-less by
+    tests/test_sources.py::test_jdbc_snapshot_option_wiring.
     """
     reader = spark.read.format("jdbc").option("url", url).option(
         "dbtable", table

@@ -398,3 +398,80 @@ def test_compact_small_files(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(
         F.sum("v")
     ).collect()[0][0]
+
+
+def test_jdbc_snapshot_option_wiring(spark, monkeypatch):
+    """Database-less contract pin of read_jdbc_snapshot (S1's
+    snapshot.mode=initial phase): intercept DataFrameReader so the
+    REAL code path records its format and options, and assert the
+    partitioned-range read is wired exactly — partitionColumn +
+    numPartitions + bounds — plus property passthrough. Without a
+    partition column the read must stay a single cursor (no stray
+    partition options). The live load() needs a database; the option
+    dict IS the contract this gate rides on (round-12 verdict item 6).
+    """
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from change_data_capture_poc_spark.sources.readers import (
+        read_jdbc_snapshot,
+    )
+
+    calls = {"options": {}}
+
+    def fake_format(self, fmt):
+        calls["format"] = fmt
+        return self
+
+    def fake_option(self, k, v):
+        calls["options"][k] = v
+        return self
+
+    sentinel = spark.range(1)
+    monkeypatch.setattr(DataFrameReader, "format", fake_format)
+    monkeypatch.setattr(DataFrameReader, "option", fake_option)
+    monkeypatch.setattr(
+        DataFrameReader, "load", lambda self, path=None: sentinel
+    )
+
+    out = read_jdbc_snapshot(
+        spark,
+        "jdbc:postgresql://db:5432/commerce",
+        "public.products",
+        partition_column="id",
+        num_partitions=16,
+        properties={"user": "cdc", "fetchsize": "10000"},
+    )
+    assert out is sentinel
+    assert calls["format"] == "jdbc"
+    assert calls["options"] == {
+        "url": "jdbc:postgresql://db:5432/commerce",
+        "dbtable": "public.products",
+        "partitionColumn": "id",
+        "numPartitions": 16,
+        "lowerBound": 0,
+        "upperBound": 1 << 31,
+        "user": "cdc",
+        "fetchsize": "10000",
+    }
+
+    calls["options"].clear()
+    read_jdbc_snapshot(
+        spark, "jdbc:postgresql://db:5432/commerce", "public.users"
+    )
+    assert calls["options"] == {
+        "url": "jdbc:postgresql://db:5432/commerce",
+        "dbtable": "public.users",
+    }
+
+    calls["options"].clear()
+    read_jdbc_snapshot(
+        spark,
+        "jdbc:postgresql://db:5432/commerce",
+        "public.products",
+        partition_column="id",
+        lower_bound=100,
+        upper_bound=5000,
+    )
+    assert calls["options"]["lowerBound"] == 100
+    assert calls["options"]["upperBound"] == 5000
+    assert calls["options"]["numPartitions"] == 32

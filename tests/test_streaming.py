@@ -612,3 +612,28 @@ def test_memory_sink_self_join_workaround_still_needed(spark, tmp_path):
         # Two descendants of the memory relation in one join: the
         # exact shape the drain's readout needs.
         t.join(tot, "k").collect()
+
+
+def test_drain_state_partitions_pinned_from_progress(spark):
+    """The drain scopes spark.sql.shuffle.partitions to 8 around
+    start() and restores it immediately — which leans on
+    StreamExecution cloning the session conf synchronously inside
+    start(). _drain verifies the ACTUAL state sizing from the drained
+    query's own progress JSON (numShufflePartitions per state
+    operator) and raises if the scoped value didn't take; this test
+    pins both the mechanism and the observed value, and that the
+    session default is untouched afterwards."""
+    from change_data_capture_poc_spark.queries import streaming_q
+    from change_data_capture_poc_spark.registry import all_queries
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    df = all_queries()["streaming_dedup_drain"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+    assert (
+        streaming_q._LAST_STATE_PARTITIONS
+        == streaming_q._DRAIN_STATE_PARTITIONS
+        == 8
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior

@@ -36,6 +36,14 @@ from tools.probe_common import (
 # semantics (identical copies are all mutual near-dups there).
 REPEAT_TEXT_SUFFIX = "@repeat_text"
 
+# Explicit allowlist for the repeat-text fixture (round-12 ADVICE): a
+# variant row for e.g. a minhash/containment query would merge a
+# pathological all-mutual-near-dups measurement into SCALING.md under
+# a legit-looking label. Extend this set ONLY for queries whose
+# semantics never pair rows against each other (vocabulary-growth /
+# per-doc map shapes).
+REPEAT_TEXT_OK = frozenset({"text_tfidf_top_terms"})
+
 # Queries whose SCALED input is localCheckpoint-materialized before
 # the query runs: AQE re-plans the raw n-way self-UNION into
 # per-branch joins for these (round 11 measured the containment
@@ -265,11 +273,21 @@ def main() -> None:
         for p in probes
         if "@" in p and not p.endswith(REPEAT_TEXT_SUFFIX)
     ]
+    # The repeat-text fixture is only valid for allowlisted queries
+    # (no pair/self-join semantics) — reject the suffix elsewhere so a
+    # pathological measurement can't land under a legit-looking label.
+    unknown += [
+        p
+        for p in probes
+        if p.endswith(REPEAT_TEXT_SUFFIX)
+        and p.split("@")[0] not in REPEAT_TEXT_OK
+    ]
     if unknown:
         sys.exit(
             f"unknown query name(s)/variant suffix(es) {unknown}; "
             "valid names come from registry.all_queries(), the only "
-            f"variant suffix is {REPEAT_TEXT_SUFFIX!r}"
+            f"variant suffix is {REPEAT_TEXT_SUFFIX!r} and it is "
+            f"allowlisted to {sorted(REPEAT_TEXT_OK)}"
         )
     spark = get_spark(app_name="scale_probe")
 
@@ -431,6 +449,17 @@ def main() -> None:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
         f.write(tail)
     print("wrote SCALING.md")
+
+    # Serve probe is part of the committed gate (round-13, verdict
+    # item 4): a full-table refresh regenerates the artifact-serving
+    # section too, so index-serving regressions — the 100 TB read
+    # path — cannot land silently between rounds. Subset runs above
+    # return before reaching here; SKIP_SERVE_PROBE=1 opts out when
+    # only the main table is wanted.
+    if not _os.environ.get("SKIP_SERVE_PROBE"):
+        from tools import serve_probe
+
+        serve_probe.run(sf_dir, n)
 
 
 if __name__ == "__main__":

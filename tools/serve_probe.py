@@ -32,6 +32,7 @@ Usage: PYTHONPATH=/root/repo python tools/serve_probe.py [sf_dir] [N] [names...]
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import os
 import re
@@ -63,10 +64,18 @@ SERVE_PROBES = (
 )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    names = tuple(sys.argv[3:]) or SERVE_PROBES
+def run(
+    sf_dir: str = "/root/testdata/sf0.1",
+    n: int = 8,
+    names: tuple = (),
+) -> None:
+    """Measure the serve probes and merge the section into SCALING.md.
+
+    Callable from scale_probe's full refresh (round-13, verdict item
+    4): the serve probe is part of the committed gate, not an ad-hoc
+    extra, so index-serving regressions — the 100 TB read path —
+    cannot land silently between SCALING.md refreshes."""
+    names = tuple(names) or SERVE_PROBES
     qs = all_queries()
     unknown = [p for p in names if p not in qs]
     if unknown:
@@ -82,9 +91,14 @@ def main() -> None:
         artifact namespace + loader."""
         os.environ["SPARK_GRAFT_TMP_NS"] = ns
         set_loader(mods, loader)
-        t0 = time.time()
-        run_query(spark, qs, name, sf_dir)  # builds artifact iff absent
-        warm = time.time() - t0
+        # run_query's returned elapsed covers the query evaluation only
+        # (artifact build happens inside it on first touch); wrapping
+        # the call in an outer clock would also bill release_pins and
+        # the listener-bus flush in shuffle_totals — bookkeeping the
+        # serve reps below deliberately exclude — inflating the warm
+        # column relative to the serve columns it is compared against
+        # (round-12 ADVICE).
+        warm, _ = run_query(spark, qs, name, sf_dir)
         reps = [run_query(spark, qs, name, sf_dir) for _ in range(3)]
         return (
             warm,
@@ -133,7 +147,8 @@ def main() -> None:
     header = f"\n## Artifact-serving probe at {n}x (probe-local artifacts)\n"
     body = (
         header
-        + "\nServe queries the main probe excludes (their persisted "
+        + f"\nProbed {_dt.date.today().isoformat()}."
+        + " Serve queries the main probe excludes (their persisted "
         "artifacts can't be scaled by the loader patch): here each "
         f"phase BUILDS its artifacts from the honest 1x/{n}x corpus "
         "under a probe-local namespace (tools/serve_probe.py), then "
@@ -170,6 +185,12 @@ def main() -> None:
         for name in sorted(merged):
             f.write("| " + " | ".join(merged[name]) + " |\n")
     print("merged serve probe into SCALING.md")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    run(sf_dir, n, tuple(sys.argv[3:]))
 
 
 if __name__ == "__main__":
