@@ -557,6 +557,7 @@ def dedup_incremental_delta_index(spark, sf_dir):
     # index x index pair first — the full-re-dedup cost this operator
     # exists to avoid). Attaching the broadcast scalar to the band
     # table BEFORE the join lets each side prune to its half.
+    # bounded: 1-row scalar (max(doc_id) div 2)
     bands = _spark_bands(g).crossJoin(F.broadcast(split)).transform(persist_once)
     n = bands.where(F.col("doc_id") >= F.col("split")).alias("n")
     x = bands.where(F.col("doc_id") < F.col("split")).alias("x")
@@ -703,6 +704,7 @@ def ann_cosine_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("nv").alias("qnv")
     )
     scored = (
+        # bounded: query set capped at _N_QUERIES rows by construction
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -754,6 +756,7 @@ def ann_cosine_ivf_partition(spark, sf_dir):
     )
     scored = (
         e.join(
+            # bounded: query set capped at _N_QUERIES rows
             F.broadcast(q),
             (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
         )
@@ -1022,6 +1025,7 @@ def ann_cosine_lsh_hyperplane(spark, sf_dir):
     )
     cand = (
         probes.join(
+            # bounded: _N_QUERIES x _LSH_TABLES probe rows (constants)
             F.broadcast(qp),
             (probes.tbl == qp.tbl)
             & (probes.bucket == qp.bucket)
@@ -1035,6 +1039,7 @@ def ann_cosine_lsh_hyperplane(spark, sf_dir):
     )
     scored = (
         cand.join(e, cand.neighbor_id == e.vec_id)
+        # bounded: query vectors capped at _N_QUERIES rows
         .join(F.broadcast(qv), "q_id")
         .select(
             "q_id",
@@ -1306,6 +1311,7 @@ def text_quality_classifier_score(spark, sf_dir):
         (((F.col("id") * 37 + 11) % 21 - 10) / 10.0).alias("wt"),
     )
     s = (
+        # bounded: literal weight table, _QCLS_BUCKETS rows
         f.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
@@ -1370,6 +1376,7 @@ def corpus_ngram_novelty_curve(spark, sf_dir):
     )
     mx = d.agg(F.max("doc_id").alias("maxd"))
     bg = (
+        # bounded: 1-row scalar (max(doc_id))
         g.crossJoin(F.broadcast(mx))
         .select(
             F.expr(f"CAST((doc_id * {_NOVELTY_BANDS}) DIV (maxd + 1) AS INT)")
@@ -1385,6 +1392,7 @@ def corpus_ngram_novelty_curve(spark, sf_dir):
     nb = fb.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("novel_grams")
     )
+    # bounded: _NOVELTY_BANDS rows (constant band count)
     return db.join(F.broadcast(nb), "band", "left").select(
         "band",
         "distinct_grams",
@@ -2187,6 +2195,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     # join degrades to a shuffle of the compressed pairs — no edit.
     scored = (
         tf.join(vocab_broadcast(dfreq), "tok")
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2642,6 +2651,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     bench = e.where(is_bench).select("gram").distinct()
     hits = (
         e.where(~is_bench)
+        # bounded: benchmark gram set capped by _DECON_BENCH_MAX docs
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("c"))
@@ -2692,6 +2702,7 @@ def events_anomaly_zscore(spark, sf_dir):
         (F.col("value") - F.col("mu")) / F.col("sigma") + F.lit(1e-9), 6
     )
     return (
+        # bounded: |event_type| rows (small enumerated domain)
         e.join(F.broadcast(stats), "event_type")
         .withColumn("zscore", z)
         .where(F.col("zscore") > 3)
@@ -2949,6 +2960,7 @@ def corpus_build_e2e(spark, sf_dir):
         F.explode(ngram_shingles(F.col("w"), _DECON_N)).alias("gram"),
     )
     per_doc = (
+        # bounded: benchmark gram set capped by _DECON_BENCH_MAX docs
         e.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(
@@ -2973,6 +2985,7 @@ def corpus_build_e2e(spark, sf_dir):
     stats = surv.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
+    # bounded: 1-row min/max scalar
     p = surv.crossJoin(F.broadcast(stats)).withColumn(
         "pid",
         F.expr(
@@ -2988,6 +3001,7 @@ def corpus_build_e2e(spark, sf_dir):
     ordinal = (F.col("off") + F.row_number().over(w_local)).cast("bigint")
     return (
         p.drop("lo", "hi")
+        # bounded: n_bands=32 offset rows
         .join(F.broadcast(offs), "pid")
         .select(
             "doc_id",
@@ -3025,6 +3039,7 @@ def events_winsorize(spark, sf_dir):
         F.expr("percentile(value, 0.01)").alias("p_lo"),
         F.expr("percentile(value, 0.99)").alias("p_hi"),
     )
+    # bounded: |event_type| percentile rows (small enumerated domain)
     return e.join(F.broadcast(b), "event_type").select(
         "event_id",
         "event_type",
@@ -3238,6 +3253,7 @@ def text_token_pmi(spark, sf_dir):
     return (
         pairs.join(da, "tok_a")
         .join(db, "tok_b")
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n_docs_df))
         .select(
             "tok_a",
@@ -3295,7 +3311,12 @@ def basket_brand_lift(spark, sf_dir):
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        # corpus-derived: part is a SCALING dim (SF x 200k rows — tens
+        # of billions at 100 TB), not a constant-bounded one; gate the
+        # hint so an oversized deployment degrades to a shuffle join
+        # via spark.graft.vocab.broadcast=false instead of hard-failing
+        # at the 8 GB broadcast ceiling.
+        li.join(vocab_broadcast(pt), li.l_partkey == pt.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     ).transform(persist_once)
@@ -3312,6 +3333,7 @@ def basket_brand_lift(spark, sf_dir):
     fa = bf.select(F.col("p_brand").alias("brand_a"), F.col("df").alias("df_a"))
     fb = bf.select(F.col("p_brand").alias("brand_b"), F.col("df").alias("df_b"))
     return (
+        # bounded: 25-brand domain (fa/fb) + 1-row order count (n_df)
         pairs.join(F.broadcast(fa), "brand_a")
         .join(F.broadcast(fb), "brand_b")
         .crossJoin(F.broadcast(n_df))
@@ -3516,6 +3538,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log("c")).alias("avg_ln_c"),
         )
     )
+    # bounded: 1-row total scalar
     return per_doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tokens",
@@ -3636,6 +3659,7 @@ def kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     return (
+        # bounded: 64-row literal dim range
         j.crossJoin(F.broadcast(dims))
         .select(
             F.col("cid").alias("cluster_id"),
@@ -3768,6 +3792,7 @@ def dedup_impact_by_source(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("tokens_after"),
         )
     )
+    # bounded: |sources| rows (small enumerated domain)
     return before.join(F.broadcast(after), "source", "left").select(
         "source",
         "docs_before",
@@ -3849,6 +3874,7 @@ def text_bm25_retrieval(spark, sf_dir):
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     ad = base.agg(F.avg("dl").alias("avgdl"))
     scored = (
+        # bounded: dfreq capped at |_BM25_TERMS| rows; n/ad are 1-row
         tf.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(ad))
