@@ -71,6 +71,7 @@ def with_zvalue(
             )
         ]
     )
+    # bounded: 1-row min/max stats
     with_stats = df.crossJoin(F.broadcast(stats))
     buckets = []
     hi = (1 << bits) - 1

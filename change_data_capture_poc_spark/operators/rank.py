@@ -88,12 +88,14 @@ def with_global_row_number(
         F.col("_pid").alias("_bpid"), F.col("_c").alias("_bc")
     )
     offsets = (
+        # bounded: per-partition count rows (|partitions|)
         a.join(F.broadcast(b), F.col("_bpid") < F.col("_apid"), "left")
         .groupBy(F.col("_apid").alias("_pid"))
         .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("_off"))
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
+        # bounded: per-partition offset rows (|partitions|)
         part.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,

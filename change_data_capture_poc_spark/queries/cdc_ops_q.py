@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.functions.hints import vocab_broadcast
 
 
 def _with_split_lsn(events: DataFrame) -> DataFrame:
@@ -37,6 +38,7 @@ def _with_split_lsn(events: DataFrame) -> DataFrame:
     distributed and the threshold is computed in the same job.
     """
     t1 = events.agg(F.expr("max(event_id) div 2").alias("t1"))
+    # bounded: 1-row split scalar
     return events.crossJoin(F.broadcast(t1))
 
 
@@ -334,7 +336,13 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
-            F.broadcast(b),
+            # corpus-derived: distinct part names grow with SF (part is
+            # a scaling dim). The noun-block equality makes this a real
+            # equi-join, so with the gate flipped off
+            # (spark.graft.vocab.broadcast=false) it degrades to a
+            # shuffle hash join on the block key instead of failing at
+            # the broadcast ceiling.
+            vocab_broadcast(b),
             (F.col("a.noun") == F.col("b.noun"))
             & (F.col("a.p_name") < F.col("b.p_name")),
         )
@@ -479,6 +487,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # key set (lineitem->orders at 100 TB) must shuffle-join and
         # let AQE pick the strategy.
         if broadcast:
+            # bounded: caller asserts dimension-sized parent (comment above)
             keys = F.broadcast(keys)
         tagged = child.join(keys, F.col(ck) == F.col("__pk"), "left")
         return tagged.agg(
@@ -735,6 +744,7 @@ def scd2_bitemporal_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = (
         ev.join(
+            # bounded: 3-row quartile grid off a 1-row agg
             F.broadcast(grid),
             (F.col("event_id") <= F.col("l")) & (F.col("tus") <= F.col("v")),
         )
@@ -820,6 +830,7 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = p.agg(
         F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
     )
+    # bounded: 1-row min/max scalar
     banded = p.crossJoin(F.broadcast(stats)).withColumn(
         "band",
         F.expr(
@@ -843,6 +854,7 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_local = Window.partitionBy("band").orderBy("event_id")
     flagged = (
+        # bounded: per-band rows (constant band count)
         banded.join(F.broadcast(prev_max), "band", "left")
         .withColumn(
             "prev_lsn",
@@ -870,6 +882,7 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band", F.coalesce(F.sum("starts").over(w_off), F.lit(0)).alias("off")
     )
     w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: per-band offset rows (constant band count)
     txed = flagged.join(F.broadcast(offsets), "band").withColumn(
         "tx_id", (F.col("off") + F.sum("is_start").over(w_run)).cast("long")
     )
@@ -917,6 +930,7 @@ def scd2_rebuild_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bound = ev.agg(F.expr("max(event_id) div 2").alias("l"))
     upto = (
+        # bounded: 1-row bound scalar
         ev.crossJoin(F.broadcast(bound))
         .where(F.col("user_id").isNotNull() & (F.col("event_id") <= F.col("l")))
         .select(
@@ -1193,6 +1207,7 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's `max(event_id) FROM events`: if the max-event_id row had
     # a NULL value, a filtered max would shift the halves.
     mid = ev_all.agg(F.expr("max(event_id) div 2").alias("mid"))
+    # bounded: 1-row split scalar
     v = ev.crossJoin(F.broadcast(mid)).select(
         "value",
         F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1)
@@ -1207,6 +1222,7 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Banded prefix over the distinct-value axis.
     rng = w.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    # bounded: 1-row range scalar
     banded = w.crossJoin(F.broadcast(rng)).withColumn(
         "band",
         F.least(
@@ -1235,10 +1251,12 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # bounded: per-band offset rows (constant band count)
     cdf = banded.join(F.broadcast(offs), "band").select(
         (F.col("off0") + F.sum("k0").over(w_run)).alias("c0"),
         (F.col("off1") + F.sum("k1").over(w_run)).alias("c1"),
     )
+    # bounded: 1-row class totals (n0/n1)
     gap = cdf.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(n1)).select(
         F.abs(
             F.col("c0") * 1.0 / F.col("n0")

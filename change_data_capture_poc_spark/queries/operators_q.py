@@ -708,6 +708,7 @@ def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
+    # bounded: 1-row min/max scalar
     p = d.crossJoin(F.broadcast(stats)).withColumn(
         "pid",
         F.expr(
@@ -728,6 +729,7 @@ def global_ordinal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("pid").orderBy("doc_id")
     ordinal = (F.col("off") + F.row_number().over(w_local)).cast("bigint")
     return (
+        # bounded: n_bands offset rows
         p.drop("lo", "hi").join(F.broadcast(offs), "pid")
         .select(
             "doc_id",

@@ -406,10 +406,14 @@ def eval_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t, r = tf.alias("t"), tf.alias("r")
     cand = (
+        # bounded: literal query table (_RETR_QUERIES)
         F.broadcast(qs)
         .join(t, F.col("t.tok") == F.col("rank_term"))
+        # bounded: dfreq capped at |_RETR_TERMS| rows
         .join(F.broadcast(dfreq), F.col("df_tok") == F.col("rank_term"))
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n))
+        # bounded: 1-row avgdl scalar
         .crossJoin(F.broadcast(ad))
         .join(
             r,
@@ -693,6 +697,7 @@ def corpus_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = spark.range(_SHUF_EPOCHS).select(
         F.col("id").cast("int").alias("epoch")
     )
+    # bounded: literal _SHUF_EPOCHS range
     x = d.crossJoin(F.broadcast(ep))
     sh = (
         _md5_long(
@@ -852,6 +857,7 @@ def multimodal_crossmodal_retrieval(
         + F.lit(1e-9),
         6,
     )
+    # bounded: image set capped at _XM_N_IMAGES rows
     pairs = pr.crossJoin(F.broadcast(img)).select(
         "doc_id", "vec_id", score.alias("score")
     )
@@ -1301,6 +1307,7 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # bounded: per-bin counts (constant grid)
     h = grid.join(F.broadcast(c), "bin", "left").select(
         "bin",
         F.greatest(
@@ -1324,6 +1331,7 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin"),
     )
     return (
+        # bounded: literal quantile table (_DPQ_QS)
         F.broadcast(qs)
         .crossJoin(cdf)
         .groupBy("q")

@@ -408,6 +408,7 @@ def dedup_bloom_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bit_min = gbits.groupBy("bit").agg(F.min("fkey").alias("bmin"))
     fp = (
+        # bounded: Bloom bit table capped at _BLM_M rows
         gbits.join(F.broadcast(bit_min), "bit")
         .groupBy("gh", "fkey")
         .agg(

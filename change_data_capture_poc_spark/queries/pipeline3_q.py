@@ -102,6 +102,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
     mn = c.agg(F.min("cnt").alias("mn"))
+    # bounded: 1-row min scalar (mn)
     rates = c.crossJoin(F.broadcast(mn)).select(
         "source",
         ((F.col("mn") * 1000) / F.col("cnt"))
@@ -109,6 +110,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("keep_permille"),
     )
     return (
+        # bounded: |sources| rate rows
         d.join(F.broadcast(rates), "source")
         .where(_md5_mod(F.col("doc_id"), 1000) < F.col("keep_permille"))
         .select("doc_id", "source", "keep_permille")
@@ -145,6 +147,7 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 1.0D/3.0D)").alias("t33"),
         F.expr("percentile(n_chars, 2.0D/3.0D)").alias("t66"),
     )
+    # bounded: 1-row percentile thresholds
     return d.crossJoin(F.broadcast(t)).select(
         "doc_id",
         "lang",
@@ -211,6 +214,7 @@ def eval_holdout_stratified_exact(
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     t = c.agg(F.sum("n_s").alias("n"))
+    # bounded: 1-row corpus total
     quota = c.crossJoin(F.broadcast(t)).select(
         "source",
         F.expr(f"({_HOLDOUT_K} * n_s) DIV n").alias("base"),
@@ -220,6 +224,7 @@ def eval_holdout_stratified_exact(
         (F.lit(_HOLDOUT_K) - F.sum("base")).alias("extra")
     )
     w_rem = global_window(F.col("rem").desc(), "source")
+    # bounded: 1-row shortfall scalar
     k = quota.crossJoin(F.broadcast(short)).select(
         "source",
         (
@@ -248,6 +253,7 @@ def eval_holdout_stratified_exact(
         "doc_id", "source", F.row_number().over(w_src).alias("rk")
     )
     return (
+        # bounded: |sources| quota rows
         ranked.join(F.broadcast(k), "source")
         .where(F.col("rk") <= F.col("k_s"))
         .select("doc_id", "source", F.col("k_s").alias("source_quota"))
@@ -323,6 +329,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
+        # bounded: 1-row vocab-size scalar
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -379,6 +386,7 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_TOP)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
+    # bounded: vocab capped at _VOCAB_TOP rows
     flagged = tok.join(F.broadcast(vocab), "tok", "left")
     return flagged.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("total_tokens"),
@@ -484,6 +492,7 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ulp from a 0.5e-6 boundary must round identically on both paths).
     cos6 = F.round(dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6)
     gt = topk(
+        # bounded: query set capped at _N_QUERIES rows
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -492,6 +501,7 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = topk(
         en.join(
+            # bounded: query set capped at _N_QUERIES rows
             F.broadcast(q),
             (F.col("label") == F.col("q_label"))
             & (F.col("vec_id") != F.col("q_id")),
@@ -654,6 +664,7 @@ def corpus_quality_token_budget(
     th = d.agg(
         F.expr(f"percentile(n_chars, array({qs}))").alias("t")
     )
+    # bounded: 1-row percentile-array scalar
     banded = d.crossJoin(F.broadcast(th)).withColumn(
         "band",
         F.aggregate(
@@ -678,11 +689,13 @@ def corpus_quality_token_budget(
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # bounded: n_bands offset rows
     run = banded.join(F.broadcast(offsets), "band").withColumn(
         "cum_tokens",
         (F.col("off") + F.sum("n_tokens").over(w_run)).cast("long"),
     )
     return (
+        # bounded: 1-row token budget
         run.crossJoin(F.broadcast(budget))
         .where(F.col("cum_tokens") <= F.col("budget"))
         .select(
@@ -840,6 +853,7 @@ def embedding_pca_power_iteration(
         ).alias("mu")
     )
     c = (
+        # bounded: 1-row mean vector
         e.crossJoin(F.broadcast(mu))
         .select(
             "vec_id",
@@ -858,6 +872,7 @@ def embedding_pca_power_iteration(
         lambda acc, x: acc + x,
     )
     for _ in range(_PCA_ITERS):
+        # bounded: 1-row weight vector
         cw = c.crossJoin(F.broadcast(w)).select("vec_id", "c", dot.alias("s"))
         u = cw.agg(
             F.array(
@@ -878,6 +893,7 @@ def embedding_pca_power_iteration(
             ).alias("w")
         )
     return (
+        # bounded: 1-row weight vector
         c.crossJoin(F.broadcast(w))
         .select("vec_id", F.round(dot + 1e-9, 6).alias("pc1"))
     )
@@ -1149,6 +1165,7 @@ def text_js_divergence_sources(
     tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
     tot = c.groupBy("source").agg(F.sum("n").alias("t")).transform(persist_once)
+    # bounded: |sources| total rows
     p = c.join(F.broadcast(tot), "source").select(
         "source", "tok", (F.col("n") * 1.0 / F.col("t")).alias("p")
     )
@@ -1180,11 +1197,13 @@ def text_js_divergence_sources(
     allpairs = (
         tot.select(F.col("source").alias("source_x"))
         .crossJoin(
+            # bounded: |sources| rows (source domain)
             F.broadcast(tot.select(F.col("source").alias("source_y")))
         )
         .where(F.col("source_x") < F.col("source_y"))
     )
     return allpairs.join(
+        # bounded: |sources|^2 pair aggregate rows
         F.broadcast(shared), ["source_x", "source_y"], "left"
     ).select(
         "source_x",
@@ -1275,6 +1294,7 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps its window — its input is already <= probe_k rows per query.
     stage1 = grouped_topk(
         en.join(
+            # bounded: query set capped at _N_QUERIES rows
             F.broadcast(q),
             (F.col("label") == F.col("q_label"))
             & (F.col("vec_id") != F.col("q_id")),
@@ -1355,6 +1375,7 @@ def corpus_length_filter_tradeoff(
     )
     keep = F.col("n_chars") >= F.col("th")
     return (
+        # bounded: literal threshold table + 1-row total
         base.crossJoin(F.broadcast(th))
         .crossJoin(F.broadcast(tot))
         .groupBy("th", "tot_tok")
@@ -1438,6 +1459,7 @@ def corpus_importance_sampling(
     )
     sc = (
         tok.join(c, "tok")
+        # bounded: 1-row class-stats scalar
         .crossJoin(F.broadcast(s))
         .select("doc_id", lr.alias("lr"))
     )
@@ -1535,6 +1557,7 @@ def eval_matryoshka_trunc_recall(
             _ANN_K,
         ).select("q_id", "neighbor_id")
 
+    # bounded: query set capped at _N_QUERIES rows
     joined = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     # Ranking cosine rounded at 1e-6 — mirrors the oracle's ROUND so
     # different float paths can't flip epsilon-close ranks (same rule
@@ -1684,6 +1707,7 @@ def ann_mmr_diversified_rerank(
     # reducers; the partial heap bounds the exchange at
     # pool_k x n_partitions rows.
     scored = en.join(
+        # bounded: query set capped at _N_QUERIES rows
         F.broadcast(q),
         (F.col("label") == F.col("q_label"))
         & (F.col("vec_id") != F.col("q_id")),
@@ -2223,6 +2247,7 @@ def text_vocab_coverage_curve(
         [(100,), (500,), (1000,), (5000,)], "vocab_k int"
     )
     return (
+        # bounded: literal vocab_k table + 1-row total
         ranked.crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(tot))
         .groupBy("vocab_k")
@@ -2287,6 +2312,7 @@ def embedding_centroid_drift(
     )
     mid = e.agg(F.expr("max(vec_id) div 2").alias("m"))
     halves = (
+        # bounded: 1-row split scalar
         e.crossJoin(F.broadcast(mid))
         .select(
             "label",
@@ -2387,6 +2413,7 @@ def corpus_temperature_resample(
         .alias("w6"),
     )
     ws = w.agg(F.sum("w6").alias("wsum"))
+    # bounded: 1-row weight-sum scalar
     quota = w.crossJoin(F.broadcast(ws)).select(
         "source",
         "n_s",
@@ -2402,6 +2429,7 @@ def corpus_temperature_resample(
     )
     w_rem = global_window(F.col("rem").desc(), "source")
     return (
+        # bounded: 1-row total + 1-row shortfall scalars
         quota.crossJoin(F.broadcast(t))
         .crossJoin(F.broadcast(short))
         .select(

@@ -245,10 +245,12 @@ def text_heavy_hitters_misra_gries(
             yield pd.DataFrame({"tok": list(counters)})
 
     cand = toks.mapInPandas(mg, "tok string").distinct()
+    # bounded: Misra-Gries heavy hitters, counter-capacity-capped
     exact = toks.join(F.broadcast(cand), "tok").groupBy("tok").agg(
         F.count("*").cast("long").alias("cnt")
     )
     return (
+        # bounded: 1-row corpus count
         exact.crossJoin(F.broadcast(n))
         .where(F.col("cnt") > F.col("n") / _MG_K)
         .select("tok", "cnt")
@@ -388,6 +390,7 @@ def ann_ivf_multiprobe_recall(
         F.col("vec_id") != F.col("q_id")
     )
     mp = grouped_topk(
+        # bounded: query set capped at _N_QUERIES rows
         cand.join(F.broadcast(q), "q_id").select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -401,6 +404,7 @@ def ann_ivf_multiprobe_recall(
     ).select("q_id", "neighbor_id")
 
     gt = grouped_topk(
+        # bounded: query set capped at _N_QUERIES rows
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -535,6 +539,7 @@ def text_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("c1").alias("cw1")), "w1", "left")
         .join(c1.select(F.col("tok").alias("w2"),
                         F.col("c1").alias("cw2")), "w2", "left")
+        # bounded: 1-row vocab-total scalar
         .crossJoin(F.broadcast(tv))
         .select(
             "doc_id",
@@ -758,6 +763,7 @@ def corpus_unimax_allocation(
         per.withColumn(
             "capacity", (F.lit(_UM_E) * F.col("n_tokens")).cast("long")
         )
+        # bounded: 1-row total scalar
         .crossJoin(F.broadcast(tot))
         .withColumn("i", F.row_number().over(wo))
         .withColumn(

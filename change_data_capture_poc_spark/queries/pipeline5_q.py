@@ -119,6 +119,7 @@ def corpus_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-language total is |langs| rows — broadcast.
     doc = (
         tok.join(c, ["lang", "tok"])
+        # bounded: |langs| total rows
         .join(F.broadcast(t), "lang")
         .groupBy("doc_id", "lang", "n")
         .agg(
@@ -151,6 +152,7 @@ def corpus_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cuts = (
+        # bounded: |langs| total rows
         cum.join(F.broadcast(tot), "lang")
         .groupBy("lang")
         .agg(
@@ -168,6 +170,7 @@ def corpus_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return (
+        # bounded: |langs| cut rows
         banded.join(F.broadcast(cuts), "lang")
         .select("lang", bucket.alias("bucket"), "nd", "nt")
         .groupBy("lang", "bucket")
@@ -300,6 +303,7 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank OTHER labels per query on rounded query-centroid cosine;
     # |queries| x |labels| rows (grows with index size) -> grouped_topk.
     probed = grouped_topk(
+        # bounded: |labels| centroid rows
         q.join(F.broadcast(cn), F.col("label") != F.col("q_label")).select(
             "q_id",
             "label",
@@ -316,6 +320,7 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus never meets queries it wasn't probed for).
     cand = (
         en.join(probed, "label")
+        # bounded: query set capped rows
         .join(F.broadcast(q.select("q_id", "qnv")), "q_id")
         .select(
             "q_id",
@@ -429,6 +434,7 @@ def tokenizer_fertility_by_lang(
             F.lit(1), F.expr(f"(length(word) + {p - 1}) div {p}")
         )
     )
+    # bounded: vocab capped at _FERT_V rows (limit)
     costed = w.join(F.broadcast(vocab), "word", "left").select(
         "lang",
         cost.alias("cost"),
@@ -443,6 +449,7 @@ def tokenizer_fertility_by_lang(
         F.sum("cost").alias("subword_tokens"),
         F.sum(F.when(F.col("oov"), 1).otherwise(0)).alias("oov_words"),
     )
+    # bounded: |langs| rows
     return agg.join(F.broadcast(by), "lang").select(
         "lang",
         F.col("n_docs").cast("long").alias("n_docs"),

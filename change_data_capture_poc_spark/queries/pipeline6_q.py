@@ -398,6 +398,7 @@ def text_kneser_ney_bigram_score(
         .join(c2, ["w1", "w2"], "left")
         .join(hist, "w1", "left")
         .join(cont, "w2", "left")
+        # bounded: 1-row vocab-total scalar
         .crossJoin(F.broadcast(bv))
         .select(
             "doc_id",
@@ -902,6 +903,7 @@ def corpus_filter_funnel_attribution(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = j.withColumn("cumdrop", F.sum("n_dropped").over(w))
+    # bounded: 1-row total scalar
     return cum.crossJoin(F.broadcast(tot)).select(
         F.col("stage").cast("int").alias("stage"),
         "stage_name",

@@ -188,6 +188,7 @@ def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         jb.alias("jb"),
     ).select("word", "exact_count", "jb.j", "jb.b")
     est = (
+        # bounded: CMS register grid, _CMS_D x _CMS_W rows
         wb.join(F.broadcast(reg), ["j", "b"])
         .groupBy("word", "exact_count")
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
@@ -519,6 +520,7 @@ def _pq_exact_truth(e: DataFrame, qe: DataFrame) -> DataFrame:
 
     qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     exact_scored = (
+        # bounded: query set capped by _pq_queries
         e.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -574,6 +576,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = _pq_queries(e)
     q_meta, adc = _pq_adc_parts(qe, cb)
     scored = (
+        # bounded: per-query PQ metadata (query-set-capped)
         codes.crossJoin(F.broadcast(q_meta))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
@@ -733,6 +736,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # denominator must divide identically on both engines (Spark yields
     # NULL / throws under ANSI where DuckDB follows IEEE).
     denom = (F.col("fwd_mean") + F.col("bwd_mean")) / 2
+    # bounded: per-query means (query-set-capped)
     m = scored.join(F.broadcast(fwd), "q_id").withColumn(
         "margin",
         F.round(
@@ -831,8 +835,10 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
     cg = stc.groupBy("tok").agg(F.sum("c_st").alias("c_g"))
     tg = stc.agg(F.sum("c_st").alias("t_all"))
     scored = (
+        # bounded: |sources| domain totals
         stc.join(F.broadcast(td), "source")
         .join(cg, "tok")  # count-table join: AQE decides the strategy
+        # bounded: 1-row grand total
         .crossJoin(F.broadcast(tg))
         .select(
             "source",
@@ -862,6 +868,7 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
     excess = (
         (F.col("mn_glob") - F.col("mn_dom")) * 1.0 / F.col("n_tokens") / 1000
     )
+    # bounded: 1-row token total
     raw = dom.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
@@ -876,6 +883,7 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
     k = raw.agg(
         F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("z")
     )
+    # bounded: 1-row (k, z) scalar
     return raw.crossJoin(F.broadcast(k)).select(
         "source",
         "n_tokens",
@@ -1230,6 +1238,7 @@ def events_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med")
     )
     mad = (
+        # bounded: |event_type| medians (small enumerated domain)
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
@@ -1245,6 +1254,7 @@ def events_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
+        # bounded: |event_type| MAD rows (small enumerated domain)
         ev.join(F.broadcast(mad), "event_type")
         .where(F.col("mad") > 0)
         .withColumn("modified_z", mz)
@@ -1516,6 +1526,7 @@ def _blm_readout(te: DataFrame, tr: DataFrame, bits: DataFrame) -> DataFrame:
     ).withColumn("n_bits", F.size("gbits"))
     probe_bits = te_b.select("gh", "n_bits", F.explode("gbits").alias("bit"))
     hits = (
+        # bounded: Bloom bitset capped at _BLM_M rows
         probe_bits.join(F.broadcast(bits), "bit")
         .groupBy("gh", "n_bits")
         .agg(F.count(F.lit(1)).alias("n_set"))
@@ -1564,6 +1575,7 @@ def _blm_readout(te: DataFrame, tr: DataFrame, bits: DataFrame) -> DataFrame:
             6,
         ),
     )
+    # bounded: 1-row bit count x 1-row stats
     return F.broadcast(bcount).crossJoin(stats).select(
         "bits_set",
         "fill_ratio",
@@ -1837,8 +1849,10 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qprobe = _ivfpq_qprobe(qe, cents)
     q_meta, adc = _pq_adc_parts(qe, cb)
     cand = (
+        # bounded: query x probe-list rows (query-set-capped)
         codes.join(F.broadcast(qprobe), "ccid")
         .where(F.col("vec_id") != F.col("q_id"))
+        # bounded: per-query PQ metadata (query-set-capped)
         .join(F.broadcast(q_meta), "q_id")
     )
     nc = cand.groupBy("q_id").agg(
@@ -1855,6 +1869,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
         "q_id"
     ).agg(F.count("hit").cast("long").alias("n_hits"))
+    # bounded: per-query truth counts (query-set-capped)
     return hits.join(F.broadcast(nc), "q_id").select(
         "q_id",
         "n_candidates",
@@ -2012,6 +2027,7 @@ def corpus_weighted_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = pool.withColumn(
         "sample_rank", F.row_number().over(wr).cast("long")
     )
+    # bounded: |sources| allocation rows
     return ranked.join(F.broadcast(alloc), "source").where(
         F.col("sample_rank") <= F.col("k_s")
     ).select("source", "doc_id", "n_chars", "priority", "sample_rank")
@@ -2553,6 +2569,7 @@ def dedup_threshold_sensitivity(
             .alias("n_docs_dropped"),
         )
     )
+    # bounded: 1-row total scalar
     return curve.crossJoin(F.broadcast(total)).select(
         "threshold_permille",
         "n_dup_pairs",

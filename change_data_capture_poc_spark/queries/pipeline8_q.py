@@ -96,6 +96,7 @@ def _qsk_quantile_readout(
     qs = spark.createDataFrame([(q,) for q in quantiles], "q double")
     target = F.ceil(F.col("q") * F.col("n")).cast("long")
     sel = (
+        # bounded: literal quantile table
         cum.crossJoin(F.broadcast(qs))
         .withColumn("target", target)
         .where(
@@ -253,6 +254,7 @@ def agg_histogram_quantile_portable(
         F.expr(f"element_at(array({q_lits}), qi + 1)").alias("q"),
         "exact_raw",
     )
+    # bounded: |event_type| x |quantiles| exact grid
     return readout.join(F.broadcast(exq), ["event_type", "q"]).select(
         "event_type",
         "q",
@@ -404,6 +406,7 @@ def eval_ann_recall_sampled_truth(
         dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
     )
     gt = topk(
+        # bounded: query set capped at _N_QUERIES rows
         s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id", F.col("vec_id").alias("neighbor_id"),
             cos6.alias("cos"),
@@ -411,6 +414,7 @@ def eval_ann_recall_sampled_truth(
     )
     ivf = topk(
         s.join(
+            # bounded: query set capped at _N_QUERIES rows
             F.broadcast(q),
             (F.col("label") == F.col("q_label"))
             & (F.col("vec_id") != F.col("q_id")),
@@ -638,6 +642,7 @@ def agg_selfjoin_size_f2_sketch(
         F.sum(F.col("cb") * F.col("cb")).cast("long").alias("f2_sketch"),
         F.count(F.lit(1)).cast("long").alias("buckets_hit"),
     )
+    # bounded: 1-row sketch summary
     return ex.crossJoin(F.broadcast(sk)).select(
         "n_rows",
         "n_keys",
@@ -853,6 +858,7 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)
     )
     return (
+        # bounded: 1-row exact scalars (ea/eb/eu)
         exact.crossJoin(F.broadcast(ea))
         .crossJoin(F.broadcast(eb))
         .crossJoin(F.broadcast(eu))
@@ -946,6 +952,7 @@ def corpus_data_constrained_epochs(
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     alloc = F.expr(f"CAST(({_DCE_BUDGET_X} * t) DIV k AS BIGINT)")
+    # bounded: 1-row total scalar
     plan = tok.crossJoin(F.broadcast(tot)).select(
         "source", "u", alloc.alias("budget_alloc")
     )
@@ -1040,6 +1047,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
         + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
     )
+    # bounded: 1-row group-stats scalar
     return a.crossJoin(F.broadcast(b)).select(
         "na",
         "nb",
@@ -1459,6 +1467,7 @@ def cdc_envelope_key_census(
         F.min("jt").alias("type_min"),
         F.max("jt").alias("type_max"),
     )
+    # bounded: 1-row envelope count
     return c.crossJoin(F.broadcast(n)).select(
         "key_name",
         "n_present",
@@ -1664,6 +1673,7 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PSI_B - 1),
         F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_W).cast("int")),
     )
+    # bounded: 1-row split scalar
     e = ev.crossJoin(F.broadcast(mid)).select(
         "event_type",
         F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1).alias(
@@ -1681,6 +1691,7 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = e.select("event_type").distinct()
     grid = types.crossJoin(
+        # bounded: literal _PSI_B bucket range
         F.broadcast(
             spark.range(_PSI_B).select(F.col("id").cast("int").alias("bucket"))
         )
@@ -1804,6 +1815,7 @@ def eval_histogram_width_sensitivity(
             F.lit(0), F.floor(F.col("value") / F.col("w")).cast("int")
         ),
     )
+    # bounded: literal width table (_QWS_WIDTHS)
     r = ev.crossJoin(F.broadcast(ws)).select(
         "w", "event_type", bucket.alias("bucket")
     )
@@ -1837,6 +1849,7 @@ def eval_histogram_width_sensitivity(
     ex = ev.groupBy("event_type").agg(
         F.expr(f"percentile(value, {_QWS_Q})").alias("exact_raw")
     )
+    # bounded: |event_type| percentile rows
     return sel.join(F.broadcast(ex), "event_type").select(
         F.col("w").alias("grid_width"),
         "event_type",

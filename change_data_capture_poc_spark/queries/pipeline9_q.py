@@ -153,6 +153,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_pos",
         F.posexplode("toks").alias("tok_idx", "token"),
     )
+    # bounded: BPE token set = alphabet + _BPE_ROUNDS merge tokens
     return enc.join(F.broadcast(ids), "token").select(
         "doc_id", "word_pos", "tok_idx", "token", "token_id"
     )
@@ -316,12 +317,14 @@ def ann_multiprobe_recall_sampled_truth(
     mp = topk(
         s.join(probed, "label")
         .where(F.col("vec_id") != F.col("q_id"))
+        # bounded: query set capped at _N_QUERIES rows
         .join(F.broadcast(q), "q_id")
         .select(
             "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
         )
     )
     gt = topk(
+        # bounded: query set capped at _N_QUERIES rows
         s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
         )
@@ -559,8 +562,10 @@ def ann_serve_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     qprobe = _ivfpq_qprobe(qe, cb)
     q_meta, adc = _pq_adc_parts(qe, cb)
     scored = (
+        # bounded: query x probe-list rows (query-set-capped)
         codes.join(F.broadcast(qprobe), "ccid")
         .where(F.col("vec_id") != F.col("q_id"))
+        # bounded: per-query PQ metadata (query-set-capped)
         .join(F.broadcast(q_meta), "q_id")
         .select(
             "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
@@ -1065,8 +1070,10 @@ def ann_index_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qprobe = _ivfpq_qprobe(qe, cb)
     q_meta, adc = _pq_adc_parts(qe, cb)
     scored = (
+        # bounded: query x probe-list rows (query-set-capped)
         codes.join(F.broadcast(qprobe), "ccid")
         .where(F.col("vec_id") != F.col("q_id"))
+        # bounded: per-query PQ metadata (query-set-capped)
         .join(F.broadcast(q_meta), "q_id")
         .select(
             "q_id",
@@ -1435,6 +1442,7 @@ def bpe_encode_from_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_pos",
         F.posexplode("toks").alias("tok_idx", "token"),
     )
+    # bounded: BPE token set = alphabet + _BPE_ROUNDS merge tokens
     return enc.join(F.broadcast(ids), "token").select(
         "doc_id", "word_pos", "tok_idx", "token", "token_id"
     )
@@ -2110,6 +2118,7 @@ def _wp_vocab_for(
     )
 
     admitted = (
+        # bounded: 1-row instance total
         freq.crossJoin(F.broadcast(tot))
         .where(F.col("freq") * 1000 >= F.col("t") * permille)
         .select("token")
@@ -2128,6 +2137,7 @@ def _wp_toks_for(words: DataFrame, vocab: DataFrame) -> DataFrame:
     for l in (4, 3, 2):
         v = vocab.select(F.col("token").alias(f"tok{l}"))
         j = j.join(
+            # bounded: admission floor caps vocab at ~1000/permille pieces per length + alphabet
             F.broadcast(v),
             (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
             & (F.col("pos") + l - 1 <= F.length("word")),
@@ -2616,6 +2626,7 @@ def _uni_cost_table(vocab: DataFrame) -> DataFrame:
     downstream comparison is exact BIGINT arithmetic (the DoReMi grid
     trick; +1e-9 nudge shared with the oracle's ROUND)."""
     z = vocab.agg(F.sum("cnt").cast("long").alias("z"))
+    # bounded: 1-row Z scalar
     return vocab.crossJoin(F.broadcast(z)).select(
         "token",
         F.round(
@@ -2643,6 +2654,7 @@ def _uni_viterbi_toks(words: DataFrame, ucost: DataFrame) -> DataFrame:
             F.col("token").alias(f"tok{l}"), F.col("c").alias(f"c{l}")
         )
         j = j.join(
+            # bounded: unigram vocab = alphabet + top _UNI_EM_TOPK pieces
             F.broadcast(v),
             (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
             & (F.col("pos") + l - 1 <= F.length("word")),
@@ -3052,6 +3064,7 @@ def unigram_em_expected_counts(
     d = ensure_unigram_vocab(spark, sf_dir)
     vocab = spark.read.parquet(os.path.join(d, "vocab.parquet"))
     z = vocab.agg(F.sum("cnt").cast("double").alias("z"))
+    # bounded: 1-row Z scalar
     prob = vocab.crossJoin(F.broadcast(z)).select(
         "token", (F.col("cnt") * F.lit(1.0) / F.col("z")).alias("p")
     )
@@ -3068,6 +3081,7 @@ def unigram_em_expected_counts(
             F.col("token").alias(f"tok{l}"), F.col("p").alias(f"p{l}")
         )
         j = j.join(
+            # bounded: unigram vocab = alphabet + top _UNI_EM_TOPK pieces
             F.broadcast(v),
             (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
             & (F.col("pos") + l - 1 <= F.length("word")),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
 from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.functions.hints import vocab_broadcast
 
 
 def _t(spark, sf_dir, name):
@@ -208,6 +209,7 @@ def join_inner_dim(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
+        # bounded: nation is a CONSTANT 25-row dim
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -364,12 +366,16 @@ def local_supplier_volume(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # corpus-derived: supplier is a SCALING dim (SF x 10k rows) —
+        # gated so an oversized deployment degrades to a shuffle join
+        # (spark.graft.vocab.broadcast=false) instead of hard-failing.
+        li.join(vocab_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(
             c,
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
         )
+        # bounded: nation/region are CONSTANT dims (25/5 rows)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -915,6 +921,7 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = 1 << 16
     modset = hp.select((F.col("o_orderkey") % domain).alias("kmod")).distinct()
     pre = lineitem.join(
+        # bounded: distinct orderkey mod 2^16 — capped at 65536 rows
         F.broadcast(modset),
         (F.col("l_orderkey") % domain) == F.col("kmod"),
         "left_semi",
@@ -1020,6 +1027,7 @@ def events_rolling_wau(spark, sf_dir):
     )
     days = spark.range(0, 7).select(F.col("id").cast("int").alias("i"))
     contrib = (
+        # bounded: 7-row literal day range
         ud.crossJoin(F.broadcast(days))
         .select("user_id", F.date_add("d", F.col("i")).alias("window_end"))
         .distinct()

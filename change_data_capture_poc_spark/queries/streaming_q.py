@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
+from change_data_capture_poc_spark.functions.hints import vocab_broadcast
 
 _EVENTS_RAW_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
@@ -341,7 +342,10 @@ def streaming_enrich_join_drain(
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    j = ev.join(F.broadcast(cust), "user_id")
+    # corpus-derived: customer is a SCALING dim (SF x 150k rows);
+    # gated — stream-static joins degrade to a shuffle join with
+    # spark.graft.vocab.broadcast=false instead of hard-failing.
+    j = ev.join(vocab_broadcast(cust), "user_id")
     agg = j.groupBy("c_mktsegment").agg(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 6).alias("value_sum"),
@@ -783,6 +787,7 @@ def streaming_centroid_assign_drain(
         + F.lit(1e-9),
         6,
     )
+    # bounded: k-row centroid table
     scored = stream.join(F.broadcast(cents)).select(
         "vec_id", "cid", dist.alias("dist")
     )
@@ -1319,6 +1324,7 @@ def streaming_cms_register_drain(
     )
     wb = ex.select("word", jb.alias("jb")).select("word", "jb.j", "jb.b")
     return (
+        # bounded: constant sketch register grid
         wb.join(F.broadcast(regs), ["j", "b"])
         .groupBy("word")
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
@@ -1733,11 +1739,13 @@ def streaming_heavy_hitters_drain(
     )
     n = btoks.agg(F.count("*").alias("n"))
     exact = (
+        # bounded: Misra-Gries heavy hitters, counter-capacity-capped
         btoks.join(F.broadcast(cand), "tok")
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     return (
+        # bounded: 1-row token total
         exact.crossJoin(F.broadcast(n))
         .where(F.col("cnt") > F.col("n") / _MG_K)
         .select("tok", "cnt")

@@ -34,27 +34,11 @@ _PKG = os.path.join(_ROOT, "change_data_capture_poc_spark")
 # The gate implementation itself legitimately calls F.broadcast.
 _EXEMPT = {"functions/hints.py"}
 
-# Frozen unannotated-site counts as of the round-13 audit. Adding a
-# NEW unannotated F.broadcast to any file fails this test; annotating
-# or gating existing sites should be followed by lowering the number
-# here (the ratchet only turns one way).
-_BASELINE = {
-    "operators/layout.py": 1,
-    "operators/rank.py": 2,
-    "queries/cdc_ops_q.py": 12,
-    "queries/operators_q.py": 2,
-    "queries/pipeline10_q.py": 8,
-    "queries/pipeline12_q.py": 1,
-    "queries/pipeline3_q.py": 31,
-    "queries/pipeline4_q.py": 6,
-    "queries/pipeline5_q.py": 7,
-    "queries/pipeline6_q.py": 2,
-    "queries/pipeline7_q.py": 17,
-    "queries/pipeline8_q.py": 15,
-    "queries/pipeline9_q.py": 14,
-    "queries/relational.py": 6,
-    "queries/streaming_q.py": 5,
-}
+# Frozen unannotated-site counts. The round-13 audit classified ALL
+# ~160 sites (bounded comment or vocab_broadcast gate), so the
+# baseline is empty: every F.broadcast call site in the package must
+# carry its classification from now on.
+_BASELINE: dict[str, int] = {}
 
 _CALL = re.compile(r"F\.broadcast\(")
 _MARKERS = ("bounded:", "corpus-derived")

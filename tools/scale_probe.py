@@ -49,7 +49,14 @@ REPEAT_TEXT_OK = frozenset({"text_tfidf_top_terms"})
 # per-branch joins for these (round 11 measured the containment
 # query's exchanges going 3 -> 24, bytes 11.8x — a fixture artifact;
 # real 8x data is one source, not eight plan branches).
-MATERIALIZE_SCALED_INPUT = frozenset({"dedup_containment_survivors"})
+MATERIALIZE_SCALED_INPUT = frozenset(
+    {
+        "dedup_containment_survivors",
+        # round-13: 8.6x bytes watch item — same self-union fixture
+        # class; materialized input is the honest 8x measurement.
+        "dedup_bloom_paragraph",
+    }
+)
 
 # Operators whose plans are MAP-ONLY by design (round-11 reworks or
 # construction): zero shuffle bytes at BOTH scales is asserted, not
