@@ -182,6 +182,18 @@ def two_phase_components(
     round. Convergence detect: the (count, xxhash64-sum) checksum of
     the edge set is round-invariant exactly at the fixpoint
     (XOR fold: overflow-free under ANSI mode, order-independent).
+
+    Round-13 measured negative result on the loop-shape alternatives
+    (sf0.1 chain fixture, 9 rounds to fixpoint, ~6.3s): the wall time
+    is the ~18 per-round materialization jobs' fixed latency, not plan
+    work — scoping shuffle partitions to edge volume (6.7s), persisting
+    instead of checkpointing the large-star edge set (9.4s — in-job
+    recompute races), dropping the large-star checkpoint entirely
+    (7.6s), and fusing two star rounds per checkpoint (6.6s) all
+    measured AT OR ABOVE the current shape. The early-exit the checksum
+    enables already fires (round counts are fixpoint-bound, not
+    max_rounds-bound); at production edge volumes the fixed job latency
+    amortizes and the two-shuffle round structure is what matters.
     """
     e = (
         edges.select(
