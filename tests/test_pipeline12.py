@@ -148,3 +148,85 @@ def test_bloom_paragraph_equals_sequential_stream(spark, sf_dir):
     }
     assert got == want
     assert sum(v[2] for v in want.values()) > 0  # FP path exercised
+
+
+def test_port_strip_twin_semantics_on_adversarial_urls(spark):
+    """Round-13 ADVICE close: the default-port strip is anchored to
+    the host position on BOTH engines (^([^/:?#]*):(443|80)/), so the
+    Spark replace-ALL vs DuckDB replace-FIRST difference can no longer
+    diverge on a URL carrying a second ':443/'-looking substring (e.g.
+    in a query-param value). The synthesis can't produce such URLs, so
+    this pins the rule on crafted ones directly, running the exact twin
+    expressions side by side."""
+    import duckdb
+
+    crafted = [
+        # second ':443/' inside a param value — the divergence case
+        "https://site1.example:443/page1?x=:443/&id=1",
+        # ':80/' in the PATH, no real port — must NOT be stripped
+        "http://site2.example/redirect?to=host:80/deep",
+        # port on host AND port-lookalike later
+        "HTTP://WWW.site3.example:80/a/?u=b:443/c#frag",
+        # no port at all, colon-ish userinfo-free host
+        "https://site4.example/p?id=0",
+    ]
+    df = spark.createDataFrame([(u,) for u in crafted], "raw string")
+    spark_out = {
+        r.raw: r.canon
+        for r in df.select(
+            "raw", _canonical_url_col(F.col("raw")).alias("canon")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    # The oracle's s1..s5 chain restated over a VALUES list — same
+    # regexes as _URL_CANON_CTE_SQL (which is doc-synthesis-bound and
+    # can't be fed crafted strings directly).
+    duck = con.execute(
+        """
+        WITH u(raw) AS (SELECT * FROM (VALUES (?), (?), (?), (?))),
+        s1 AS (
+            SELECT raw,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(raw), '#.*$', ''), '^https?://', ''),
+                       '^www\\.', '') AS s
+            FROM u
+        ),
+        s2 AS (
+            SELECT raw,
+                   regexp_replace(s, '^([^/:?#]*):(443|80)/', '\\1/') AS s
+            FROM s1
+        ),
+        s3 AS (
+            SELECT raw,
+                   regexp_replace(
+                       CASE WHEN instr(s, '?') > 0
+                            THEN s[1:instr(s, '?') - 1] ELSE s END,
+                       '/+$', '') AS hostpath,
+                   CASE WHEN instr(s, '?') > 0
+                        THEN s[instr(s, '?') + 1:] ELSE '' END AS qs
+            FROM s2
+        ),
+        s4 AS (
+            SELECT raw, hostpath,
+                   list_sort(list_filter(string_split(qs, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')))
+                       AS kept
+            FROM s3
+        )
+        SELECT raw,
+               hostpath || CASE WHEN len(kept) > 0
+                    THEN '?' || list_aggregate(kept, 'string_agg', '&')
+                    ELSE '' END AS canon
+        FROM s4
+        """,
+        crafted,
+    ).fetchall()
+    duck_out = {raw: canon for raw, canon in duck}
+
+    assert spark_out == duck_out
+    # And the anchored rule did what it should: host port stripped,
+    # lookalikes preserved.
+    assert spark_out[crafted[0]] == "site1.example/page1?id=1&x=:443/"
+    assert ":80/deep" in spark_out[crafted[1]]
+    assert spark_out[crafted[2]].startswith("site3.example/a")
