@@ -28,3 +28,21 @@ from pyspark.sql import functions as F
 def global_window(*order_cols) -> WindowSpec:
     """Single-partition window over a bounded frame (see module doc)."""
     return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+
+
+def global_agg_window() -> WindowSpec:
+    """Unordered single-partition window: attach GLOBAL aggregates
+    (totals, counts, normalizers) to every row of a bounded frame in
+    one pass. Without orderBy the frame spans the whole partition, so
+    ``F.sum(x).over(global_agg_window())`` equals the scalar total.
+
+    This replaces the ``crossJoin(F.broadcast(df.agg(...)))`` shape for
+    scalar attachment: the broadcast form re-executes the frame's whole
+    upstream subtree once per scalar (a separate broadcast-build job
+    and an extra plan branch each time — the DoReMi plan carried 16
+    copies of its cached count-table scan this way), while the window
+    computes the total over rows already materialized in the same
+    stage. Same boundedness rule as ``global_window``: the input frame
+    must be constant-bounded or strongly sub-linear (|sources| rows,
+    band summaries), never the corpus."""
+    return Window.partitionBy(F.lit(0))

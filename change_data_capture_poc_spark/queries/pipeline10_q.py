@@ -399,8 +399,12 @@ def eval_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .select(F.col("tok").alias("df_tok"), "df")
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    ad = base.agg(F.avg("dl").alias("avgdl"))
+    # One pass for BOTH corpus scalars (doc count and avg doclen) —
+    # the old separate n/ad branches each re-scanned documents for a
+    # 1-row broadcast, and cand's three consumers re-ran both scans.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
     qs = spark.createDataFrame(
         list(_RETR_QUERIES), "qid string, rank_term string, rel_term string"
     )
@@ -411,10 +415,8 @@ def eval_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t, F.col("t.tok") == F.col("rank_term"))
         # bounded: dfreq capped at |_RETR_TERMS| rows
         .join(F.broadcast(dfreq), F.col("df_tok") == F.col("rank_term"))
-        # bounded: 1-row corpus count
-        .crossJoin(F.broadcast(n))
-        # bounded: 1-row avgdl scalar
-        .crossJoin(F.broadcast(ad))
+        # bounded: 1-row (corpus count, avgdl) scalar pair
+        .crossJoin(F.broadcast(stats))
         .join(
             r,
             (F.col("r.doc_id") == F.col("t.doc_id"))
@@ -442,6 +444,14 @@ def eval_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel"),
         )
     )
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
+    # Candidate set is bounded (|queries| x per-term posting lists) and
+    # feeds THREE consumers (full, ranked, ideal) — without the pin each
+    # replays the whole scoring join tree including the corpus scans.
+    cand = cand.transform(persist_once)
     full = cand.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_cand"),
         F.sum((F.col("rel") > 0).cast("int")).cast("long").alias("n_rel"),

@@ -831,15 +831,27 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
         # (domain totals, global counts, grand total, scoring) would
         # otherwise each replay the corpus token shuffle
     )
-    td = stc.groupBy("source").agg(F.sum("c_st").alias("t_dom"))
+    from change_data_capture_poc_spark.functions.windows import (
+        global_agg_window,
+    )
+
+    gw = global_agg_window()
+    # Grand total folded onto the |sources|-row domain-totals frame by a
+    # bounded single-partition window (integer sum — order-free), so the
+    # broadcast build ships BOTH scalars in one branch instead of the
+    # old crossJoin(broadcast(stc.agg(...))) replaying the corpus token
+    # aggregation as a separate subtree (r13: plan 149 nodes -> ~60,
+    # cached-scan copies 16 -> 3).
+    td = (
+        stc.groupBy("source")
+        .agg(F.sum("c_st").alias("t_dom"))
+        .withColumn("t_all", F.sum("t_dom").over(gw))
+    )
     cg = stc.groupBy("tok").agg(F.sum("c_st").alias("c_g"))
-    tg = stc.agg(F.sum("c_st").alias("t_all"))
     scored = (
         # bounded: |sources| domain totals
         stc.join(F.broadcast(td), "source")
         .join(cg, "tok")  # count-table join: AQE decides the strategy
-        # bounded: 1-row grand total
-        .crossJoin(F.broadcast(tg))
         .select(
             "source",
             "c_st",
@@ -864,12 +876,16 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
         F.sum(F.col("c_st") * F.col("mnat_glob")).alias("mn_glob"),
         F.sum(F.col("c_st") * F.col("mnat_dom")).alias("mn_dom"),
     )
-    tot = dom.agg(F.sum("n_tokens").alias("all_tokens"))
     excess = (
         (F.col("mn_glob") - F.col("mn_dom")) * 1.0 / F.col("n_tokens") / 1000
     )
-    # bounded: 1-row token total
-    raw = dom.crossJoin(F.broadcast(tot)).select(
+    # all_tokens / k / z are globals over the |sources|-row frame:
+    # attach them with the same bounded single-partition window instead
+    # of one broadcast-build branch per scalar (the old tot/k subtrees
+    # re-ran the scoring join twice more; values are identical — the
+    # integer sums are order-free and z feeds a 6-decimal round with
+    # the +1e-9 nudge, same discipline as the agg form).
+    raw = dom.withColumn("all_tokens", F.sum("n_tokens").over(gw)).select(
         "source",
         "n_tokens",
         F.round(excess + F.lit(1e-9), 6).alias("excess_nats"),
@@ -880,17 +896,15 @@ def _doremi_weights(docs: DataFrame) -> DataFrame:
             6,
         ).alias("w_raw"),
     )
-    k = raw.agg(
-        F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("z")
-    )
-    # bounded: 1-row (k, z) scalar
-    return raw.crossJoin(F.broadcast(k)).select(
+    return raw.select(
         "source",
         "n_tokens",
         "excess_nats",
         F.round(
-            F.lit(1 - _DRM_SMOOTH) * F.col("w_raw") / F.col("z")
-            + F.lit(_DRM_SMOOTH) / F.col("k")
+            F.lit(1 - _DRM_SMOOTH)
+            * F.col("w_raw")
+            / F.sum("w_raw").over(gw)
+            + F.lit(_DRM_SMOOTH) / F.count(F.lit(1)).over(gw)
             + F.lit(1e-9),
             6,
         ).alias("doremi_weight"),
