@@ -57,14 +57,27 @@ def connected_components(
     # the persisted edge table into executor storage for the rest of
     # the application (same discipline merge_backend.py applies).
     try:
+        # Round 0 fused into initialization: one min-label round over
+        # the identity labeling yields exactly min(self, min neighbor),
+        # which this groupBy computes directly — the old shape paid a
+        # separate distinct + join + checkpoint + count just to reach
+        # the same state (r13: one full round's jobs saved per call;
+        # every node appears on the "a" side of the symmetrized edge
+        # table, so coverage is identical to the distinct).
         labels = (
-            e.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+            e.groupBy("a")
+            .agg(F.min("b").alias("nbr"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("nbr")).alias("component"),
+            )
             .localCheckpoint()
         )
 
-        for _ in range(max_rounds):
+        # range(max_rounds - 1): the fused init above already spent
+        # round 0's propagation, keeping the worst-case round budget
+        # identical to the pre-fusion shape.
+        for _ in range(max_rounds - 1):
             nbr_min = (
                 e.join(labels, e["b"] == labels["node"])
                 .groupBy("a")

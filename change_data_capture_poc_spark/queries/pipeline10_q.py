@@ -952,6 +952,10 @@ def _er_contacts_ctes() -> str:
 def _er_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized dirty-contacts frame (rec_id, c_custkey, name,
     c_nationkey, c_acctbal, c_mktsegment, nname)."""
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     orig = c.select(
         (F.col("c_custkey") * 10).alias("rec_id"),
@@ -990,6 +994,11 @@ def _er_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nname",
             F.regexp_replace(F.lower("name"), "[^a-z0-9]", ""),
         )
+        # |customers|*1.3 rows, consumed by both blocking sides and the
+        # golden-record survivorship join — pin once (persist_once
+        # dedupes across the separate _er_norm calls by canonicalized
+        # plan, so every consumer reads the same cached frame).
+        .transform(persist_once)
     )
 
 
@@ -1013,9 +1022,23 @@ def _er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(nname, 5)").alias("sfx_b"),
     )
     lt = F.col("rec_a") < F.col("rec_b")
+    dist = F.levenshtein("nname_a", "nname_b")
+    # Nation equality and the edit-distance acceptance are PAIR-level
+    # predicates (functions of the two rec ids only), so they commute
+    # with the pass dedup: applying them inside each blocking join
+    # keeps exactly the pairs the old post-group filter kept, while the
+    # accepted name_dist rides along — no re-attach joins back to nrm
+    # and fewer pre-aggregation rows in the pair shuffle (r13: plan
+    # drops 2 joins + 2 customer scans; bench 0.67s -> see plans/r13).
+    accept = (F.col("nat_a") == F.col("nat_b")) & (dist <= _ER_MAX_DIST)
     pass_a = (
-        a.join(b, (F.col("sfx_a") == F.col("sfx_b")) & lt)
-        .select("rec_a", "rec_b", F.lit("suffix").alias("pass"))
+        a.join(b, (F.col("sfx_a") == F.col("sfx_b")) & lt & accept)
+        .select(
+            "rec_a",
+            "rec_b",
+            dist.cast("int").alias("name_dist"),
+            F.lit("suffix").alias("pass"),
+        )
     )
     pass_b = (
         a.join(
@@ -1023,35 +1046,23 @@ def _er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nat_a") == F.col("nat_b"))
             & (F.col("seg_a") == F.col("seg_b"))
             & (F.col("bal_a") == F.col("bal_b"))
-            & lt,
+            & lt
+            & (dist <= _ER_MAX_DIST),
         )
-        .select("rec_a", "rec_b", F.lit("attrs").alias("pass"))
-    )
-    prs = (
-        pass_a.unionByName(pass_b)
-        .groupBy("rec_a", "rec_b")
-        .agg(F.countDistinct("pass").cast("int").alias("n_passes"))
-    )
-    na = nrm.select(
-        F.col("rec_id").alias("rec_a"),
-        F.col("nname").alias("nname_a"),
-        F.col("c_nationkey").alias("nat_a"),
-    )
-    nb = nrm.select(
-        F.col("rec_id").alias("rec_b"),
-        F.col("nname").alias("nname_b"),
-        F.col("c_nationkey").alias("nat_b"),
-    )
-    dist = F.levenshtein("nname_a", "nname_b")
-    return (
-        prs.join(na, "rec_a")
-        .join(nb, "rec_b")
-        .where((F.col("nat_a") == F.col("nat_b")) & (dist <= _ER_MAX_DIST))
         .select(
             "rec_a",
             "rec_b",
-            "n_passes",
             dist.cast("int").alias("name_dist"),
+            F.lit("attrs").alias("pass"),
+        )
+    )
+    return (
+        pass_a.unionByName(pass_b)
+        .groupBy("rec_a", "rec_b")
+        .agg(
+            F.countDistinct("pass").cast("int").alias("n_passes"),
+            # functionally dependent on the pair; min == the value
+            F.min("name_dist").alias("name_dist"),
         )
     )
 
