@@ -2527,37 +2527,141 @@ def _wp_curve_oracle() -> str:
 def wordpiece_threshold_sensitivity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
     words, chars, freq, tot = _wp_tables(spark, sf_dir)
-    out = None
-    for pm in _WP_CURVE:
-        vocab = _wp_vocab_for(chars, freq, tot, pm)
-        toks = _wp_toks_for(words, vocab)
-        stats = (
-            toks.join(words, "word")
-            .agg(
-                F.sum("n").cast("long").alias("n_words"),
-                F.sum(F.col("n") * F.size("toks"))
+    pms = sorted(_WP_CURVE)
+    lo = pms[0]
+    # Admission is MONOTONE in the threshold (vocab_100 ⊆ vocab_50 ⊆
+    # vocab_20), so one jump-join pass against the lowest-threshold
+    # SUPERSET vocab, with a per-threshold admission flag riding on
+    # each token, prices every knob simultaneously — the old loop ran
+    # the full position frame + three jump joins + greedy fold once
+    # per threshold (r13: 18 exchanges -> 6, one MaxMatch pass).
+    # Length-1 chars never match the l>=2 jump joins, so omitting them
+    # from the probe side changes nothing (jump falls back to 1).
+    adm = (
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("freq") * 1000 >= F.col("t") * lo)
+        .select(
+            "token",
+            *[
+                (F.col("freq") * 1000 >= F.col("t") * pm).alias(
+                    f"ok_{pm}"
+                )
+                for pm in pms
+            ],
+        )
+        .transform(persist_once)  # Heaps-bounded; probed by 3 jump joins
+    )
+    wp = words.select(
+        "word", F.explode(F.expr("sequence(1, length(word))")).alias("pos")
+    )
+    j = wp
+    for l in (4, 3, 2):
+        v = adm.select(
+            F.col("token").alias(f"tok{l}"),
+            *[F.col(f"ok_{pm}").alias(f"ok{l}_{pm}") for pm in pms],
+        )
+        j = j.join(
+            # bounded: admission floor caps the superset vocab
+            F.broadcast(v),
+            (F.expr(f"substring(word, pos, {l})") == F.col(f"tok{l}"))
+            & (F.col("pos") + l - 1 <= F.length("word")),
+            "left",
+        )
+    jump_cols = []
+    for pm in pms:
+        jump_cols.append(
+            F.when(F.col(f"ok4_{pm}"), 4)
+            .when(F.col(f"ok3_{pm}"), 3)
+            .when(F.col(f"ok2_{pm}"), 2)
+            .otherwise(1)
+            .alias(f"j_{pm}")
+        )
+    jfields = ", ".join(f"j_{pm}" for pm in pms)
+    jarr = (
+        j.select("word", "pos", *jump_cols)
+        .groupBy("word")
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct(pos, {jfields})))"
+            ).alias("ja")
+        )
+    )
+    # Greedy MaxMatch fold per threshold, counting segments only (the
+    # stats never read the token strings, just the segment count).
+    k_cols = [
+        F.expr(
+            f"""
+            aggregate(
+                sequence(1, length(word)),
+                named_struct('nxt', 1, 'k', CAST(0 AS BIGINT)),
+                (acc, i) -> IF(i != acc.nxt, acc,
+                    named_struct(
+                        'nxt', acc.nxt + element_at(ja, i).j_{pm},
+                        'k', acc.k + 1)),
+                acc -> acc.k)
+            """
+        ).alias(f"k_{pm}")
+        for pm in pms
+    ]
+    stats = (
+        jarr.select("word", *k_cols)
+        .join(words, "word")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            *[
+                F.sum(F.col("n") * F.col(f"k_{pm}"))
                 .cast("long")
-                .alias("n_tokens"),
-            )
+                .alias(f"n_tokens_{pm}")
+                for pm in pms
+            ],
         )
-        row = (
-            vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
-            .crossJoin(stats)
-            .select(
+    )
+    # vocab_size_p = |chars| + |admitted_p|: the two sets are disjoint
+    # (chars are length-1, admitted substrings length >= 2), so the old
+    # union+distinct count decomposes into two tiny aggregates.
+    vs = freq.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.count_if(
+                F.col("freq") * 1000 >= F.col("t") * pm
+            ).alias(f"adm_{pm}")
+            for pm in pms
+        ]
+    )
+    nch = chars.agg(F.count(F.lit(1)).alias("nchars"))
+    curve = F.array(
+        *[
+            F.struct(
                 F.lit(pm).cast("int").alias("permille"),
-                "vocab_size",
-                "n_words",
-                "n_tokens",
-                F.round(
-                    F.col("n_tokens") * 1.0 / F.col("n_words")
-                    + F.lit(1e-9),
-                    6,
-                ).alias("fertility"),
+                (F.col(f"adm_{pm}") + F.col("nchars"))
+                .cast("long")
+                .alias("vocab_size"),
+                F.col("n_words"),
+                F.col(f"n_tokens_{pm}").alias("n_tokens"),
             )
+            for pm in pms
+        ]
+    )
+    return (
+        stats.crossJoin(F.broadcast(vs))
+        .crossJoin(F.broadcast(nch))
+        .select(F.explode(curve).alias("r"))
+        .select(
+            "r.permille",
+            "r.vocab_size",
+            "r.n_words",
+            "r.n_tokens",
+            F.round(
+                F.col("r.n_tokens") * 1.0 / F.col("r.n_words")
+                + F.lit(1e-9),
+                6,
+            ).alias("fertility"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

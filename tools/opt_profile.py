@@ -157,8 +157,20 @@ def main() -> None:
 
     import json as _json
 
-    with open(os.path.join(outdir, f"profile_{suffix}.json"), "w") as f:
-        _json.dump(rows, f, indent=1)
+    # Merge-by-name into any existing record: successive targeted runs
+    # accumulate one row per query (newest wins) instead of clobbering
+    # the earlier batch's rows.
+    path = os.path.join(outdir, f"profile_{suffix}.json")
+    merged: dict[str, dict] = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = {r["name"]: r for r in _json.load(f)}
+        except (OSError, ValueError):
+            merged = {}
+    merged.update({r["name"]: r for r in rows})
+    with open(path, "w") as f:
+        _json.dump(list(merged.values()), f, indent=1)
         f.write("\n")
     print(f"wrote {len(rows)} plans to {outdir} (suffix {suffix})")
 
