@@ -3871,13 +3871,15 @@ def text_bm25_retrieval(spark, sf_dir):
         .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    ad = base.agg(F.avg("dl").alias("avgdl"))
+    # one corpus pass for BOTH scalars (doc count + avg doclen) — the
+    # old separate n/ad branches each re-scanned documents
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
     scored = (
-        # bounded: dfreq capped at |_BM25_TERMS| rows; n/ad are 1-row
+        # bounded: dfreq capped at |_BM25_TERMS| rows; stats is 1-row
         tf.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(ad))
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             (

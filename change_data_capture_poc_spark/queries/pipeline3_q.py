@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
 from change_data_capture_poc_spark.sources.tables import load_table
-from change_data_capture_poc_spark.functions.windows import global_window
+from change_data_capture_poc_spark.functions.windows import (
+    global_agg_window,
+    global_window,
+)
 from change_data_capture_poc_spark.functions.caching import persist_once
 
 
@@ -101,9 +104,11 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    mn = c.agg(F.min("cnt").alias("mn"))
-    # bounded: 1-row min scalar (mn)
-    rates = c.crossJoin(F.broadcast(mn)).select(
+    # global min attached via bounded single-partition window (the old
+    # broadcast branch re-ran the per-source corpus count a second time)
+    rates = c.withColumn(
+        "mn", F.min("cnt").over(global_agg_window())
+    ).select(
         "source",
         ((F.col("mn") * 1000) / F.col("cnt"))
         .cast("long")
@@ -213,24 +218,26 @@ def eval_holdout_stratified_exact(
 
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    t = c.agg(F.sum("n_s").alias("n"))
-    # bounded: 1-row corpus total
-    quota = c.crossJoin(F.broadcast(t)).select(
+    # corpus total and base-quota shortfall are globals over the
+    # |sources|-row count table: attach both via the bounded
+    # single-partition window (shared with w_rem's lit(0) partitioning,
+    # so all three ride ONE tiny exchange) instead of two broadcast
+    # branches each replaying the per-source corpus count.
+    gw = global_agg_window()
+    quota = c.withColumn("n", F.sum("n_s").over(gw)).select(
         "source",
         F.expr(f"({_HOLDOUT_K} * n_s) DIV n").alias("base"),
         (F.lit(_HOLDOUT_K) * F.col("n_s") % F.col("n")).alias("rem"),
     )
-    short = quota.agg(
-        (F.lit(_HOLDOUT_K) - F.sum("base")).alias("extra")
-    )
     w_rem = global_window(F.col("rem").desc(), "source")
-    # bounded: 1-row shortfall scalar
-    k = quota.crossJoin(F.broadcast(short)).select(
+    k = quota.select(
         "source",
         (
             F.col("base")
             + F.when(
-                F.row_number().over(w_rem) <= F.col("extra"), 1
+                F.row_number().over(w_rem)
+                <= F.lit(_HOLDOUT_K) - F.sum("base").over(gw),
+                1,
             ).otherwise(0)
         ).cast("long").alias("k_s"),
     )
@@ -655,16 +662,17 @@ def corpus_quality_token_budget(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    budget = d.agg(
-        ((F.sum("n_tokens") * 2) / 5).cast("long").alias("budget")
-    )
     # Decile thresholds on the score; band 0 holds the HIGHEST scores
-    # so band order equals running order.
+    # so band order equals running order. Budget and thresholds are
+    # both corpus aggregates — ONE agg pass computes the pair (was two
+    # separate corpus scans, one per broadcast branch); the budget
+    # column rides through banding to the final cut.
     qs = ", ".join(str(1.0 - i / n_bands) for i in range(1, n_bands))
     th = d.agg(
-        F.expr(f"percentile(n_chars, array({qs}))").alias("t")
+        F.expr(f"percentile(n_chars, array({qs}))").alias("t"),
+        ((F.sum("n_tokens") * 2) / 5).cast("long").alias("budget"),
     )
-    # bounded: 1-row percentile-array scalar
+    # bounded: 1-row (percentile-array, budget) scalar
     banded = d.crossJoin(F.broadcast(th)).withColumn(
         "band",
         F.aggregate(
@@ -674,6 +682,8 @@ def corpus_quality_token_budget(
             + (F.col("n_chars") < t).cast("int"),
         ),
     ).drop("t")
+    # `banded` now carries the budget column map-side; the final cut
+    # reads it directly instead of a second broadcast branch.
     band_sums = banded.groupBy("band").agg(
         F.sum("n_tokens").alias("btok")
     )
@@ -694,14 +704,9 @@ def corpus_quality_token_budget(
         "cum_tokens",
         (F.col("off") + F.sum("n_tokens").over(w_run)).cast("long"),
     )
-    return (
-        # bounded: 1-row token budget
-        run.crossJoin(F.broadcast(budget))
-        .where(F.col("cum_tokens") <= F.col("budget"))
-        .select(
-            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-            "cum_tokens",
-        )
+    return run.where(F.col("cum_tokens") <= F.col("budget")).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
     )
 
 
@@ -1366,24 +1371,25 @@ def corpus_length_filter_tradeoff(
     base = d.select(
         "n_chars", F.size(F.split("text", " ")).alias("n_tok")
     )
-    tot = base.agg(
-        F.sum("n_tok").cast("long").alias("tot_tok"),
-        F.count(F.lit(1)).cast("long").alias("tot_docs"),
-    )
     th = spark.createDataFrame(
         [(t,) for t in _LEN_THRESHOLDS], "th bigint"
     )
     keep = F.col("n_chars") >= F.col("th")
     return (
-        # bounded: literal threshold table + 1-row total
+        # bounded: literal threshold table. Every base row lands in
+        # every th group, so the unconditional sum per group IS the
+        # corpus token total — computed inside the same partial-agg
+        # pass instead of a second corpus scan broadcast-attached to
+        # every pre-shuffle row (r13: one corpus pass, narrower
+        # exchange rows).
         base.crossJoin(F.broadcast(th))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("th", "tot_tok")
+        .groupBy("th")
         .agg(
             F.sum(F.when(keep, 1).otherwise(0)).cast("long")
             .alias("docs_kept"),
             F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long")
             .alias("tokens_kept"),
+            F.sum("n_tok").cast("long").alias("tot_tok"),
         )
         .select(
             F.col("th").alias("min_chars"),
