@@ -444,7 +444,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 def eval_minhash_estimator_calibration(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = _spark_grams(d).transform(persist_once)
-    sig = _spark_sigs(g)
+    # sigs feed both pair sides — pin so the minhash fold runs once
+    sig = _spark_sigs(g).transform(persist_once)
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
     )

@@ -886,6 +886,12 @@ def corpus_filter_funnel_attribution(
             .alias("stage"),
         )
     )
+    # r13 negative result: pinning an unfiltered per-stage count table
+    # and deriving the total from it (avoiding the second replay of the
+    # funnel join tree) measured ~8% SLOWER within-session (old med
+    # 1.99s vs new 2.25s at sf0.1) — the tiny cache's fill job
+    # serializes ahead of both consumers, while the duplicate branch
+    # runs fully pipelined. Keep the two-branch shape.
     c = st.where(F.col("stage") > 0).groupBy("stage").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1050,6 +1056,10 @@ def text_knn_similarity_graph(
             "doc_id_b",
             F.round(j_raw + F.lit(1e-9), 6).alias("jaccard"),
         )
+        # accepted-pair table, consumed twice by the symmetrization
+        # union — pin so the candidate join + exact array_intersect
+        # verification runs once, not once per direction
+        .transform(persist_once)
     )
     sym = jac.select(
         F.col("doc_id_a").alias("doc_id"),

@@ -1283,11 +1283,18 @@ def eval_bbit_minhash_compression(
         dedup_minhash_lsh,
     )
 
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
     k = _MINHASH_K
     pairs = dedup_minhash_lsh(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    g = _spark_grams(d)
-    sig = _spark_sigs(g)
+    # grams feed both gram sides AND the signature fold; sigs feed both
+    # signature sides — pin each so the shingle/minhash computation
+    # runs once instead of four gram passes (sa/sb/ga/gb branches).
+    g = _spark_grams(d).transform(persist_once)
+    sig = _spark_sigs(g).transform(persist_once)
     sa = sig.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
     )
