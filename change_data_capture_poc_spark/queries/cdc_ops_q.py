@@ -1213,9 +1213,6 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") <= F.col("mid"), 0).otherwise(1)
         .alias("grp"),
     )
-    n = v.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
-    n0 = n.where(F.col("grp") == 0).select(F.col("cnt").alias("n0"))
-    n1 = n.where(F.col("grp") == 1).select(F.col("cnt").alias("n1"))
     w = v.groupBy("value").agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("k0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
@@ -1241,10 +1238,19 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_off = global_window("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # Class totals are sums over the bounded (<= n_bands) band summary
+    # — same single-partition sort as the offset window, full frame —
+    # so the old n0/n1 branches (each replaying the corpus split+agg
+    # for a 1-row broadcast) collapse into this pass.
+    w_tot = global_window("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offs = bsum.select(
         "band",
         F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("off0"),
         F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+        F.sum("b0").over(w_tot).alias("n0"),
+        F.sum("b1").over(w_tot).alias("n1"),
     )
     w_run = (
         Window.partitionBy("band")
@@ -1255,9 +1261,10 @@ def events_ks_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = banded.join(F.broadcast(offs), "band").select(
         (F.col("off0") + F.sum("k0").over(w_run)).alias("c0"),
         (F.col("off1") + F.sum("k1").over(w_run)).alias("c1"),
+        "n0",
+        "n1",
     )
-    # bounded: 1-row class totals (n0/n1)
-    gap = cdf.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(n1)).select(
+    gap = cdf.select(
         F.abs(
             F.col("c0") * 1.0 / F.col("n0")
             - F.col("c1") * 1.0 / F.col("n1")

@@ -140,38 +140,37 @@ def corpus_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"), F.sum("n").alias("nt")
     )
 
-    tot = banded.groupBy("lang").agg(F.sum("nd").alias("n_lang"))
-    # Bounded window: one partition per language over the centinat
-    # band summary (~hundreds of rows), never the corpus.
-    cum = banded.withColumn(
-        "cm",
-        F.sum("nd").over(
-            Window.partitionBy("lang")
-            .orderBy("band")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    cuts = (
-        # bounded: |langs| total rows
-        cum.join(F.broadcast(tot), "lang")
-        .groupBy("lang")
-        .agg(
-            F.min(
-                F.when(F.col("cm") * 3 >= F.col("n_lang"), F.col("band"))
-            ).alias("cut1"),
-            F.min(
-                F.when(F.col("cm") * 3 >= 2 * F.col("n_lang"), F.col("band"))
-            ).alias("cut2"),
+    # Bounded windows: one partition per language over the centinat
+    # band summary (~hundreds of rows), never the corpus. The language
+    # total and both tercile cuts are per-language aggregates of this
+    # same frame, so they ride the one partitionBy(lang) exchange as
+    # additional window expressions — the old shape re-ran the whole
+    # corpus perplexity pipeline once for the totals branch and once
+    # for the final cut join (r13: 18 exchanges -> 7, banded computed
+    # once instead of three times).
+    w_lang = Window.partitionBy("lang")
+    cm = F.sum("nd").over(
+        w_lang.orderBy("band").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
     )
+    cum = banded.withColumn("cm", cm).withColumn(
+        "n_lang", F.sum("nd").over(w_lang)
+    )
+    cut1 = F.min(
+        F.when(F.col("cm") * 3 >= F.col("n_lang"), F.col("band"))
+    ).over(w_lang)
+    cut2 = F.min(
+        F.when(F.col("cm") * 3 >= 2 * F.col("n_lang"), F.col("band"))
+    ).over(w_lang)
     bucket = (
         F.when(F.col("band") <= F.col("cut1"), "head")
         .when(F.col("band") <= F.col("cut2"), "middle")
         .otherwise("tail")
     )
     return (
-        # bounded: |langs| cut rows
-        banded.join(F.broadcast(cuts), "lang")
+        cum.withColumn("cut1", cut1)
+        .withColumn("cut2", cut2)
         .select("lang", bucket.alias("bucket"), "nd", "nt")
         .groupBy("lang", "bucket")
         .agg(
