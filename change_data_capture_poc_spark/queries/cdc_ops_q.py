@@ -870,6 +870,11 @@ def cdc_lsn_gap_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # r13 negative result: pinning `flagged` for its two consumers
+    # (band starts + tx assignment) measured 1.47 -> 1.65s best-of-7 —
+    # the cache fill serializes ahead of both branches while the
+    # duplicate subtree runs fully pipelined (same verdict as the
+    # filter-funnel count-table pin). Shape kept as-is.
     # Running start-count = offset of starts in earlier bands (bounded
     # n_bands-row window) + band-local prefix of flags.
     band_starts = flagged.groupBy("band").agg(

@@ -2407,7 +2407,12 @@ def corpus_temperature_resample(
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    t = c.agg(F.sum("n_s").alias("n"))
+    # All three globals (doc total, weight sum, base-quota shortfall)
+    # are sums over the |sources|-row count table: attach them via the
+    # bounded single-partition window (shared with w_rem's lit(0)
+    # partitioning) instead of three broadcast branches each replaying
+    # the per-source corpus count.
+    gw = global_agg_window()
     w = c.select(
         "source",
         "n_s",
@@ -2417,39 +2422,34 @@ def corpus_temperature_resample(
         )
         .cast("long")
         .alias("w6"),
+    ).withColumn("n", F.sum("n_s").over(gw)).withColumn(
+        "wsum", F.sum("w6").over(gw)
     )
-    ws = w.agg(F.sum("w6").alias("wsum"))
-    # bounded: 1-row weight-sum scalar
-    quota = w.crossJoin(F.broadcast(ws)).select(
+    quota = w.select(
         "source",
         "n_s",
         "w6",
         "wsum",
+        "n",
         F.expr(f"({_RESAMPLE_BUDGET} * w6) DIV wsum").alias("base"),
         (F.lit(_RESAMPLE_BUDGET) * F.col("w6") % F.col("wsum")).alias(
             "rem"
         ),
     )
-    short = quota.agg(
-        (F.lit(_RESAMPLE_BUDGET) - F.sum("base")).alias("extra")
-    )
     w_rem = global_window(F.col("rem").desc(), "source")
-    return (
-        # bounded: 1-row total + 1-row shortfall scalars
-        quota.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(short))
-        .select(
-            "source",
-            F.col("n_s").cast("long").alias("n_docs"),
-            F.round(F.col("n_s") * 1.0 / F.col("n") + F.lit(1e-9), 6)
-            .alias("n_share"),
-            F.round(F.col("w6") * 1.0 / F.col("wsum") + F.lit(1e-9), 6)
-            .alias("q_share"),
-            (
-                F.col("base")
-                + F.when(
-                    F.row_number().over(w_rem) <= F.col("extra"), 1
-                ).otherwise(0)
-            ).cast("long").alias("target_docs"),
-        )
+    return quota.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_docs"),
+        F.round(F.col("n_s") * 1.0 / F.col("n") + F.lit(1e-9), 6)
+        .alias("n_share"),
+        F.round(F.col("w6") * 1.0 / F.col("wsum") + F.lit(1e-9), 6)
+        .alias("q_share"),
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem)
+                <= F.lit(_RESAMPLE_BUDGET) - F.sum("base").over(gw),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("target_docs"),
     )

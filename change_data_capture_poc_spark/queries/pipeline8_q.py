@@ -27,7 +27,7 @@ edges:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_poc_spark.registry import register
@@ -1696,7 +1696,9 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c1"),
     )
-    types = e.select("event_type").distinct()
+    # type domain from the bounded count table, not a second corpus
+    # distinct (every event lands in some bucket, so the sets agree)
+    types = c.select("event_type").distinct()
     grid = types.crossJoin(
         # bounded: literal _PSI_B bucket range
         F.broadcast(
@@ -1709,21 +1711,22 @@ def events_psi_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c0", F.lit(0)).alias("c0"),
         F.coalesce("c1", F.lit(0)).alias("c1"),
     )
-    # Per-type totals as a plain groupBy + join (the grid is
-    # |types| x 16 rows, so the join is trivial and reads simpler
-    # than the former double window-sum + MIN-aggregate).
-    tot = f.groupBy("event_type").agg(
-        F.sum("c0").cast("long").alias("n0"),
-        F.sum("c1").cast("long").alias("n1"),
-    )
+    # Per-type totals as window sums over the bounded |types| x 16
+    # grid — the former groupBy+join branch replayed the whole grid
+    # subtree (including the corpus bucket counts) a second time.
+    w_type = Window.partitionBy("event_type")
     smooth = _PSI_B * 0.5
     p = (F.col("c0") + 0.5) / (F.col("n0") + smooth)
     q = (F.col("c1") + 0.5) / (F.col("n1") + smooth)
-    terms = f.join(tot, "event_type").select(
-        "event_type",
-        "n0",
-        "n1",
-        ((p - q) * F.log(p / q)).alias("term"),
+    terms = (
+        f.withColumn("n0", F.sum("c0").over(w_type).cast("long"))
+        .withColumn("n1", F.sum("c1").over(w_type).cast("long"))
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            ((p - q) * F.log(p / q)).alias("term"),
+        )
     )
     return terms.groupBy("event_type").agg(
         F.min("n0").alias("n_first"),
