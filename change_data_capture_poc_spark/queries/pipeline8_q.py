@@ -751,35 +751,6 @@ def _hso_oracle() -> str:
     """
 
 
-def _hso_estimate(reg: DataFrame) -> DataFrame:
-    """Spark HLL estimate over a register frame (j, m) — one row, one
-    ``e`` column; agg_hll_portable's scaled-integer arithmetic."""
-    from change_data_capture_poc_spark.queries.pipeline6_q import (
-        _HLL_ALPHA,
-        _HLL_M,
-        _HLL_WBITS,
-    )
-
-    m, wb = _HLL_M, _HLL_WBITS
-    scale = 1 << (wb + 1)
-    s = reg.agg(
-        F.count(F.lit(1)).cast("long").alias("hit"),
-        F.sum(
-            F.expr(f"CAST(shiftleft(1L, {wb + 1} - m) AS BIGINT)")
-        ).alias("isum"),
-    )
-    e_raw = (
-        F.lit(_HLL_ALPHA * m * m * float(scale))
-        / (F.col("isum") + (F.lit(m) - F.col("hit")) * F.lit(scale))
-    )
-    zero = (F.lit(m) - F.col("hit")).cast("long")
-    e = F.when(
-        (e_raw <= 2.5 * m) & (zero > 0),
-        F.lit(float(m)) * F.log(F.lit(m) * 1.0 / zero),
-    ).otherwise(e_raw)
-    return s.select(e.alias("e"))
-
-
 @register(
     "agg_hll_set_ops",
     oracle=_hso_oracle(),
@@ -841,9 +812,45 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     regb = reg.where(F.col("event_type") == _HSO_B).select("j", "m")
     regu = reg.groupBy("j").agg(F.max("m").alias("m"))
 
-    ea = _hso_estimate(rega).select(F.col("e").alias("ea"))
-    eb = _hso_estimate(regb).select(F.col("e").alias("eb"))
-    eu = _hso_estimate(regu).select(F.col("e").alias("eu"))
+    # One tagged pass over the cached registers computes all three
+    # estimates (a / b / union) — the old three _hso_estimate branches
+    # each ran their own aggregation + broadcast build. Same per-tag
+    # integer (hit, isum) pairs, same estimator expression.
+    from change_data_capture_poc_spark.queries.pipeline6_q import (
+        _HLL_ALPHA,
+        _HLL_WBITS as _WB,
+    )
+
+    scale = 1 << (_WB + 1)
+    tagged = (
+        rega.select(F.lit("a").alias("t"), "m")
+        .unionByName(regb.select(F.lit("b").alias("t"), "m"))
+        .unionByName(regu.select(F.lit("u").alias("t"), "m"))
+    )
+    s3 = tagged.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {_WB + 1} - m) AS BIGINT)")
+        ).alias("isum"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA * m * m * float(scale))
+        / (F.col("isum") + (F.lit(m) - F.col("hit")) * F.lit(scale))
+    )
+    zero = (F.lit(m) - F.col("hit")).cast("long")
+    e_col = F.when(
+        (e_raw <= 2.5 * m) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(m) * 1.0 / zero),
+    ).otherwise(e_raw)
+    est = (
+        s3.select("t", e_col.alias("e"))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("t") == "a", F.col("e"))).alias("ea"),
+            F.max(F.when(F.col("t") == "b", F.col("e"))).alias("eb"),
+            F.max(F.when(F.col("t") == "u", F.col("e"))).alias("eu"),
+        )
+    )
 
     exact = ev.agg(
         F.countDistinct(
@@ -858,10 +865,8 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)
     )
     return (
-        # bounded: 1-row exact scalars (ea/eb/eu)
-        exact.crossJoin(F.broadcast(ea))
-        .crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
+        # bounded: 1-row estimate triple
+        exact.crossJoin(F.broadcast(est))
         .select(
             "a_exact",
             "b_exact",
