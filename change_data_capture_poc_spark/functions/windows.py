@@ -36,7 +36,7 @@ def global_agg_window() -> WindowSpec:
     one pass. Without orderBy the frame spans the whole partition, so
     ``F.sum(x).over(global_agg_window())`` equals the scalar total.
 
-    This replaces the ``crossJoin(F.broadcast(df.agg(...)))`` shape for
+    This replaces the ``crossJoin(broadcast(df.agg(...)))`` shape for
     scalar attachment: the broadcast form re-executes the frame's whole
     upstream subtree once per scalar (a separate broadcast-build job
     and an extra plan branch each time — the DoReMi plan carried 16

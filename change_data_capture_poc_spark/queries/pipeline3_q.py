@@ -1376,12 +1376,12 @@ def corpus_length_filter_tradeoff(
     )
     keep = F.col("n_chars") >= F.col("th")
     return (
-        # bounded: literal threshold table. Every base row lands in
-        # every th group, so the unconditional sum per group IS the
-        # corpus token total — computed inside the same partial-agg
-        # pass instead of a second corpus scan broadcast-attached to
-        # every pre-shuffle row (r13: one corpus pass, narrower
-        # exchange rows).
+        # Every base row lands in every th group, so the
+        # unconditional sum per group IS the corpus token total —
+        # computed inside the same partial-agg pass instead of a
+        # second corpus scan broadcast-attached to every pre-shuffle
+        # row (r13: one corpus pass, narrower exchange rows).
+        # bounded: th is a literal threshold table
         base.crossJoin(F.broadcast(th))
         .groupBy("th")
         .agg(

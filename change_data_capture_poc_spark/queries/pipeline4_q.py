@@ -752,19 +752,26 @@ def corpus_unimax_allocation(
         .groupBy("lang")
         .agg(F.sum("tk").cast("long").alias("n_tokens"))
     )
-    tot = per.agg(
-        F.count("*").cast("long").alias("n_langs"),
-        F.expr(
-            f"({_UM_NUM} * sum(n_tokens)) div {_UM_DEN}"
-        ).alias("budget"),
+    from change_data_capture_poc_spark.functions.windows import (
+        global_agg_window,
     )
+
+    # n_langs / budget are globals over the |langs|-row frame — attach
+    # via the bounded single-partition window (shared with the capacity
+    # ranking) instead of a broadcast branch replaying the per-lang
+    # corpus token count.
+    gw = global_agg_window()
     wo = global_window(F.col("capacity"), F.col("lang"))
     r = (
         per.withColumn(
             "capacity", (F.lit(_UM_E) * F.col("n_tokens")).cast("long")
         )
-        # bounded: 1-row total scalar
-        .crossJoin(F.broadcast(tot))
+        .withColumn("n_langs", F.count(F.lit(1)).over(gw))
+        .withColumn("_sumtok", F.sum("n_tokens").over(gw))
+        .withColumn(
+            "budget", F.expr(f"({_UM_NUM} * _sumtok) div {_UM_DEN}")
+        )
+        .drop("_sumtok")
         .withColumn("i", F.row_number().over(wo))
         .withColumn(
             "prefix_cap",

@@ -952,14 +952,19 @@ def corpus_data_constrained_epochs(
     tok = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("u")
     )
-    tot = tok.agg(
-        F.sum("u").cast("long").alias("t"),
-        F.count(F.lit(1)).cast("long").alias("k"),
+    # totals over the |sources|-row frame via the bounded
+    # single-partition window — no broadcast branch replaying the
+    # per-source corpus token count
+    from change_data_capture_poc_spark.functions.windows import (
+        global_agg_window,
     )
+
+    gw = global_agg_window()
     alloc = F.expr(f"CAST(({_DCE_BUDGET_X} * t) DIV k AS BIGINT)")
-    # bounded: 1-row total scalar
-    plan = tok.crossJoin(F.broadcast(tot)).select(
-        "source", "u", alloc.alias("budget_alloc")
+    plan = (
+        tok.withColumn("t", F.sum("u").over(gw).cast("long"))
+        .withColumn("k", F.count(F.lit(1)).over(gw))
+        .select("source", "u", alloc.alias("budget_alloc"))
     )
     repeats = F.greatest(
         F.col("budget_alloc") * 1.0 / F.col("u") - 1, F.lit(0.0)
@@ -1034,26 +1039,26 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
         & F.col("event_type").isin(_TT_A, _TT_B)
     )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("value").alias("mu"),
-        F.var_samp("value").alias("v"),
-    )
-    a = g.where(F.col("event_type") == _TT_A).select(
-        F.col("n").alias("na"), F.col("mu").alias("ma"),
-        F.col("v").alias("va"),
-    )
-    b = g.where(F.col("event_type") == _TT_B).select(
-        F.col("n").alias("nb"), F.col("mu").alias("mb"),
-        F.col("v").alias("vb"),
+    # Both groups' (n, mean, variance) in ONE conditional aggregation
+    # (count/avg/var_samp skip the NULLs the when() produces, so each
+    # column sees exactly its group's rows) — the old per-group filter
+    # branches replayed the corpus aggregation twice and cross-joined.
+    va_ = F.when(F.col("event_type") == _TT_A, F.col("value"))
+    vb_ = F.when(F.col("event_type") == _TT_B, F.col("value"))
+    stats = ev.agg(
+        F.count(va_).cast("long").alias("na"),
+        F.avg(va_).alias("ma"),
+        F.var_samp(va_).alias("va"),
+        F.count(vb_).cast("long").alias("nb"),
+        F.avg(vb_).alias("mb"),
+        F.var_samp(vb_).alias("vb"),
     )
     se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
     df_w = F.pow(se2, 2) / (
         F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
         + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
     )
-    # bounded: 1-row group-stats scalar
-    return a.crossJoin(F.broadcast(b)).select(
+    return stats.select(
         "na",
         "nb",
         F.round(F.col("ma") + F.lit(1e-9), 6).alias("mean_a"),

@@ -2543,6 +2543,7 @@ def wordpiece_threshold_sensitivity(
     # Length-1 chars never match the l>=2 jump joins, so omitting them
     # from the probe side changes nothing (jump falls back to 1).
     adm = (
+        # bounded: tot is the 1-row corpus token total
         freq.crossJoin(F.broadcast(tot))
         .where(F.col("freq") * 1000 >= F.col("t") * lo)
         .select(
@@ -2624,6 +2625,7 @@ def wordpiece_threshold_sensitivity(
     # vocab_size_p = |chars| + |admitted_p|: the two sets are disjoint
     # (chars are length-1, admitted substrings length >= 2), so the old
     # union+distinct count decomposes into two tiny aggregates.
+    # bounded: tot is the same 1-row total scalar
     vs = freq.crossJoin(F.broadcast(tot)).agg(
         *[
             F.count_if(
@@ -2647,6 +2649,7 @@ def wordpiece_threshold_sensitivity(
         ]
     )
     return (
+        # bounded: vs and nch are 1-row aggregate scalars
         stats.crossJoin(F.broadcast(vs))
         .crossJoin(F.broadcast(nch))
         .select(F.explode(curve).alias("r"))
