@@ -1275,6 +1275,38 @@ _QCLS_SCORE_SQL = f"""tok AS (
                FROM fh JOIN wtab USING (b) GROUP BY doc_id)"""
 
 
+def _qcls_cols(text):
+    """(n_tokens, quality_score) as pure row-wise Columns over a text
+    column. The hashing-trick feature weight is a pure per-token
+    function (md5 mod buckets -> linear-congruential weight), so the
+    mean-weight score is a higher-order fold over the token array —
+    MAP-ONLY: no explode, no weight-table join, no per-doc agg shuffle
+    (r13). The fold adds weights in token order, the same order one
+    doc's exploded rows reached the old hash-agg in (they never
+    crossed a partition boundary), so the double sum is bit-identical
+    to the old avg()."""
+    toks = F.split(text, " ")
+
+    def wt(t):
+        b = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % _QCLS_BUCKETS
+        )
+        return ((b * 37 + 11) % 21 - 10) / 10.0
+
+    n = F.size(toks)
+    m = (
+        F.aggregate(
+            F.transform(toks, lambda t: wt(t)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-m)) + F.lit(1e-9), 6)
+    return n.cast("long"), score
+
+
 @register(
     "text_quality_classifier_score",
     oracle=f"""
@@ -1289,41 +1321,20 @@ _QCLS_SCORE_SQL = f"""tok AS (
         f"every production pretraining pipeline runs (heuristic rules "
         f"catch boilerplate; a learned classifier catches fluent spam): "
         f"hashing-trick features (md5 token hash mod {_QCLS_BUCKETS}) "
-        f"looked up in a broadcast weight table, mean feature weight "
-        f"through a sigmoid, keep at 0.5. The weights here are a "
-        f"deterministic stand-in (a real model just swaps the table "
-        f"contents — the plumbing is identical); the weight table is "
-        f"constant-bounded ({_QCLS_BUCKETS} rows) so its broadcast is "
-        f"legitimate. One scan, one per-doc agg shuffle — the filter "
-        f"costs the same as a COUNT at 100 TB.",
+        f"mapped through a deterministic weight function, mean feature "
+        f"weight through a sigmoid, keep at 0.5. The weights here are "
+        f"a deterministic stand-in (a real model just swaps the weight "
+        f"function — the plumbing is identical). MAP-ONLY since r13: "
+        f"the per-doc mean is a higher-order fold over the token "
+        f"array, so the filter is one scan with zero shuffles at "
+        f"100 TB.",
 )
 def text_quality_classifier_score(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    f = tok.select(
+    n_tokens, score = _qcls_cols(F.col("text"))
+    return d.select(
         "doc_id",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-         % _QCLS_BUCKETS).alias("b"),
-    )
-    w = spark.range(_QCLS_BUCKETS).select(
-        F.col("id").alias("b"),
-        (((F.col("id") * 37 + 11) % 21 - 10) / 10.0).alias("wt"),
-    )
-    s = (
-        # bounded: literal weight table, _QCLS_BUCKETS rows
-        f.join(F.broadcast(w), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg("wt").alias("m"),
-        )
-    )
-    score = F.round(1.0 / (1.0 + F.exp(-F.col("m"))) + F.lit(1e-9), 6)
-    return s.select(
-        "doc_id",
-        "n_tokens",
+        n_tokens.alias("n_tokens"),
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
@@ -1792,34 +1803,39 @@ _QF_RULE_SQL = f"""qf_t AS (
 )
 def text_quality_filter(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "n_chars", F.split("text", " ").alias("w"))
-    w = F.col("w")
-    m = t.select(
-        "doc_id",
-        "n_chars",
-        F.size(w).alias("n_words"),
-        F.aggregate(
-            F.transform(w, lambda x: F.length(x)),
-            F.lit(0),
-            lambda a, b: a + b,
-        ).alias("sum_wlen"),
-        F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))).alias(
-            "n_alpha"
-        ),
-        F.arrays_overlap(
-            w, F.array(*[F.lit(s) for s in _STOPWORDS])
-        ).alias("has_stop"),
-    )
-    reason = (
-        F.when(F.col("n_chars") < 50, "too_short")
-        .when(F.col("n_chars") > 10000, "too_long")
-        .when(F.col("sum_wlen") < 2 * F.col("n_words"), "short_words")
-        .when(F.col("sum_wlen") > 12 * F.col("n_words"), "long_words")
-        .when(5 * F.col("n_alpha") < 3 * F.col("n_words"), "low_alpha")
-        .when(~F.col("has_stop"), "no_stopword")
-    )
-    return m.select(
+    reason = quality_drop_reason(F.col("text"), F.col("n_chars"))
+    return d.select(
         "doc_id", reason.alias("drop_reason"), reason.isNull().alias("keep")
+    )
+
+
+def quality_drop_reason(text, n_chars):
+    """The Gopher-rule drop reason (NULL == keep) as a pure row-wise
+    Column over (text, n_chars) — exposed so composing queries (the
+    datacard, the filter funnel, the calibration readout) can compute
+    it inline on an existing scan instead of joining the registered
+    plan's frame back on doc_id (r13: each such join replayed a full
+    corpus scan). Codegen's subexpression elimination shares the one
+    split() across the rule signals, exactly as the old projection
+    boundary did."""
+    w = F.split(text, " ")
+    n_words = F.size(w)
+    sum_wlen = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$")))
+    has_stop = F.arrays_overlap(
+        w, F.array(*[F.lit(s) for s in _STOPWORDS])
+    )
+    return (
+        F.when(n_chars < 50, "too_short")
+        .when(n_chars > 10000, "too_long")
+        .when(sum_wlen < 2 * n_words, "short_words")
+        .when(sum_wlen > 12 * n_words, "long_words")
+        .when(5 * n_alpha < 3 * n_words, "low_alpha")
+        .when(~has_stop, "no_stopword")
     )
 
 
@@ -4195,13 +4211,19 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LLM-pipeline extension.",
 )
 def eval_quality_score_calibration(spark, sf_dir):
-    sc = text_quality_classifier_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_score").alias("score")
-    )
-    lab = text_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_rule")
-    )
-    binned = sc.join(lab, "doc_id").select(
+    # Both inputs are row-wise functions of the same documents row
+    # (the classifier score is map-only as of r13), so the old doc_id
+    # join of the two registered plans was a self-join of two
+    # projections over the same scan — compute both columns in ONE
+    # scan instead (r13: 2 corpus scans + 1 corpus join -> 1 scan).
+    d = load_table(spark, sf_dir, "documents")
+    _n, score_c = _qcls_cols(F.col("text"))
+    keep_rule = quality_drop_reason(
+        F.col("text"), F.col("n_chars")
+    ).isNull()
+    binned = d.select(
+        score_c.alias("score"), keep_rule.alias("keep_rule")
+    ).select(
         F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
             "bin"
         ),

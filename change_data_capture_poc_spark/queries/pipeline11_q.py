@@ -296,16 +296,21 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_once,
     )
     from change_data_capture_poc_spark.queries.datapipe import (
-        text_quality_filter,
+        quality_drop_reason,
     )
     from change_data_capture_poc_spark.queries.pipeline3_q import (
-        split_train_val_test,
+        split_assignment,
     )
     from change_data_capture_poc_spark.queries.pipeline10_q import (
         _cdc_chunks,
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # keep (the Gopher rule verdict) and split (a doc_id hash) are
+    # pure row-wise functions, so they ride the base projection —
+    # the old doc_id joins against the registered quality/split plans
+    # replayed two full documents scans (r13: 3 corpus scans + 2
+    # corpus joins -> 1 scan).
     base = d.select(
         "doc_id",
         "source",
@@ -326,18 +331,18 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("binary")
         ).alias("nfp"),
+        quality_drop_reason(F.col("text"), F.col("n_chars"))
+        .isNull()
+        .alias("keep"),
+        split_assignment(F.col("doc_id")),
     ).transform(persist_once)
 
     kp = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     nkp = base.groupBy("nfp").agg(F.min("doc_id").alias("nkeeper"))
-    qf = text_quality_filter(spark, sf_dir).select("doc_id", "keep")
-    sp = split_train_val_test(spark, sf_dir).select("doc_id", "split")
 
     per = (
         base.join(kp, "fp")
         .join(nkp, "nfp")
-        .join(qf, "doc_id")
-        .join(sp, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -364,7 +369,9 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     top = (
-        d.groupBy("source", "lang")
+        # base carries one row per document with source/lang — reuse
+        # the pin instead of a second parquet scan
+        base.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .groupBy("source")
         .agg(

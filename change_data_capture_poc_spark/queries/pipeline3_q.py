@@ -71,13 +71,22 @@ def _md5_mod(col, mod: int):
 )
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = _md5_mod(F.col("doc_id"), 100)
     return d.select(
-        "doc_id",
-        "lang",
-        "source",
+        "doc_id", "lang", "source", split_assignment(F.col("doc_id"))
+    )
+
+
+def split_assignment(doc_id):
+    """The 80/10/10 split label as a pure row-wise Column over a
+    doc_id column — exposed so composing queries can stamp the split
+    on any frame that already carries the id (leakage audit pairs,
+    datacard rows) instead of joining the corpus-sized registered
+    plan back on doc_id (r13: each such join replayed a corpus
+    scan)."""
+    h = _md5_mod(doc_id, 100)
+    return (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-        .alias("split"),
+        .alias("split")
     )
 
 
@@ -956,16 +965,15 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    sp = split_train_val_test(spark, sf_dir).select("doc_id", "split")
-    sa = sp.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
-    )
-    sb = sp.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
-    )
+    # The split is a pure hash of the id, so stamp it straight onto
+    # the pair columns — the old two joins against the corpus-sized
+    # split frame replayed a documents scan per side (r13: 2 corpus
+    # scans + 2 joins -> 0; every candidate id exists in documents by
+    # construction, so the inner joins never dropped a pair).
+    sa = split_assignment(F.col("doc_id_a")).alias("split_a")
+    sb = split_assignment(F.col("doc_id_b")).alias("split_b")
     return (
-        pairs.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        pairs.select("doc_id_a", "doc_id_b", sa, sb)
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_id_a", "doc_id_b", "split_a", "split_b")
     )

@@ -857,23 +857,31 @@ def corpus_filter_funnel_attribution(
 ) -> DataFrame:
     from change_data_capture_poc_spark.functions.windows import global_window
     from change_data_capture_poc_spark.queries.datapipe import (
-        text_quality_classifier_score,
-        text_quality_filter,
+        _qcls_cols,
+        quality_drop_reason,
     )
 
-    qf = text_quality_filter(spark, sf_dir).select("doc_id", "drop_reason")
-    qs = text_quality_classifier_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_score").alias("score")
-    )
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
-    kp = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    # drop_reason, fp and score are all pure row-wise functions of the
+    # documents row (classifier score is map-only as of r13), so the
+    # old three doc_id joins against the registered plans were
+    # self-joins replaying a corpus scan each; the only cross-row
+    # signal is the exact-dup keeper, attached with ONE fp-partition
+    # window instead of the keeper-agg + fp join (r13: 4 corpus scans
+    # + 4 joins -> 1 scan + 1 window shuffle).
+    d = load_table(spark, sf_dir, "documents")
+    _n, score_c = _qcls_cols(F.col("text"))
     st = (
-        d.select("doc_id")
-        .join(qf, "doc_id")
-        .join(fp, "doc_id")
-        .join(kp, "fp")
-        .join(qs, "doc_id", "left")
+        d.select(
+            "doc_id",
+            quality_drop_reason(F.col("text"), F.col("n_chars")).alias(
+                "drop_reason"
+            ),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            score_c.alias("score"),
+        )
+        .withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
         .select(
             "doc_id",
             F.when(

@@ -1354,21 +1354,41 @@ def graph_triangle_count_dupgraph(
         e.alias("e3"),
         (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
     )
-    verts = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .agg(F.countDistinct("v").cast("long").alias("n_vertices"))
-    )
-    stats = (
-        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-        .crossJoin(w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
-        .crossJoin(
-            t.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # Vertex, edge AND wedge counts from ONE degree aggregation over
+    # the pinned edge set: n_vertices = |deg rows|, n_edges =
+    # sum(indeg), n_wedges = sum(indeg * outdeg) — identical to the
+    # old counts because the e1.b == e2.a join produces exactly
+    # indeg(v) * outdeg(v) rows per vertex. The old plan ran the
+    # pair-by-pair wedge join TWICE (count branch + close branch) and
+    # a separate distinct-vertex branch; at scale those were the two
+    # most expensive subtrees, and locally three branches collapse
+    # into one (r13).
+    deg = (
+        e.select(
+            F.col("b").alias("v"),
+            F.lit(1).alias("ind"),
+            F.lit(0).alias("outd"),
         )
+        .unionAll(
+            e.select(
+                F.col("a").alias("v"),
+                F.lit(0).alias("ind"),
+                F.lit(1).alias("outd"),
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("ind").alias("i"), F.sum("outd").alias("o"))
     )
-    return verts.crossJoin(stats).select(
-        "n_vertices", "n_edges", "n_wedges", "n_triangles"
+    g = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.coalesce(F.sum("i"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.col("i") * F.col("o")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
     )
+    return g.crossJoin(
+        t.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ).select("n_vertices", "n_edges", "n_wedges", "n_triangles")
 
 
 # ---------------------------------------------------------------------------
