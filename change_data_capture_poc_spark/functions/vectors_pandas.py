@@ -136,3 +136,50 @@ def label_blocked_cosine_pairs(
         )
 
     return df.groupBy(label_col).applyInPandas(pairs, out_schema)
+
+
+def label_blocked_semdedup_stats(
+    df: DataFrame,
+    threshold: float,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Per-label SemDeDup readout (members, duplicate pairs, dropped
+    members) in the SAME one-matmul-per-block pass that
+    ``label_blocked_cosine_pairs`` runs — for consumers that only need
+    the per-cluster aggregates, emitting them from the block avoids
+    materializing the pair list, re-attaching the label by joining the
+    assignment frame back, and re-running the block matmul once per
+    aggregate (r13). Pair semantics are identical: ids sorted
+    ascending, vec_a < vec_b, cosine rounded at 1e-6 before the
+    threshold compare; a member is "dropped" when it is the HIGHER id
+    of >= 1 kept pair."""
+    out_schema = T.StructType(
+        [
+            T.StructField(label_col, T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("n_dup_pairs", T.LongType()),
+            T.StructField("n_dropped", T.LongType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy())[order]
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(n == 0, 1.0, n)
+        sims = np.round(mat @ mat.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                label_col: [int(pdf[label_col].iloc[0])],
+                "n_members": [len(ids)],
+                "n_dup_pairs": [int(keep.sum())],
+                "n_dropped": [int(np.unique(ju[keep]).size)],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(stats, out_schema)

@@ -4125,7 +4125,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         collect_centroids,
     )
     from change_data_capture_poc_spark.functions.vectors_pandas import (
-        label_blocked_cosine_pairs,
+        label_blocked_semdedup_stats,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4139,37 +4139,26 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_argmin_expr(seeds).getField("cid").alias("cid"),
         "e",
     )
-    pairs = label_blocked_cosine_pairs(
+    # The whole per-cluster readout comes out of the SAME
+    # one-matmul-per-block pass that produced the pairs: every cluster
+    # emits its (members, dup pairs, dropped) row directly, so the old
+    # shape's pair re-label join (a replay of the corpus argmin), the
+    # member-count replay, the pair-list double consumption and two
+    # left joins all disappear (r13: 6 Exchange / 2 SortMergeJoin ->
+    # the one block shuffle; no cluster lacks a row, so the old
+    # COALESCE(_, 0) never fired differently).
+    stats = label_blocked_semdedup_stats(
         asgn.select(
             "vec_id", F.col("cid").alias("label"), F.col("e").alias("v")
         ),
         threshold=0.30,
     )
-    # Re-attach the cluster id to each (tiny) surviving pair via its
-    # left member — both members share cid by construction.
-    pairs_c = pairs.join(
-        asgn.select(F.col("vec_id").alias("vec_a"), "cid"), "vec_a"
-    ).select("cid", "vec_a", "vec_b")
-    m = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    pp = pairs_c.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-    dd = (
-        pairs_c.select("cid", "vec_b")
-        .distinct()
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
-    )
-    return (
-        m.join(pp, "cid", "left")
-        .join(dd, "cid", "left")
-        .select(
-            F.col("cid").alias("cluster_id"),
-            "n_members",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias(
-                "n_kept"
-            ),
-        )
+    return stats.select(
+        F.col("label").alias("cluster_id"),
+        "n_members",
+        "n_dup_pairs",
+        "n_dropped",
+        (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
     )
 
 

@@ -1847,15 +1847,27 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_detokenize_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    enc = bpe_encode_from_vocab(spark, sf_dir)
-    words = enc.groupBy("doc_id", "word_pos").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
-                lambda x: x["token"],
-            ),
-            "",
-        ).alias("word")
+    import os
+
+    d = ensure_bpe_vocab(spark, sf_dir)
+    v = spark.read.parquet(os.path.join(d, "vocab.parquet")).select(
+        "word", "toks"
+    )
+    doc = load_table(spark, sf_dir, "documents")
+    dw = doc.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("word_pos", "word"),
+    ).where(F.col("word") != "")
+    # Decode each word straight off its vocabulary token array:
+    # array_join(toks, '') IS the sorted-by-tok_idx concatenation the
+    # old path rebuilt by posexploding to token rows, broadcast-joining
+    # the id table (whose token_id the roundtrip never reads — but an
+    # inner join can't be pruned) and re-aggregating tokens per word.
+    # r13: the corpus-token shuffle + per-(doc, word) agg disappear;
+    # one per-doc aggregation remains (12.5 MB token-row shuffle -> a
+    # word-level one).
+    words = dw.join(v, "word").select(
+        "doc_id", "word_pos", F.array_join("toks", "").alias("word")
     )
     return words.groupBy("doc_id").agg(
         F.array_join(
