@@ -1176,27 +1176,38 @@ def text_js_divergence_sources(
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(persist_once)  # feeds the totals AND the p frame —
+        # unpinned, each consumer replays the corpus explode+count
+    )
     tot = c.groupBy("source").agg(F.sum("n").alias("t")).transform(persist_once)
     # bounded: |sources| total rows
     p = c.join(F.broadcast(tot), "source").select(
         "source", "tok", (F.col("n") * 1.0 / F.col("t")).alias("p")
     )
-    a = p.select(
-        F.col("source").alias("source_x"), "tok", F.col("p").alias("pa")
+    # Each token's source vector is bounded by |sources|, so collect
+    # it once and emit the x < y pairs with array functions — the old
+    # shape self-joined the p frame on tok, which replayed its whole
+    # upstream (corpus explode + two-level count) once per side and
+    # shuffled both for the join (r13: 2 corpus passes + self-join ->
+    # 1 pass + one |vocab|-row collect; array_sort orders by source,
+    # so slice-generated pairs are exactly the source_x < source_y
+    # join output).
+    g = p.groupBy("tok").agg(
+        F.array_sort(F.collect_list(F.struct("source", "p"))).alias("sp")
     )
-    b = p.select(
-        F.col("source").alias("source_y"),
-        F.col("tok").alias("tok_b"),
-        F.col("p").alias("pb"),
+    pair_arr = F.expr(
+        "flatten(transform(sp, (x, i) ->"
+        " transform(slice(sp, i + 2, size(sp) - i - 1), y ->"
+        " struct(x.source AS source_x, y.source AS source_y,"
+        " x.p AS pa, y.p AS pb))))"
     )
     m = F.col("pa") + F.col("pb")
     shared = (
-        a.join(
-            b,
-            (F.col("tok") == F.col("tok_b"))
-            & (F.col("source_x") < F.col("source_y")),
-        )
+        g.select(F.explode(pair_arr).alias("r"))
+        .select("r.source_x", "r.source_y", "r.pa", "r.pb")
         .groupBy("source_x", "source_y")
         .agg(
             F.sum(
