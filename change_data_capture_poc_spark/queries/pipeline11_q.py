@@ -337,12 +337,19 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assignment(F.col("doc_id")),
     ).transform(persist_once)
 
-    kp = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    nkp = base.groupBy("nfp").agg(F.min("doc_id").alias("nkeeper"))
+    from pyspark.sql import Window
 
+    # keeper flags via fingerprint-partition windows: one shuffle of
+    # the pinned base per fingerprint instead of a keeper-agg plus a
+    # join back (which re-reads base once per keeper table and, at
+    # scale, joins two corpus-sized frames)
     per = (
-        base.join(kp, "fp")
-        .join(nkp, "nfp")
+        base.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .withColumn(
+            "nkeeper", F.min("doc_id").over(Window.partitionBy("nfp"))
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -388,22 +395,16 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    ch = _cdc_chunks(spark, sf_dir).transform(persist_once)
-    chf = (
-        ch.groupBy("chunk_fp")
-        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("fk"))
-        .select(
-            "chunk_fp",
-            F.col("fk.doc_id").alias("f_doc"),
-            F.col("fk.chunk_idx").alias("f_idx"),
-        )
+    ch = _cdc_chunks(spark, sf_dir)
+    fk = F.min(F.struct("doc_id", "chunk_idx")).over(
+        Window.partitionBy("chunk_fp")
     )
     chdup = (
-        (F.col("doc_id") != F.col("f_doc"))
-        | (F.col("chunk_idx") != F.col("f_idx"))
+        (F.col("doc_id") != F.col("fk.doc_id"))
+        | (F.col("chunk_idx") != F.col("fk.chunk_idx"))
     ).cast("int")
     chs = (
-        ch.join(chf, "chunk_fp")
+        ch.withColumn("fk", fk)
         .groupBy("source")
         .agg(
             F.sum("n_words").alias("words_total"),
