@@ -903,7 +903,12 @@ def corpus_filter_funnel_attribution(
     c = st.where(F.col("stage") > 0).groupBy("stage").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = st.agg(F.count(F.lit(1)).alias("t"))
+    # st is one row per document (projection + window preserve
+    # cardinality), so the total is a bare count of the scan — the
+    # st.agg(count) form kept the fp window in the branch because
+    # stage's lineage references the keeper (verified in the captured
+    # plan: the window was NOT pruned).
+    tot = d.agg(F.count(F.lit(1)).alias("t"))
     stages = spark.createDataFrame(
         [(i + 1, name) for i, name in enumerate(_FUNNEL_STAGES)],
         "stage int, stage_name string",
