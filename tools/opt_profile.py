@@ -4,8 +4,9 @@ job count and plan-shape summary for a named set of bench queries.
 Usage:
     PYTHONPATH=/root/repo python tools/opt_profile.py [N_TOP | names...]
 
-Writes ``plans/r13/<name>_before.txt`` (``OPT_PROFILE_SUFFIX`` overrides
-the suffix, e.g. ``after``) with the formatted physical plan, and prints
+Writes ``plans/$OPT_PROFILE_ROUND/<name>_before.txt`` (round dir
+defaults to r14; ``OPT_PROFILE_SUFFIX`` overrides the suffix, e.g.
+``after``) with the formatted physical plan, and prints
 one summary row per query: best-of-3 seconds, shuffle MB (one rep),
 driver-store job count delta, and Exchange / join-strategy / Python-eval
 node counts greppable from the captured plan. Measurement only — never
@@ -68,7 +69,9 @@ def main() -> None:
     suffix = os.environ.get("OPT_PROFILE_SUFFIX", "before")
     reps = int(os.environ.get("OPT_PROFILE_REPS", "3"))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r13")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("OPT_PROFILE_ROUND", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
 
     spark = get_spark(app_name="opt_profile")
