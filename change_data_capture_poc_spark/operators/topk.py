@@ -116,3 +116,49 @@ def grouped_topk(
         .select(F.explode("_top").alias("_t"))
         .select("_t._p.*")
     )
+
+
+def variant_topk_hits(
+    scored: DataFrame,
+    k: int,
+    order_by: Sequence[tuple[str, bool]],
+) -> DataFrame:
+    """Ground-truth vs prediction hit counts from ONE fused top-k pass.
+
+    ``scored``: (q_id, neighbor_id, <order columns>, variant) where
+    ``variant`` tags each candidate row with the ranking it enters —
+    0 = exact/ground truth, 1 = the index's prediction. Callers build
+    the tags with one explode over the SHARED scored scan (a candidate
+    eligible for both rankings emits two tagged rows), so the corpus
+    scan, the candidate join and the similarity/distance fold all run
+    once where the two-pass eval shape ran them once PER ranking, and
+    the Arrow partial-top-k boundary (grouped_topk's mapInPandas) is
+    crossed once instead of twice (r14; guide §1.2 "don't compute
+    things twice", §4 fewer Python boundaries).
+
+    Returns (q_id, n_truth, hits): n_truth = ground-truth rows kept
+    (= k whenever the query has >= k candidates), hits = |gt ∩ pred|.
+    Row-identical to the two-pass form's
+    ``gt.join(pred, ["q_id", "neighbor_id"], "left").groupBy("q_id")``
+    readout: top-k rows are distinct per (q_id, variant) by
+    construction, so the pair-flag max() below is exactly the old
+    left-join hit flag.
+    """
+    top = grouped_topk(scored, ["q_id", "variant"], order_by, k)
+    return (
+        top.groupBy("q_id", "neighbor_id")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, 1).otherwise(0)).alias(
+                "_gt"
+            ),
+            F.max(F.when(F.col("variant") == 1, 1).otherwise(0)).alias(
+                "_pr"
+            ),
+        )
+        .where(F.col("_gt") == 1)
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum("_pr").cast("long").alias("hits"),
+        )
+    )

@@ -492,13 +492,9 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
-
-    def topk(scored: DataFrame) -> DataFrame:
-        return grouped_topk(
-            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
-            _ANN_K,
-        ).select("q_id", "neighbor_id")
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
     # 1e-6 rounding before ranking (float-portability rule): the engine
     # computes normalize-then-dot, the oracle dot/(norm*norm) — the two
@@ -507,40 +503,34 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # +1e-9 pre-round epsilon: repo ANN-rank convention (a cosine an
     # ulp from a 0.5e-6 boundary must round identically on both paths).
     cos6 = F.round(dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6)
-    gt = topk(
+    # Fused dual ranking (r14): ground truth and IVF prediction rank
+    # the SAME rounded cosine over subsets of the same candidate join —
+    # the IVF candidates (label == q_label) are a subset of the exact
+    # candidates — so one variant-tagged scan feeds both top-ks instead
+    # of two joins each re-evaluating the dot fold (guide §1.2/§4).
+    scored = (
         # bounded: query set capped at _N_QUERIES rows
         en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             cos6.alias("cos"),
+            F.explode(
+                F.when(
+                    F.col("label") == F.col("q_label"),
+                    F.array(F.lit(0), F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("variant"),
         )
     )
-    ivf = topk(
-        en.join(
-            # bounded: query set capped at _N_QUERIES rows
-            F.broadcast(q),
-            (F.col("label") == F.col("q_label"))
-            & (F.col("vec_id") != F.col("q_id")),
-        ).select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cos6.alias("cos"),
-        )
+    res = variant_topk_hits(
+        scored, _ANN_K, [("cos", False), ("neighbor_id", True)]
     )
-    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
-    return (
-        gt.join(
-            ivf.withColumn("hit_flag", F.lit(1)),
-            ["q_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.sum(hit).cast("long").alias("hits"),
-            F.round(F.sum(hit) * 1.0 / _ANN_K + 1e-9, 6).alias(
-                f"recall_at_{_ANN_K}"
-            ),
-        )
+    return res.select(
+        "q_id",
+        "hits",
+        F.round(F.col("hits") * 1.0 / _ANN_K + 1e-9, 6).alias(
+            f"recall_at_{_ANN_K}"
+        ),
     )
 
 
@@ -1574,51 +1564,56 @@ def eval_matryoshka_trunc_recall(
         F.col("nv").alias("qnv"),
         F.col("tnv").alias("qtnv"),
     )
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
-
-    def topk(scored: DataFrame) -> DataFrame:
-        return grouped_topk(
-            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
-            _ANN_K,
-        ).select("q_id", "neighbor_id")
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
     # bounded: query set capped at _N_QUERIES rows
     joined = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     # Ranking cosine rounded at 1e-6 — mirrors the oracle's ROUND so
     # different float paths can't flip epsilon-close ranks (same rule
     # as MMR/kmeans).
-    gt = topk(
-        joined.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
-            ).alias("cos"),
-        )
-    )
-    tr = topk(
-        joined.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot_product(F.col("tnv"), F.col("qtnv")) + F.lit(1e-9), 6
-            ).alias("cos"),
-        )
-    )
-    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
-    return (
-        gt.join(
-            tr.withColumn("hit_flag", F.lit(1)),
-            ["q_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.sum(hit).cast("long").alias("hits"),
-            F.round(F.sum(hit) * 1.0 / _ANN_K + 1e-9, 6).alias(
-                f"recall_trunc{_TRUNC_DIM}_at_{_ANN_K}"
+    # Fused dual ranking (r14): full-dim truth and truncated-dim
+    # prediction rank the same candidate pairs under different cosines
+    # — one variant-tagged scan evaluates both dot folds per pair in a
+    # single corpus pass instead of re-running the join per ranking
+    # (guide §1.2/§4).
+    vc = F.explode(
+        F.array(
+            F.struct(
+                F.lit(0).alias("variant"),
+                F.round(
+                    dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9),
+                    6,
+                ).alias("cos"),
+            ),
+            F.struct(
+                F.lit(1).alias("variant"),
+                F.round(
+                    dot_product(F.col("tnv"), F.col("qtnv"))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("cos"),
             ),
         )
+    )
+    scored = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), vc.alias("vc")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.col("vc.cos").alias("cos"),
+        F.col("vc.variant").alias("variant"),
+    )
+    res = variant_topk_hits(
+        scored, _ANN_K, [("cos", False), ("neighbor_id", True)]
+    )
+    return res.select(
+        "q_id",
+        "hits",
+        F.round(F.col("hits") * 1.0 / _ANN_K + 1e-9, 6).alias(
+            f"recall_trunc{_TRUNC_DIM}_at_{_ANN_K}"
+        ),
     )
 
 

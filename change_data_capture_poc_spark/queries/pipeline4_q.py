@@ -386,51 +386,46 @@ def ann_ivf_multiprobe_recall(
         _MP_P,
     ).select("q_id", "label")
 
-    cand = en.join(probed, "label").where(
-        F.col("vec_id") != F.col("q_id")
+    # Fused dual ranking (r14): the multiprobe candidates (label in the
+    # query's probe list) are a subset of the exact candidate set, so
+    # one variant-tagged scan feeds both top-ks — the old shape joined
+    # the corpus twice and evaluated the dot fold per ranking (guide
+    # §1.2/§4). The probe list is query-set x _MP_P rows — broadcast.
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
     )
-    mp = grouped_topk(
-        # bounded: query set capped at _N_QUERIES rows
-        cand.join(F.broadcast(q), "q_id").select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
-            ).alias("cos"),
-        ),
-        ["q_id"],
-        [("cos", False), ("neighbor_id", True)],
-        _MP_K,
-    ).select("q_id", "neighbor_id")
 
-    gt = grouped_topk(
+    scored = (
         # bounded: query set capped at _N_QUERIES rows
-        en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
-            ).alias("cos"),
-        ),
-        ["q_id"],
-        [("cos", False), ("neighbor_id", True)],
-        _MP_K,
-    ).select("q_id", "neighbor_id")
-
-    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
-    return (
-        gt.join(
-            mp.withColumn("hit_flag", F.lit(1)),
-            ["q_id", "neighbor_id"],
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .join(
+            # bounded: query set x _MP_P probe rows
+            F.broadcast(probed.withColumn("in_mp", F.lit(1))),
+            ["q_id", "label"],
             "left",
         )
-        .groupBy("q_id")
-        .agg(
-            F.sum(hit).cast("long").alias("hits"),
-            F.round(F.sum(hit) * 1.0 / _MP_K + 1e-9, 6).alias(
-                f"recall_at_{_MP_K}"
-            ),
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
+            ).alias("cos"),
+            F.explode(
+                F.when(
+                    F.col("in_mp") == 1, F.array(F.lit(0), F.lit(1))
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("variant"),
         )
+    )
+    res = variant_topk_hits(
+        scored, _MP_K, [("cos", False), ("neighbor_id", True)]
+    )
+    return res.select(
+        "q_id",
+        "hits",
+        F.round(F.col("hits") * 1.0 / _MP_K + 1e-9, 6).alias(
+            f"recall_at_{_MP_K}"
+        ),
     )
 
 

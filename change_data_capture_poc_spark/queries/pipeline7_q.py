@@ -513,36 +513,6 @@ def _pq_adc_parts(
     return q_meta, adc
 
 
-def _pq_exact_truth(e: DataFrame, qe: DataFrame) -> DataFrame:
-    """Exact full-dim L2 top-k per query — the deliberate eval-gate
-    brute force both PQ recall queries grade against."""
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
-
-    qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    exact_scored = (
-        # bounded: query set capped by _pq_queries
-        e.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-                + F.lit(1e-9),
-                6,
-            ).alias("dist"),
-        )
-    )
-    return grouped_topk(
-        exact_scored, ["q_id"], [("dist", True), ("neighbor_id", True)], _PQ_K
-    ).select("q_id", "neighbor_id")
-
-
 @register(
     "ann_pq_adc_recall",
     oracle=_pq_oracle(),
@@ -568,33 +538,69 @@ def _pq_exact_truth(e: DataFrame, qe: DataFrame) -> DataFrame:
         f"survives.",
 )
 def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
     e = _pq_embeddings(spark, sf_dir)
     cb = _pq_codebook(e)
-    codes = e.select("vec_id", *_pq_code_cols(cb))
     qe = _pq_queries(e)
     q_meta, adc = _pq_adc_parts(qe, cb)
+    # Fused dual ranking (r14): ADC prediction and exact truth rank the
+    # SAME candidate pairs under different distances — one corpus scan
+    # computes the PQ codes map-side AND carries the raw vector, joins
+    # the combined (q_id, q_idx, qv) broadcast once, and emits both
+    # variant rows per pair, where the old shape scanned the corpus
+    # twice (once coded, once raw) with a top-k pass each (guide
+    # §1.2/§4).
+    qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # bounded: per-query PQ metadata (query-set-capped)
+    qside = q_meta.join(qv, "q_id")
+    exact_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        + F.lit(1e-9),
+        6,
+    )
     scored = (
-        # bounded: per-query PQ metadata (query-set-capped)
-        codes.crossJoin(F.broadcast(q_meta))
+        e.select("vec_id", "v", *_pq_code_cols(cb))
+        # bounded: per-query PQ metadata + query vector (query-set-capped)
+        .crossJoin(F.broadcast(qside))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("variant"),
+                        exact_dist.alias("dist"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("variant"), adc.alias("dist")
+                    ),
+                )
+            ).alias("vc"),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("vc.dist").alias("dist"),
+            F.col("vc.variant").alias("variant"),
         )
     )
-    pred = grouped_topk(
-        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
-    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
-
-    truth = _pq_exact_truth(e, qe)
-    hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
-        "q_id"
-    ).agg(F.count("hit").cast("long").alias("n_hits"))
-    return hits.select(
+    res = variant_topk_hits(
+        scored, _PQ_K, [("dist", True), ("neighbor_id", True)]
+    )
+    return res.select(
         "q_id",
-        "n_hits",
-        F.round(F.col("n_hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
+        F.col("hits").alias("n_hits"),
+        F.round(F.col("hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
             "recall"
         ),
     )
@@ -1865,7 +1871,9 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from change_data_capture_poc_spark.functions.vectors import (
         centroid_argmin_expr,
     )
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
     e = _pq_embeddings(spark, sf_dir)
     cb = _pq_codebook(e)
@@ -1874,41 +1882,119 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver collect job over the same rows.
     cents = cb
 
-    codes = e.select(
-        "vec_id",
-        centroid_argmin_expr(cents, "v").getField("cid").alias("ccid"),
-        *_pq_code_cols(cb),
-    )
     qe = _pq_queries(e)
     qprobe = _ivfpq_qprobe(qe, cents)
     q_meta, adc = _pq_adc_parts(qe, cb)
-    cand = (
-        # bounded: query x probe-list rows (query-set-capped)
-        codes.join(F.broadcast(qprobe), "ccid")
+    # Fused dual ranking (r14): the ADC prediction candidates (coarse
+    # partition in the query's probe list) are a subset of the exact
+    # truth's all-pairs candidates — one corpus scan computes the
+    # coarse assignment + PQ codes map-side AND carries the raw vector,
+    # joins the combined (q_id, q_idx, qv) broadcast once, flags probe
+    # membership off the broadcast probe list, and emits one variant
+    # row for truth (always) plus one for the prediction (when probed).
+    # The old shape ran three corpus passes: raw-vector truth scan,
+    # coded prediction scan, and a candidate-count scan (guide
+    # §1.2/§4).
+    qv = qe.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # bounded: per-query PQ metadata + query vector (query-set-capped)
+    qside = q_meta.join(qv, "q_id")
+    exact_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    coded = e.select(
+        "vec_id",
+        "v",
+        centroid_argmin_expr(cents, "v").getField("cid").alias("ccid"),
+        *_pq_code_cols(cb),
+    )
+    scored = (
+        # bounded: per-query PQ metadata + query vector (query-set-capped)
+        coded.crossJoin(F.broadcast(qside))
         .where(F.col("vec_id") != F.col("q_id"))
-        # bounded: per-query PQ metadata (query-set-capped)
-        .join(F.broadcast(q_meta), "q_id")
+        .join(
+            # bounded: query x probe-list rows (query-set-capped)
+            F.broadcast(qprobe.withColumn("in_pred", F.lit(1))),
+            ["q_id", "ccid"],
+            "left",
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.when(
+                    F.col("in_pred") == 1,
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("variant"),
+                            exact_dist.alias("dist"),
+                        ),
+                        F.struct(
+                            F.lit(1).alias("variant"), adc.alias("dist")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("variant"),
+                            exact_dist.alias("dist"),
+                        )
+                    )
+                )
+            ).alias("vc"),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("vc.dist").alias("dist"),
+            F.col("vc.variant").alias("variant"),
+        )
     )
-    nc = cand.groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    res = variant_topk_hits(
+        scored, _PQ_K, [("dist", True), ("neighbor_id", True)]
     )
-    scored = cand.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
-    )
-    pred = grouped_topk(
-        scored, ["q_id"], [("adc_dist", True), ("neighbor_id", True)], _PQ_K
-    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
 
-    truth = _pq_exact_truth(e, qe)
-    hits = truth.join(pred, ["q_id", "neighbor_id"], "left").groupBy(
-        "q_id"
-    ).agg(F.count("hit").cast("long").alias("n_hits"))
-    # bounded: per-query truth counts (query-set-capped)
-    return hits.join(F.broadcast(nc), "q_id").select(
+    # Candidate counts without replaying the candidate join: the count
+    # is a sum of probed-partition sizes minus the query's own row when
+    # its own partition is probed — one cheap assignment-only pass
+    # (groupBy ccid, C rows out) replaces the old third corpus pass
+    # through the crossJoin (guide §1.2).
+    sizes = (
+        e.select(
+            centroid_argmin_expr(cents, "v").getField("cid").alias("ccid")
+        )
+        .groupBy("ccid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    own = qe.select(
+        F.col("vec_id").alias("q_id"),
+        centroid_argmin_expr(cents, "v").getField("cid").alias("ccid"),
+        F.lit(1).alias("self_in"),
+    )
+    nc = (
+        # bounded: query x probe-list rows joined to C partition sizes
+        qprobe.join(sizes, "ccid")
+        .join(own, ["q_id", "ccid"], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.sum("sz") - F.max(F.coalesce("self_in", F.lit(0))))
+            .cast("long")
+            .alias("n_candidates")
+        )
+    )
+    # bounded: per-query candidate counts (query-set-capped)
+    return res.join(F.broadcast(nc), "q_id").select(
         "q_id",
         "n_candidates",
-        "n_hits",
-        F.round(F.col("n_hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
+        F.col("hits").alias("n_hits"),
+        F.round(F.col("hits") / float(_PQ_K) + F.lit(1e-9), 6).alias(
             "recall"
         ),
     )

@@ -379,7 +379,9 @@ def eval_ann_recall_sampled_truth(
         dot_product,
         unit_normalize,
     )
-    from change_data_capture_poc_spark.operators.topk import grouped_topk
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -396,45 +398,31 @@ def eval_ann_recall_sampled_truth(
     )
     s = en.where(_ast_hash_pred_spark("vec_id"))
 
-    def topk(scored: DataFrame) -> DataFrame:
-        return grouped_topk(
-            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
-            _AST_K,
-        ).select("q_id", "neighbor_id")
-
     cos6 = F.round(
         dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
     )
-    gt = topk(
+    # Fused dual ranking (r14): within the sampled pool the IVF
+    # candidates (label == q_label) are a subset of the exact
+    # candidates — one variant-tagged scan feeds both top-ks instead of
+    # two pool joins each re-evaluating the dot fold (guide §1.2/§4).
+    scored = (
         # bounded: query set capped at _N_QUERIES rows
         s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-            "q_id", F.col("vec_id").alias("neighbor_id"),
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
             cos6.alias("cos"),
+            F.explode(
+                F.when(
+                    F.col("label") == F.col("q_label"),
+                    F.array(F.lit(0), F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("variant"),
         )
     )
-    ivf = topk(
-        s.join(
-            # bounded: query set capped at _N_QUERIES rows
-            F.broadcast(q),
-            (F.col("label") == F.col("q_label"))
-            & (F.col("vec_id") != F.col("q_id")),
-        ).select(
-            "q_id", F.col("vec_id").alias("neighbor_id"),
-            cos6.alias("cos"),
-        )
-    )
-    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
     p = F.col("hits") * 1.0 / F.col("n_truth")
     return (
-        gt.join(
-            ivf.withColumn("hit_flag", F.lit(1)),
-            ["q_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_truth"),
-            F.sum(hit).cast("long").alias("hits"),
+        variant_topk_hits(
+            scored, _AST_K, [("cos", False), ("neighbor_id", True)]
         )
         .select(
             "q_id",

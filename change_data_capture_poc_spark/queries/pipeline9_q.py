@@ -308,39 +308,39 @@ def ann_multiprobe_recall_sampled_truth(
         dot_product(F.col("nv"), F.col("qnv")) + F.lit(1e-9), 6
     )
 
-    def topk(scored: DataFrame) -> DataFrame:
-        return grouped_topk(
-            scored, ["q_id"], [("cos", False), ("neighbor_id", True)],
-            _MP_K,
-        ).select("q_id", "neighbor_id")
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
 
-    mp = topk(
-        s.join(probed, "label")
-        .where(F.col("vec_id") != F.col("q_id"))
+    # Fused dual ranking (r14): the multiprobe candidates (label in the
+    # query's probe list) are a subset of the pool's exact candidates —
+    # one variant-tagged scan of the sampled pool feeds both top-ks
+    # instead of two pool joins each re-evaluating the dot fold (guide
+    # §1.2/§4). The probe list is query-set x _MP_P rows — broadcast.
+    scored = (
         # bounded: query set capped at _N_QUERIES rows
-        .join(F.broadcast(q), "q_id")
-        .select(
-            "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
-        )
-    )
-    gt = topk(
-        # bounded: query set capped at _N_QUERIES rows
-        s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-            "q_id", F.col("vec_id").alias("neighbor_id"), cos6.alias("cos")
-        )
-    )
-    hit = F.when(F.col("hit_flag").isNotNull(), 1).otherwise(0)
-    p = F.col("hits") * 1.0 / F.col("n_truth")
-    return (
-        gt.join(
-            mp.withColumn("hit_flag", F.lit(1)),
-            ["q_id", "neighbor_id"],
+        s.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .join(
+            # bounded: query set x _MP_P probe rows
+            F.broadcast(probed.withColumn("in_mp", F.lit(1))),
+            ["q_id", "label"],
             "left",
         )
-        .groupBy("q_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_truth"),
-            F.sum(hit).cast("long").alias("hits"),
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos6.alias("cos"),
+            F.explode(
+                F.when(
+                    F.col("in_mp") == 1, F.array(F.lit(0), F.lit(1))
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("variant"),
+        )
+    )
+    p = F.col("hits") * 1.0 / F.col("n_truth")
+    return (
+        variant_topk_hits(
+            scored, _MP_K, [("cos", False), ("neighbor_id", True)]
         )
         .select(
             "q_id",

@@ -231,3 +231,65 @@ def test_global_row_number_no_single_partition_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert unpartitioned_window_count(out) == 0
+
+
+def test_variant_topk_hits_equals_two_pass_reference(spark):
+    """variant_topk_hits (the r14 fused dual-ranking eval) must be
+    row-identical to the two independent top-k passes + hit LEFT JOIN
+    it replaced — including queries whose prediction ranking has fewer
+    than k candidates, zero candidates, and under-k truth groups."""
+    from change_data_capture_poc_spark.operators.topk import (
+        variant_topk_hits,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for q in range(6):
+        # q 0-4 get 40 candidates, q 5 only 3 (truth group under k);
+        # prediction eligibility is sparse (and empty for q 4).
+        n = 40 if q < 5 else 3
+        for i in range(n):
+            pred_ok = (q != 4) and rng.random() < 0.3
+            rows.append((q, 1000 * q + i, round(rng.random(), 6), pred_ok))
+    df = spark.createDataFrame(
+        rows, "q_id long, neighbor_id long, cos double, pred_ok boolean"
+    ).repartition(7)
+
+    k = 5
+    order = [("cos", False), ("neighbor_id", True)]
+    scored = df.select(
+        "q_id",
+        "neighbor_id",
+        "cos",
+        F.explode(
+            F.when(
+                F.col("pred_ok"), F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("variant"),
+    )
+    got = sorted(
+        map(tuple, variant_topk_hits(scored, k, order).collect())
+    )
+
+    gt = grouped_topk(
+        df.select("q_id", "neighbor_id", "cos"), ["q_id"], order, k
+    ).select("q_id", "neighbor_id")
+    pred = grouped_topk(
+        df.where("pred_ok").select("q_id", "neighbor_id", "cos"),
+        ["q_id"],
+        order,
+        k,
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+    want = sorted(
+        map(
+            tuple,
+            gt.join(pred, ["q_id", "neighbor_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.count("hit").cast("long").alias("hits"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
