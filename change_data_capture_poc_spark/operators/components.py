@@ -45,8 +45,17 @@ def connected_components(
     Undirected: each input pair is traversed in both directions.
     Raises if the loop hits ``max_rounds`` without converging (a
     diameter that deep means the large-star/small-star variant is
-    needed, not more rounds).
+    needed, not more rounds). Round 0 is fused into initialization
+    (see below), so ``max_rounds`` must be >= 2: the fused init cannot
+    observe its own convergence, and range(max_rounds - 1) would
+    otherwise raise unconditionally even on an already-converged graph
+    (r13 ADVICE).
     """
+    if max_rounds < 2:
+        raise ValueError(
+            f"max_rounds must be >= 2 (round 0 is fused into the label "
+            f"initialization); got {max_rounds}"
+        )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -88,6 +97,13 @@ def connected_components(
             # count is a filter over already-materialized rows — one join
             # per round, not two (the old shape re-joined new vs old labels
             # just to count diffs, doubling per-round shuffle work).
+            # LAZY checkpoint (r14): the changed-count action below is
+            # the round's materializer, so marking the checkpoint lazy
+            # folds truncation into that job — one driver job per round
+            # instead of two (eager checkpoint + count), halving the
+            # per-round fixed job latency that dominates the iterative
+            # block at bench scale (guide §1.2). Later consumers (next
+            # round's joins) read the already-persisted blocks.
             stepped = (
                 labels.join(nbr_min, "node", "left")
                 .select(
@@ -98,7 +114,7 @@ def connected_components(
                         F.coalesce("nbr_component", F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             changed = stepped.where(
                 F.col("component") != F.col("old_component")
@@ -134,21 +150,38 @@ def pagerank(
     ``localCheckpoint`` per iteration truncates lineage. Every node in
     a pair graph has degree >= 1 — no dangling-node mass term.
     """
+    from change_data_capture_poc_spark.functions.caching import (
+        free_local_checkpoint,
+    )
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # EAGER checkpoint: one job computes the (possibly expensive)
+    # upstream edge pipeline exactly once; everything below reads the
+    # materialized blocks (r14 — the old persist_once shape needed an
+    # extra eager ranks-init job just to serialize the cache fill).
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .transform(persist_once)
+        .localCheckpoint()
     )
     deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     # Degrees are loop-invariant: fold them into the edge table ONCE so
     # each iteration is a single rank join + contribution shuffle, not
-    # rank-join + degree-join.
-    e_deg = e.join(deg, "a").transform(persist_once)
-    ranks = deg.select(
+    # rank-join + degree-join. Eager: iterations read these blocks.
+    e_deg = e.join(deg, "a").localCheckpoint()
+    # e's blocks have no reader anymore (ranks init below derives from
+    # e_deg, not deg, exactly so e can be freed here).
+    free_local_checkpoint(e)
+    ranks = e_deg.select(
         F.col("a").alias("node"), F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    ).distinct()
 
+    # LAZY checkpoints (r14): iteration k+1 consumes iteration k's
+    # ranks exactly once and every iteration reads the checkpointed
+    # e_deg, so the whole fixed-iteration chain materializes inside the
+    # CALLER's single action — zero per-iteration driver jobs where the
+    # old shape paid one eager checkpoint job per iteration (guide
+    # §1.2; lineage still truncates at each marked RDD once computed).
     for _ in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg["a"] == ranks["node"])
@@ -161,10 +194,8 @@ def pagerank(
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias(
                 "rank"
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
-    e_deg.unpersist()
-    e.unpersist()
     return ranks
 
 
@@ -242,6 +273,15 @@ def two_phase_components(
         )
         # small-star over the large->small directed edges
         sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        # LAZY checkpoint (r14): the checksum collect below is the
+        # round's materializer, so the small-star edge set checkpoints
+        # inside that job — two driver jobs per round instead of three
+        # (the r13 loop-shape A/Bs all kept the eager pair; folding the
+        # convergence action into the materialization is the remaining
+        # per-round latency, guide §1.2). ls stays EAGER: it is consumed
+        # by two sibling stages (sm's groupBy and the join probe) whose
+        # concurrent first-computation would race the cache fill — the
+        # measured r13 persist-instead-of-checkpoint regression.
         ss = (
             ls.join(sm, "a")
             .select(
@@ -259,7 +299,7 @@ def two_phase_components(
             .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = checksum(ss)
         e = ss
