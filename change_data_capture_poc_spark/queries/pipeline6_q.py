@@ -130,10 +130,21 @@ def dedup_substring_suffix_runs(
             )
         ).alias("pos", "gh"),
     )
-    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("occ")).where(
-        F.col("occ") > 1
+    # Duplicate test as ONE gh-keyed window count (r14): the old
+    # agg-then-self-join shape executed the gram explode + md5 pass
+    # twice and shuffled the gram table twice (once into the count agg,
+    # once into the join); a count() over an unordered gh window finds
+    # the same duplicated positions with a single pass and a single
+    # exchange (guide §2.4 — two operations keyed the same way share
+    # one exchange). Partition-size bound: a window partition is one
+    # gram hash's occurrence list, exactly the group the old agg built.
+    dpos = (
+        grams.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .where(F.col("occ") > 1)
+        .select("doc_id", "pos")
     )
-    dpos = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
     # Gaps-and-islands run merge: both windows keyed by doc_id.
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dpos.withColumn(
@@ -729,12 +740,20 @@ def dedup_substring_removal(
             )
         ).alias("pos", "gh"),
     )
-    keeper = grams.groupBy("gh").agg(
-        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("keep_key"),
-        F.count(F.lit(1)).alias("occ"),
-    )
+    # Keeper resolution as gh-keyed window functions (r14): the old
+    # agg-then-self-join shape executed the gram explode + md5 pass
+    # twice and shuffled the gram table twice (the suite's largest
+    # shuffle); count+min over an unordered gh window compute the same
+    # occ/keep_key per occurrence row in ONE pass and ONE exchange
+    # (guide §2.3/§2.4). Partition-size bound: one gram hash's
+    # occurrence list — the identical group the old agg built.
+    wgh = Window.partitionBy("gh")
     drop_pos = (
-        grams.join(keeper, "gh")
+        grams.withColumn(
+            "keep_key",
+            F.min(F.col("doc_id") * 1000000 + F.col("pos")).over(wgh),
+        )
+        .withColumn("occ", F.count(F.lit(1)).over(wgh))
         .where(
             (F.col("occ") > 1)
             & (

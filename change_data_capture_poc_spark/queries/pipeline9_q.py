@@ -3179,13 +3179,26 @@ def unigram_em_expected_counts(
 ) -> DataFrame:
     import os
 
+    from change_data_capture_poc_spark.functions.caching import (
+        persist_once,
+    )
+
     words, _chars, _freq, _tot = _wp_tables(spark, sf_dir)
     d = ensure_unigram_vocab(spark, sf_dir)
     vocab = spark.read.parquet(os.path.join(d, "vocab.parquet"))
     z = vocab.agg(F.sum("cnt").cast("double").alias("z"))
     # bounded: 1-row Z scalar
-    prob = vocab.crossJoin(F.broadcast(z)).select(
-        "token", (F.col("cnt") * F.lit(1.0) / F.col("z")).alias("p")
+    # persist_once (r14): prob feeds the 4 per-length lattice broadcasts
+    # AND the occurrence join — without the pin each of those 5
+    # consumers re-reads the vocab parquet and re-runs the Z aggregation
+    # to rebuild this tiny (alphabet + top-K pieces) table (guide §5;
+    # before-plan showed 10 BroadcastExchanges for 5 logical builds).
+    prob = (
+        vocab.crossJoin(F.broadcast(z))
+        .select(
+            "token", (F.col("cnt") * F.lit(1.0) / F.col("z")).alias("p")
+        )
+        .transform(persist_once)
     )
 
     # Per-(word, start-pos) piece probabilities p1..p4, collected into
