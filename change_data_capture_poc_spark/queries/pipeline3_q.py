@@ -1958,23 +1958,31 @@ def kmeans_multi_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     final = ed.select("e", nearest(cent).getField("cid").alias("cid"))
     ed.unpersist()
-    dims = F.explode(
-        F.expr(
-            f"transform(sequence(1, {_KM_DIM}), "
-            f"i -> struct(i AS dim, element_at(e, i) AS x))"
-        )
-    )
+    # Readout as ONE k-group aggregation with 64 avg columns (r14): the
+    # old explode-then-groupBy(cluster, dim) shuffled n x 64 scalar
+    # rows; per-cluster column aggregates are map-side partial (k x 65
+    # values cross the exchange) and the (dim, value) rows are exploded
+    # AFTER the agg — guide §2.3 "aggregate before you shuffle". Same
+    # rounded avg per (cluster, dim), n_members = cluster size exactly
+    # as the old per-dim count.
     return (
-        final.select("cid", dims.alias("dx"))
-        .select(
-            F.col("cid").alias("cluster_id"),
-            F.col("dx.dim").alias("dim"),
-            F.col("dx.x").alias("x"),
-        )
-        .groupBy("cluster_id", "dim")
+        final.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
-            F.round(F.avg("x") + 1e-9, 6).alias("centroid_val"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
+            *avg_aggs,
+        )
+        .select(
+            "cluster_id",
+            F.posexplode(
+                F.array(*[F.col(f"c{i}") for i in range(_KM_DIM)])
+            ).alias("dim0", "centroid_val"),
+            "n_members",
+        )
+        .select(
+            "cluster_id",
+            (F.col("dim0") + 1).alias("dim"),
+            "centroid_val",
+            "n_members",
         )
     )
 
