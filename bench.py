@@ -8,7 +8,19 @@ kept deliberately small (the 54-query detail dict blew past the capture
 window in rounds 3-4 and recorded as ``parsed: null``). The full
 per-query timing + variance record is written to ``BENCH_DETAIL.json``
 next to this file (committed per round), and the final stdout line
-carries the headline metric plus a pointer to that file.
+carries the headline metric plus a pointer to that file. The compact
+``queries`` dict keeps the original five entries and ADDS the top-10
+most expensive non-canary queries plus ``cpus`` (r14) so the driver's
+round-over-round PERF table compares engine queries, not just the
+frozen drift canaries.
+
+Artifact hygiene (r14): the run sets a per-run ``SPARK_GRAFT_TMP_NS``
+nonce before building the session, so serve-path queries
+(ann_serve_from_index, chunk_incremental_serve, ...) can never read an
+index a PREVIOUS run built — their first rep pays the in-run build,
+and the best-of-N min reports serve-only cost off this run's artifact.
+Artifact dirs created under the nonce are removed when the run ends
+(the serve_probe snapshot-diff pattern).
 
 Each query is materialized via a cheap full-evaluation action
 (``count`` on the final plan would let Catalyst prune work, so we use
@@ -195,13 +207,65 @@ HEADLINE = (
 # The median of their ratios becomes a normalization coefficient so a
 # loaded driver run stops minting phantom >2x flags on engine queries
 # (rounds 9-11 each burned judge time adjudicating exactly that).
+#
+# Cost classes (r14): the original five canaries are among the suite's
+# cheapest, most overhead-sensitive queries, and their coefficient
+# demonstrably does not transfer to multi-second queries (r13: canary
+# median 0.686 on identical code whose full-suite ratio was 0.969).
+# The set now spans three cost brackets — a canary belongs to the
+# bracket its COMMITTED BASELINE time falls in (self-maintaining as
+# baselines move), and each non-canary query's regression threshold is
+# normalized by its own bracket's median (falling back to the global
+# median when a bracket has no usable canary). The four additions are
+# plan-frozen queries untouched since early rounds: a shuffle-heavy
+# as-of join and a multi-table ANN (mid bracket), an Arrow
+# applyInPandas rerank and a pool+window mining shape (heavy bracket).
 CANARIES = (
     "pricing_summary",
     "scd2_user_state",
     "dedup_minhash_lsh",
     "join_left_outer",
     "window_running_sum",
+    "asof_join_order_events",
+    "ann_cosine_lsh_hyperplane",
+    "ann_mmr_diversified_rerank",
+    "ann_hard_negative_mining",
 )
+
+# Baseline-second edges between the cheap / mid / heavy cost brackets.
+CLASS_EDGES = (1.0, 2.0)
+
+
+def _class_of(base_sec: float) -> str:
+    lo, hi = CLASS_EDGES
+    if base_sec < lo:
+        return "cheap"
+    return "mid" if base_sec < hi else "heavy"
+
+
+def _drift_by_class(
+    timings: dict[str, float], base_q: dict[str, float]
+) -> dict[str, float]:
+    """{cost class: raw median canary ratio}, canaries grouped by the
+    bracket of their BASELINE time; brackets with no usable canary are
+    absent. Raw like _drift — the sanity policy stays in _drift_factor."""
+    by: dict[str, list[float]] = {}
+    for c in CANARIES:
+        if c in timings and base_q.get(c, 0) > 0:
+            by.setdefault(_class_of(base_q[c]), []).append(
+                timings[c] / base_q[c]
+            )
+    out = {}
+    for cls, ratios in by.items():
+        ratios.sort()
+        mid = len(ratios) // 2
+        out[cls] = round(
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2,
+            3,
+        )
+    return out
 
 
 def _drift(timings: dict[str, float], base_q: dict[str, float]) -> float | None:
@@ -288,6 +352,31 @@ def main() -> None:
     # means the box was NOT quiet for this run.
     load_start = os.getloadavg()
 
+    # Per-run artifact namespace (r14): serve-path queries resolve
+    # their persisted indexes through functions/artifacts.artifact_dir,
+    # which keys on this env var — a fresh nonce guarantees this run's
+    # serve timings are served off an index THIS run built (first rep
+    # builds, best-of-N min reports serve-only). The snapshot diff in
+    # the finally block removes the run's artifacts so reruns neither
+    # reuse nor leak.
+    import glob
+    import shutil
+
+    prior_ns = os.environ.get("SPARK_GRAFT_TMP_NS")
+    os.environ["SPARK_GRAFT_TMP_NS"] = f"bench{os.getpid()}"
+    pre_dirs = set(glob.glob("/tmp/spark_graft_*"))
+    try:
+        _run(sf_dir, sf, load_start)
+    finally:
+        if prior_ns is None:
+            os.environ.pop("SPARK_GRAFT_TMP_NS", None)
+        else:
+            os.environ["SPARK_GRAFT_TMP_NS"] = prior_ns
+        for d in set(glob.glob("/tmp/spark_graft_*")) - pre_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(sf_dir: str, sf: float | None, load_start) -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
@@ -372,6 +461,21 @@ def main() -> None:
         drift, dfac, drift_suspect = _drift_factor(
             _drift(timings, base_q)
         )
+        # Per-class coefficients (r14): a query's threshold uses the
+        # median of the canaries in ITS baseline cost bracket — cheap
+        # canaries swing far harder than multi-second queries, so one
+        # global coefficient either under- or over-absorbs. A bracket
+        # median outside the sanity bounds (or missing) falls back to
+        # the global dfac.
+        drift_cls = _drift_by_class(timings, base_q)
+        lo_b, hi_b = DRIFT_BOUNDS
+
+        def _dfac_for(base_sec: float) -> float:
+            med = drift_cls.get(_class_of(base_sec))
+            if med is not None and lo_b <= med <= hi_b:
+                return med
+            return dfac
+
         # Any apparent >2x regression gets ONE isolated re-run before
         # being recorded — round-3 burned judge time on five phantom
         # regressions that were ambient load, not engine cost. The
@@ -385,7 +489,7 @@ def main() -> None:
                 name not in CANARIES
                 and name in base_q
                 and base_q[name] > 0
-                and t > 2 * base_q[name] * dfac
+                and t > 2 * base_q[name] * _dfac_for(base_q[name])
             ):
                 _measure(name, 1)
 
@@ -412,14 +516,18 @@ def main() -> None:
                 "now": t,
                 "baseline": base_q[name],
                 "ratio": round(t / base_q[name], 2),
-                "ratio_drift_adj": round(t / (base_q[name] * dfac), 2),
+                "ratio_drift_adj": round(
+                    t / (base_q[name] * _dfac_for(base_q[name])), 2
+                ),
                 "rechecked": True,
             }
             for name, t in timings.items()
             if name in base_q
             and base_q[name] > 0
             and t
-            > 2 * base_q[name] * (1.0 if name in CANARIES else dfac)
+            > 2
+            * base_q[name]
+            * (1.0 if name in CANARIES else _dfac_for(base_q[name]))
         }
         # Compare totals over the INTERSECTION of query names only —
         # the headline set grows across rounds and a larger set must
@@ -436,6 +544,8 @@ def main() -> None:
                 )
         if drift:
             out["drift"] = drift
+        if drift_cls:
+            out["drift_by_class"] = drift_cls
         if drift_suspect is not None:
             # Normalization was disabled by the sanity bounds; record
             # the raw median so the judge sees what was rejected.
@@ -463,13 +573,26 @@ def main() -> None:
         json.dump(out, f, indent=1)
         f.write("\n")
 
+    # Compact per-query set (r14): the original five entries are KEPT
+    # (the driver diffs per-query keys round-over-round; renames/drops
+    # read as regressions) and the top-10 most expensive NON-CANARY
+    # queries are ADDED so the PERF table grades engine queries rather
+    # than the frozen drift canaries (r13 verdict: 4/5 compared rows
+    # were canaries with zero code change).
+    compact_q = {n: timings[n] for n in HEADLINE[:5] if n in timings}
+    for n in sorted(
+        (n for n in timings if n not in CANARIES),
+        key=lambda n: -timings[n],
+    )[:10]:
+        compact_q[n] = timings[n]
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "n_queries": len(timings),
-        "queries": {n: timings[n] for n in HEADLINE[:5] if n in timings},
+        "queries": compact_q,
         "detail": "BENCH_DETAIL.json",
     }
     if "vs_baseline" in out:

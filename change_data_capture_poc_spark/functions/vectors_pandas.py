@@ -93,6 +93,33 @@ def cosine_topk_pandas(
     return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
+def _block_pair_kernel(
+    pdf: pd.DataFrame, threshold: float, id_col: str, vec_col: str
+):
+    """Shared per-block pair computation: ids sorted ascending, rows
+    unit-normalized (zero-norm guard), one G @ G.T matmul, cosines
+    rounded at 1e-6, upper-triangle pairs (i < j so vec_a < vec_b),
+    kept iff rounded cosine >= threshold.
+
+    Both ``label_blocked_cosine_pairs`` and
+    ``label_blocked_semdedup_stats`` close over THIS function so their
+    pair semantics stay provably identical — any change to the sort,
+    the normalization guard, or the rounding epsilon applies to both
+    (r13 ADVICE: the duplicated kernels could silently diverge).
+
+    Returns (ids, sims, iu, ju, keep).
+    """
+    order = np.argsort(pdf[id_col].to_numpy())
+    ids = pdf[id_col].to_numpy()[order]
+    mat = np.stack(pdf[vec_col].to_numpy())[order]
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(n == 0, 1.0, n)  # zero-norm guard (see above)
+    sims = np.round(mat @ mat.T, 6)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= threshold
+    return ids, sims, iu, ju, keep
+
+
 def label_blocked_cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -119,14 +146,9 @@ def label_blocked_cosine_pairs(
     )
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf[id_col].to_numpy())
-        ids = pdf[id_col].to_numpy()[order]
-        mat = np.stack(pdf[vec_col].to_numpy())[order]
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(n == 0, 1.0, n)  # zero-norm guard (see above)
-        sims = np.round(mat @ mat.T, 6)
-        iu, ju = np.triu_indices(len(ids), k=1)  # i<j: vec_a < vec_b
-        keep = sims[iu, ju] >= threshold
+        ids, sims, iu, ju, keep = _block_pair_kernel(
+            pdf, threshold, id_col, vec_col
+        )
         return pd.DataFrame(
             {
                 "vec_a": ids[iu[keep]],
@@ -165,14 +187,9 @@ def label_blocked_semdedup_stats(
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf[id_col].to_numpy())
-        ids = pdf[id_col].to_numpy()[order]
-        mat = np.stack(pdf[vec_col].to_numpy())[order]
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(n == 0, 1.0, n)
-        sims = np.round(mat @ mat.T, 6)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        ids, _sims, _iu, ju, keep = _block_pair_kernel(
+            pdf, threshold, id_col, vec_col
+        )
         return pd.DataFrame(
             {
                 label_col: [int(pdf[label_col].iloc[0])],

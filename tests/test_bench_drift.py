@@ -103,3 +103,69 @@ def test_zero_time_canary_end_to_end():
 def test_canaries_are_headline_members():
     for c in bench.CANARIES:
         assert c in bench.HEADLINE, c
+
+
+def test_class_of_brackets():
+    assert bench._class_of(0.4) == "cheap"
+    assert bench._class_of(0.99) == "cheap"
+    assert bench._class_of(1.0) == "mid"
+    assert bench._class_of(1.99) == "mid"
+    assert bench._class_of(2.0) == "heavy"
+    assert bench._class_of(9.0) == "heavy"
+
+
+def test_drift_by_class_groups_on_baseline_bracket():
+    # cheap canaries drift 1.5x, the heavy canary only 1.1x — one
+    # global median would hand heavy queries the cheap allowance.
+    base = {
+        "pricing_summary": 0.5,
+        "scd2_user_state": 0.6,
+        "join_left_outer": 0.5,
+        "dedup_minhash_lsh": 1.5,
+        "ann_mmr_diversified_rerank": 2.5,
+    }
+    timings = {
+        "pricing_summary": 0.75,
+        "scd2_user_state": 0.9,
+        "join_left_outer": 0.75,
+        "dedup_minhash_lsh": 1.8,
+        "ann_mmr_diversified_rerank": 2.75,
+    }
+    by = bench._drift_by_class(timings, base)
+    assert by == {"cheap": 1.5, "mid": 1.2, "heavy": 1.1}
+
+
+def test_drift_by_class_skips_missing_and_zero_baselines():
+    base = {"pricing_summary": 0.0, "ann_mmr_diversified_rerank": 2.0}
+    timings = {
+        "pricing_summary": 1.0,
+        "ann_mmr_diversified_rerank": 4.0,
+    }
+    assert bench._drift_by_class(timings, base) == {"heavy": 2.0}
+    assert bench._drift_by_class({}, base) == {}
+
+
+def test_phantom_flag_scenario_cheap_burst_does_not_widen_heavy():
+    # A loaded run where cheap canaries read 2.6x but mid/heavy are
+    # near 1x: a heavy engine query at 1.8x of baseline must NOT be
+    # flagged (raw threshold 2x not crossed), and a heavy query at
+    # 2.2x MUST be flagged because its own bracket's coefficient is
+    # ~1.05, not the cheap 2.6 (which would have absorbed it).
+    base = {c: 0.5 for c in bench.CANARIES[:5]}
+    base["ann_mmr_diversified_rerank"] = 2.5
+    base["ann_hard_negative_mining"] = 2.5
+    timings = {c: 1.3 for c in bench.CANARIES[:5]}
+    timings["ann_mmr_diversified_rerank"] = 2.6
+    timings["ann_hard_negative_mining"] = 2.65
+    by = bench._drift_by_class(timings, base)
+    # dedup_minhash_lsh's baseline (0.5) lands in cheap here; heavy
+    # medians come from the two heavy canaries.
+    assert by["cheap"] == 2.6
+    assert by["heavy"] == 1.05
+    # Threshold math: flag iff now > 2 * baseline * bracket_dfac.
+    heavy_base, heavy_dfac = 3.0, by["heavy"]
+    assert 2.2 * heavy_base > 2 * heavy_base * heavy_dfac  # flagged
+    assert not 1.8 * heavy_base > 2 * heavy_base * heavy_dfac  # absorbed
+    # Under the old single global coefficient (cheap-dominated median
+    # 2.6) the 2.2x heavy regression would have been absorbed:
+    assert not 2.2 * heavy_base > 2 * heavy_base * by["cheap"]
