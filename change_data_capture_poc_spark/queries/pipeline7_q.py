@@ -1703,9 +1703,14 @@ def dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _blm_split_grams(load_table(spark, sf_dir, "documents"))
     tr = g.where("is_train").select("gh").distinct()
     te = g.where(~F.col("is_train")).select("gh").distinct()
+    # persist_once (r14): the bit set is consumed twice (broadcast
+    # probe side + the bits_set count) and each build re-runs the
+    # train split's _BLM_H-md5 bit explode over the whole gram table;
+    # the pinned frame is bounded at _BLM_M rows forever (guide §5).
     bits = (
         tr.select(F.explode(F.array(*_blm_bit_exprs())).alias("bit"))
         .distinct()
+        .transform(persist_once)
     )
     return _blm_readout(te, tr, bits)
 

@@ -3187,13 +3187,13 @@ def unigram_em_expected_counts(
     d = ensure_unigram_vocab(spark, sf_dir)
     vocab = spark.read.parquet(os.path.join(d, "vocab.parquet"))
     z = vocab.agg(F.sum("cnt").cast("double").alias("z"))
-    # bounded: 1-row Z scalar
     # persist_once (r14): prob feeds the 4 per-length lattice broadcasts
     # AND the occurrence join — without the pin each of those 5
     # consumers re-reads the vocab parquet and re-runs the Z aggregation
     # to rebuild this tiny (alphabet + top-K pieces) table (guide §5;
     # before-plan showed 10 BroadcastExchanges for 5 logical builds).
     prob = (
+        # bounded: 1-row Z scalar
         vocab.crossJoin(F.broadcast(z))
         .select(
             "token", (F.col("cnt") * F.lit(1.0) / F.col("z")).alias("p")
