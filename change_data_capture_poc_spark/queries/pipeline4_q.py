@@ -353,20 +353,16 @@ def ann_ivf_multiprobe_recall(
         F.col("nv").alias("qnv"),
     )
 
-    # Per-label centroid: posexplode -> (label, pos) mean -> regroup in
-    # pos order. Two keyed shuffles over n x dim scalar rows — the
-    # vectors cross the network once, decomposed.
-    cent = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("c")
-        )
+    # Per-label centroid: ONE map-side-partial aggregation with 64
+    # per-dimension avg columns (r14 — the shape the sampled-truth twin
+    # already uses, and the oracle's own {_CENTROID_LIST} formulation).
+    # The old posexplode -> (label, pos) mean -> regroup decomposed the
+    # vectors into n x dim scalar rows and shuffled them TWICE; here
+    # only |labels| x dim partial sums cross the exchange (guide §2.3
+    # "aggregate before you shuffle").
+    dim = 64
+    cent = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
     )
     cn = cent.select("label", unit_normalize(F.col("c")).alias("cn"))
 
